@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (Q10 regional revenue: the fact
+stream joined through the dimension chain, broadcast dims, decimal-exact
+aggregation) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` — every implemented operator from
+SURVEY.md §2 plus the LLM-pipeline extensions, each as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB-runnable ANSI-SQL
+oracle where the semantics are SQL-expressible. Hash-family ops
+(minhash/simhash/LSH-ANN) are rows-only by design — their hash functions
+are Spark-native (murmur3/xxhash64); their semantics are
+invariant-tested in tests/.
 """
 
 from __future__ import annotations
@@ -13,26 +19,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mysql2clickhouse_spark.plans import all_oracles, all_queries
+from mysql2clickhouse_spark.plans.corpus import q10_regional_revenue
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q10_regional_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return all_oracles()

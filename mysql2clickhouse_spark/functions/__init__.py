@@ -1,0 +1,15 @@
+from .text import (  # noqa: F401
+    token_count_col,
+    stopword_hits_col,
+    quality_score_cols,
+    langid_col,
+    fingerprint_col,
+)
+from .minhash import (  # noqa: F401
+    with_shingles,
+    with_minhash_signature,
+    lsh_candidate_pairs,
+    verified_near_dups,
+    with_simhash,
+)
+from .similarity import cosine_sim_col, cosine_topk, lsh_bucketed_topk  # noqa: F401

@@ -1,0 +1,100 @@
+"""Text-analysis column expressions for LLM-data pipelines.
+
+All pure native column expressions — no Python UDFs — so they run inside
+whole-stage codegen during the scan of a 100 TB ``documents`` table. Each
+is deliberately expressible in ANSI SQL too (the DuckDB oracle mirrors
+the exact formulas; see plans/extensions.py).
+
+Ops covered: token counting, stopword/quality scoring, language-ID
+heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count: ``#spaces + 1`` on the trimmed text.
+
+    Uses length arithmetic instead of ``split`` so no intermediate array
+    materializes per row (matters when text ~ MBs at 100 TB scale).
+    """
+    t = F.trim(text)
+    return (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise((F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))) + 1)
+        .cast("bigint")
+    )
+
+
+def stopword_hits_col(text: Column, word: str = "the") -> Column:
+    """Occurrences of ``word`` as a standalone token, via padded
+    replace-length arithmetic (left-to-right non-overlapping — matching
+    SQL REPLACE semantics exactly)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    )
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Quality heuristics: char/token counts, mean token length,
+    stopword ratio and a composite score in [0, 1]. Mirrors the usual
+    pre-training quality filters (length + stopword-density gates)."""
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = token_count_col(text)
+    n_the = stopword_hits_col(text, "the")
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_the / n_tokens).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 10.0) * 0.5,
+        4,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(mean_tok, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality_score": score,
+    }
+
+
+def langid_col(text: Column) -> Column:
+    """Language-ID heuristic: ordered marker-substring rules (a compact
+    stand-in for char-n-gram profiles; deterministic and SQL-mirrorable).
+    """
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return (
+        F.when(padded.contains(" the "), F.lit("en"))
+        .when(padded.contains(" der "), F.lit("de"))
+        .when(padded.contains(" que "), F.lit("es"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def fingerprint_col(text: Column, bits: int = 64) -> Column:
+    """Document fingerprint: first ``bits/4`` hex chars of md5 over the
+    lower-cased text — a stable content address for exact dedup and
+    shard-local bloom pruning."""
+    return F.substring(F.md5(F.lower(text)), 1, bits // 4)
+
+
+def rolling_hash_col(text: Column, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style), as a
+    native aggregate over the char array: h = (h*base + code) % mod.
+
+    Kept JVM-side via ``aggregate`` over ``split``; used by tests as an
+    alternative fingerprint (no SQL oracle — DuckDB lacks a clean
+    fold-over-chars; the md5 fingerprint is the oracle-checked one).
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

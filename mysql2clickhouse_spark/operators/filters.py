@@ -1,0 +1,116 @@
+"""Changelog-level filters and event bookkeeping (SURVEY §2.2).
+
+Every filter is a plain Column predicate so Catalyst pushes it into the
+parquet scan (check with ``df.explain``: these land in ``PushedFilters``).
+At 100 TB, F4/F5 (time/position bounds) become partition pruning when the
+changelog is laid out by date/file — which the writer in
+``streaming/runner.py`` does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_tables(df: DataFrame, tables: Iterable[str], col: str = "table_name") -> DataFrame:
+    """F1 — only configured tables pass.
+
+    Reference: ``only_tables`` on the stream reader
+    (matomo2clickhouse.py:493; set at _settings.py:105-122)."""
+    return df.filter(F.col(col).isin(list(tables)))
+
+
+def filter_schemas(df: DataFrame, schemas: Iterable[str], col: str = "schema_name") -> DataFrame:
+    """F2 — source-database restriction (matomo2clickhouse.py:492)."""
+    return df.filter(F.col(col).isin(list(schemas)))
+
+
+def filter_dml(df: DataFrame, ops: Iterable[str] = ("I", "U", "D"), col: str = "op") -> DataFrame:
+    """F3 — keep only row events / a sql-type whitelist
+    (binlog2sql_util.py:196-211; gate matomo2clickhouse.py:550)."""
+    return df.filter(F.col(col).isin(list(ops)))
+
+
+def filter_time_range(df: DataFrame, start=None, stop=None, col: str = "ts") -> DataFrame:
+    """F4 — skip events before ``start``; stop at ``stop`` (exclusive),
+    matching the reference's ``event_time < start_time`` skip and
+    ``>= stop_time`` break (matomo2clickhouse.py:522-533)."""
+    out = df
+    if start is not None:
+        out = out.filter(F.col(col) >= F.lit(start))
+    if stop is not None:
+        out = out.filter(F.col(col) < F.lit(stop))
+    return out
+
+
+def filter_pos_range(df: DataFrame, start_seq=None, end_seq=None, col: str = "seq") -> DataFrame:
+    """F5 — position-bounded slice of the totally-ordered changelog
+    (start exclusive / end inclusive, matching resume-from-checkpoint
+    semantics: the ledger stores the *last applied* position,
+    matomo2clickhouse.py:518-533, 786-812)."""
+    out = df
+    if start_seq is not None:
+        out = out.filter(F.col(col) > F.lit(start_seq))
+    if end_seq is not None:
+        out = out.filter(F.col(col) <= F.lit(end_seq))
+    return out
+
+
+def split_old_deletes(
+    df: DataFrame,
+    date_col: str,
+    now_col: Column,
+    days: int = 31,
+    op_col: str = "op",
+) -> tuple[DataFrame, DataFrame]:
+    """F6 — old-DELETE rejection.
+
+    For guarded tables, a DELETE whose row date is more than ``days`` old
+    is NOT applied: the target keeps history the source drops
+    (matomo2clickhouse.py:583-606, threshold ``dv_count_days > 31`` at
+    :593; table set _settings.py:132-138). Returns ``(kept, rejected)``;
+    the caller counts ``rejected`` for the run report
+    (matomo2clickhouse.py:728-731) — with ``observe()`` in streaming.
+
+    Both branches are single predicates over one scan; Spark will read the
+    source once per branch with the filter pushed down (or reuse the
+    exchange under AQE when the changelog is cached in the runner).
+    """
+    is_old_delete = (F.col(op_col) == "D") & (
+        F.datediff(now_col, F.col(date_col)) > F.lit(days)
+    )
+    return df.filter(~is_old_delete), df.filter(is_old_delete)
+
+
+def with_txn_start(df: DataFrame, marker: Column, seq_col: str = "seq") -> DataFrame:
+    """G1 — transaction-begin tracking.
+
+    The reference remembers the position of the last ``BEGIN`` QueryEvent
+    so each row's SQL is attributed to its transaction start
+    (matomo2clickhouse.py:539-541). Declaratively: carry forward the last
+    marker position over the total order.
+
+    NOTE: a window ordered over the whole changelog is a single-partition
+    sort at scale; in the streaming runner this runs per micro-batch
+    (bounded), and for batch backfills the changelog is first
+    range-partitioned by ``file_seq`` so the window runs per file with the
+    previous file's tail carried as a seed — the marker can never cross a
+    file boundary in the binlog model.
+    """
+    from pyspark.sql.window import Window
+
+    if "file_seq" in df.columns:
+        w = (
+            Window.partitionBy("file_seq")
+            .orderBy(seq_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "txn_start_pos",
+        F.last(F.when(marker, F.col(seq_col)), ignorenulls=True).over(w),
+    )

@@ -1,0 +1,17 @@
+from . import corpus, cdc, extensions  # noqa: F401
+
+
+def all_queries():
+    q = {}
+    q.update(corpus.QUERIES)
+    q.update(cdc.QUERIES)
+    q.update(extensions.QUERIES)
+    return q
+
+
+def all_oracles():
+    o = {}
+    o.update(corpus.ORACLE)
+    o.update(cdc.ORACLE)
+    o.update(extensions.ORACLE)
+    return o

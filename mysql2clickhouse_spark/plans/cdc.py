@@ -1,0 +1,211 @@
+"""Changelog-apply plans (SURVEY §2.1-§2.4) over the driver's ``events``
+stream, adapted via ``sources.changelog``.
+
+These are the engine's core semantics — the reference's event pipeline
+(matomo2clickhouse.py:475-779) re-expressed as declarative plans:
+
+- filters F1-F5 push into the scan,
+- the INS-UPD append model (P5/P6) + latest-state read (Q1),
+- merge-mode replay (P7/P9) as one window instead of N mutations,
+- the 31-day old-DELETE guard (F6),
+- transaction attribution (G1),
+- the per-batch ledger summary (S5) and the binlog catalog clamp (S2).
+
+Every query has a DuckDB oracle built on the *same* adapter SQL
+(``CHANGELOG_VIEW_SQL``) so the Spark and oracle sides can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.apply import apply_append, apply_insert_as_update, apply_mutate, latest_by_key
+from ..operators.filters import (
+    filter_dml,
+    filter_pos_range,
+    filter_tables,
+    filter_time_range,
+    split_old_deletes,
+    with_txn_start,
+)
+from ..sources.changelog import CHANGELOG_VIEW_SQL, changelog_from_events
+from ..sources.tables import load_table
+
+OLD_DELETE_DAYS = 20   # fixture horizon; the reference constant is 31
+                       # (matomo2clickhouse.py:593) but the events table
+                       # spans one month, so 20 exercises both branches
+T_START = "2024-01-05 00:00:00"
+T_STOP = "2024-01-25 00:00:00"
+SEQ_START, SEQ_END = 100, 9000
+MAX_FILES = 5          # S2 clamp; reference default 20 (_settings.py:79-80)
+
+
+def _cl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changelog_from_events(load_table(spark, sf_dir, "events"))
+
+
+def cdc_apply_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — insert-only apply."""
+    return apply_append(_cl(spark, sf_dir)).select(
+        "key", "seq", "file_seq", "ts", "value", "event_type"
+    )
+
+
+def cdc_apply_ins_upd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P6 — the INS-UPD version store: inserts AND updates append
+    version rows with dateid := changelog position."""
+    return apply_insert_as_update(_cl(spark, sf_dir), ["key"]).select(
+        "key", "dateid", "ts", "value", "event_type"
+    )
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 over the INS-UPD store — current row per key."""
+    versions = apply_insert_as_update(_cl(spark, sf_dir), ["key"])
+    return latest_by_key(versions, ["key"], "dateid", form="window").select(
+        "key", "dateid", "ts", "value", "event_type"
+    )
+
+
+def cdc_apply_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+P9 — merge-mode replay: last event per key wins, DELETE
+    terminal state removes the row."""
+    return apply_mutate(_cl(spark, sf_dir), ["key"]).select(
+        "key", "seq", "file_seq", "ts", "value", "event_type"
+    )
+
+
+def cdc_old_delete_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — rejected old DELETEs (would erase history the target keeps).
+    ``now`` is the stream's own max(ts) for determinism."""
+    cl = _cl(spark, sf_dir)
+    now = cl.agg(F.max("ts").alias("now_ts"))
+    with_now = cl.crossJoin(F.broadcast(now))
+    _, rejected = split_old_deletes(
+        with_now, date_col="ts", now_col=F.col("now_ts"), days=OLD_DELETE_DAYS
+    )
+    return rejected.select("key", "seq", "ts")
+
+
+def cdc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F3+F4+F5 composed — the event-gate of the pipeline
+    (matomo2clickhouse.py:511-550). All four predicates collapse into one
+    scan filter (check PushedFilters in `.explain`)."""
+    cl = _cl(spark, sf_dir)
+    cl = filter_tables(cl, ["visits", "actions"])
+    cl = filter_dml(cl, ["I", "U"])
+    cl = filter_time_range(cl, T_START, T_STOP)
+    cl = filter_pos_range(cl, SEQ_START, SEQ_END)
+    return cl.groupBy("table_name", "op", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+    )
+
+
+def cdc_txn_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — each event attributed to the position of the last
+    transaction-begin marker in its file ('signup' plays BEGIN)."""
+    cl = _cl(spark, sf_dir)
+    out = with_txn_start(cl, marker=F.col("event_type") == "signup")
+    return out.select("seq", "file_seq", "txn_start_pos")
+
+
+def cdc_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — per-(file, sql_type) ledger rows: row count and position
+    range, the queryable offset ledger the reference keeps in
+    ``log_replication`` (script_create_clickhouse_table.sql:5-14)."""
+    return (
+        _cl(spark, sf_dir)
+        .groupBy("file_seq", F.col("op").alias("sql_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("seq").alias("log_pos_start"),
+            F.max("seq").alias("log_pos_end"),
+            F.max("ts").alias("log_time"),
+        )
+    )
+
+
+def cdc_binlog_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — binlog file catalog scan with the per-session clamp
+    (matomo2clickhouse.py:352-361): first N distinct files."""
+    return (
+        _cl(spark, sf_dir)
+        .select("file_seq")
+        .distinct()
+        .orderBy("file_seq")
+        .limit(MAX_FILES)
+    )
+
+
+QUERIES = {
+    "cdc_apply_append": cdc_apply_append,
+    "cdc_apply_ins_upd": cdc_apply_ins_upd,
+    "cdc_latest_state": cdc_latest_state,
+    "cdc_apply_mutate": cdc_apply_mutate,
+    "cdc_old_delete_rejection": cdc_old_delete_rejection,
+    "cdc_filters": cdc_filters,
+    "cdc_txn_attribution": cdc_txn_attribution,
+    "cdc_ledger_summary": cdc_ledger_summary,
+    "cdc_binlog_catalog": cdc_binlog_catalog,
+}
+
+ORACLE = {
+    "cdc_apply_append": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL})
+SELECT key, seq, file_seq, ts, value, event_type FROM c WHERE op = 'I'
+""",
+    "cdc_apply_ins_upd": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL})
+SELECT key, seq AS dateid, ts, value, event_type FROM c WHERE op IN ('I', 'U')
+""",
+    "cdc_latest_state": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+v AS (SELECT key, seq AS dateid, ts, value, event_type FROM c WHERE op IN ('I', 'U')),
+w AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY dateid DESC) AS rn FROM v)
+SELECT key, dateid, ts, value, event_type FROM w WHERE rn = 1
+""",
+    "cdc_apply_mutate": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM c)
+SELECT key, seq, file_seq, ts, value, event_type FROM w WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_old_delete_rejection": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+n AS (SELECT max(ts) AS now_ts FROM c)
+SELECT key, seq, ts FROM c, n
+WHERE op = 'D'
+  AND date_diff('day', CAST(ts AS DATE), CAST(now_ts AS DATE)) > {OLD_DELETE_DAYS}
+""",
+    "cdc_filters": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL})
+SELECT table_name, op, event_type, count(*) AS cnt,
+       min(seq) AS min_seq, max(seq) AS max_seq
+FROM c
+WHERE table_name IN ('visits', 'actions')
+  AND op IN ('I', 'U')
+  AND ts >= TIMESTAMP '{T_START}' AND ts < TIMESTAMP '{T_STOP}'
+  AND seq > {SEQ_START} AND seq <= {SEQ_END}
+GROUP BY table_name, op, event_type
+""",
+    "cdc_txn_attribution": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL})
+SELECT seq, file_seq,
+       last_value(CASE WHEN event_type = 'signup' THEN seq END IGNORE NULLS)
+           OVER (PARTITION BY file_seq ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS txn_start_pos
+FROM c
+""",
+    "cdc_ledger_summary": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL})
+SELECT file_seq, op AS sql_type, count(*) AS n_rows,
+       min(seq) AS log_pos_start, max(seq) AS log_pos_end, max(ts) AS log_time
+FROM c GROUP BY file_seq, op
+""",
+    "cdc_binlog_catalog": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL})
+SELECT DISTINCT file_seq FROM c ORDER BY file_seq LIMIT {MAX_FILES}
+""",
+}

@@ -1,0 +1,333 @@
+"""The reference's shipped SQL corpus (SURVEY §2.5, Q1-Q12) as Spark plans.
+
+Mapping onto the driver's tables: ``lineitem`` plays the versioned
+append-only fact (business key ``l_orderkey`` ≈ ``idvisit``; version key
+``dateid`` := ``l_linenumber`` — multiple versions per key out of the
+box); ``orders`` plays the retention-managed source table; ``events``
+plays the replication ledger.
+
+Each query exists twice, by contract: a DataFrame builder here and an
+ANSI-SQL twin in ``ORACLE`` (run by DuckDB on the same parquet). Float
+aggregates are summed as DECIMAL then cast to DOUBLE on BOTH sides so the
+results are bit-identical regardless of summation order.
+
+Performance notes are inline; the common themes at 100 TB:
+- dims broadcast (region/nation/customer-side of Q10),
+- aggregates pre-shuffle partially (Spark partial aggregation is
+  automatic — the reference's 2000-row batching analog, O1),
+- top-k compiles to TakeOrderedAndProject (no global sort),
+- the dedup window (Q3) is one shuffle; the faithful join form (Q1) is
+  kept for parity but the window form is the plan of record.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.apply import latest_by_key
+from ..operators.dedup import dedup_in_window, duplicate_audit
+from ..operators.retention import (
+    ledger_prune,
+    retention_count,
+    retention_probe,
+)
+from ..sources.tables import load_table
+
+# --- shared fixture: lineitem as the versioned fact ------------------------
+
+#: versioned-fact adapter — textual twin of ``_versioned`` below
+VERSIONED_SQL = """
+SELECT
+    l_orderkey AS key,
+    CAST(l_linenumber AS BIGINT) AS dateid,
+    l_partkey,
+    l_suppkey,
+    l_quantity,
+    l_extendedprice,
+    l_shipdate
+FROM lineitem
+"""
+
+VCOLS = ["key", "dateid", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate"]
+
+WIN_START = "1998-01-01 00:00:00"  # dedup/audit window lower bound (Q2/Q3)
+RET_CUTOFF = "1998-01-01 00:00:00"  # retention horizon (Q4/Q5)
+LEDGER_CUT = "2024-01-10 00:00:00"  # ledger prune cutoff (Q12)
+
+
+def _versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").cast("bigint").alias("dateid"),
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    )
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+# --- Q1: latest-record dedup view -----------------------------------------
+
+def q1_latest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful port of ``view_matomo_log_visit``
+    (script_create_clickhouse_table.sql:484-494): GROUP BY key →
+    max(dateid), LEFT JOIN back for the full row."""
+    return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="join").select(*VCOLS)
+
+
+def q1_latest_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic form: ONE shuffle + rank (SURVEY §2.6) instead of the
+    join form's agg+join. ``rank`` keeps rows tied on max(dateid) —
+    bit-equal to the reference's GROUP-BY+JOIN view. (``row_number``
+    would be the pick when dateid is unique per key, as INS-UPD
+    guarantees — see cdc_latest_state.)"""
+    return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="rank").select(*VCOLS)
+
+
+# --- Q2/Q3: duplicate audit + windowed dedup ------------------------------
+
+def q2_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superseded-version count in a date range (README.md:334-352)."""
+    v = _versioned(spark, sf_dir)
+    return duplicate_audit(
+        v, ["key"], "dateid", range_filter=F.col("l_shipdate") >= _ts(WIN_START)
+    )
+
+
+def q3_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup compaction scoped to the date window (_settings.py:230-287):
+    latest version per key inside the window, untouched rows outside."""
+    v = _versioned(spark, sf_dir)
+    return dedup_in_window(
+        v, ["key"], "dateid", window_filter=F.col("l_shipdate") >= _ts(WIN_START)
+    ).select(*VCOLS)
+
+
+# --- Q4/Q5: retention probe + count ---------------------------------------
+
+def q4_retention_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return retention_probe(orders, "o_orderkey", "o_orderdate", RET_CUTOFF, 10001)
+
+
+def q5_retention_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    probe = retention_probe(orders, "o_orderkey", "o_orderdate", RET_CUTOFF, 10001)
+    return retention_count(orders, "o_orderkey", probe)
+
+
+# --- Q7: argmax checkpoint lookup -----------------------------------------
+
+def q7_argmax_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-point discovery (matomo2clickhouse.py:786-812):
+    ``max(dateid)`` then the full ledger row at that id. The 1-row agg
+    broadcasts into the equality join."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id").alias("event_id"))
+    return ev.join(F.broadcast(mx), "event_id").select("event_id", "ts", "user_id")
+
+
+# --- Q8: per-day volume profile -------------------------------------------
+
+def q8_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing query (_settings.py:143-162): daily counts over the last 14
+    days of data (the reference uses now()-30d; data-relative horizon
+    keeps it deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.date_sub(F.max("ts").cast("date"), 14).alias("cut"))
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts").cast("date") > F.col("cut"))
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("d").desc())
+    )
+
+
+# --- Q9: union of per-table minima ----------------------------------------
+
+def q9_union_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_settings.py:164-169 — three ``ORDER BY id ASC LIMIT 1`` branches
+    unioned; each branch is a TakeOrdered, no global sort."""
+    parts = []
+    for tbl, idc in (("orders", "o_orderkey"), ("lineitem", "l_orderkey"), ("customer", "c_custkey")):
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.select(F.lit(tbl).alias("tbl"), F.col(idc).cast("bigint").alias("id"))
+            .orderBy(F.col("id").asc())
+            .limit(1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- Q10: cross-source join (flagship) ------------------------------------
+
+def q10_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DB join analog (README.md:259-278): the fact stream joined
+    through the dimension chain. Plan shape that must survive 100 TB:
+    lineitem⋈orders shuffles on orderkey (the only big-big join);
+    customer/nation/region broadcast — `.explain` shows three
+    BroadcastHashJoins and one SortMergeJoin under AQE.
+
+    Revenue summed as DECIMAL(18,4) then cast to DOUBLE => bit-identical
+    across engines and summation orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- Q11: force-resync row move -------------------------------------------
+
+def q11_force_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:283-315 — extract rows by key, delete, re-insert; the
+    result table must equal the original. Output = post-roundtrip
+    checksum by status (decimal-sum => engine-exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    moved = o.filter(F.col("o_orderkey") % 997 == 0)
+    rest = o.join(F.broadcast(moved.select("o_orderkey")), "o_orderkey", "left_anti")
+    final = rest.unionByName(moved.select(*rest.columns))
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- Q12: ledger prune ----------------------------------------------------
+
+def q12_ledger_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return ledger_prune(ev, LEDGER_CUT, created_col="ts")
+
+
+QUERIES = {
+    "q1_latest_join": q1_latest_join,
+    "q1_latest_window": q1_latest_window,
+    "q2_duplicate_audit": q2_duplicate_audit,
+    "q3_dedup_window": q3_dedup_window,
+    "q4_retention_probe": q4_retention_probe,
+    "q5_retention_count": q5_retention_count,
+    "q7_argmax_checkpoint": q7_argmax_checkpoint,
+    "q8_daily_volume": q8_daily_volume,
+    "q9_union_minima": q9_union_minima,
+    "q10_regional_revenue": q10_regional_revenue,
+    "q11_force_resync": q11_force_resync,
+    "q12_ledger_prune": q12_ledger_prune,
+}
+
+_Q1_SQL = f"""
+WITH v AS ({VERSIONED_SQL})
+SELECT g.key AS key, g.dateid AS dateid, v.l_partkey, v.l_suppkey,
+       v.l_quantity, v.l_extendedprice, v.l_shipdate
+FROM (SELECT key, max(dateid) AS dateid FROM v GROUP BY key) g
+LEFT JOIN v ON v.key = g.key AND v.dateid = g.dateid
+"""
+
+ORACLE = {
+    "q1_latest_join": _Q1_SQL,
+    "q1_latest_window": _Q1_SQL,
+    "q2_duplicate_audit": f"""
+WITH v AS ({VERSIONED_SQL}),
+a AS (SELECT key, dateid FROM v WHERE l_shipdate >= TIMESTAMP '{WIN_START}'),
+b AS (SELECT key, count(*) AS cnt, max(dateid) AS dateid_max
+      FROM v GROUP BY key HAVING count(*) > 1)
+SELECT count(*) AS dup_count
+FROM a RIGHT JOIN b ON a.key = b.key
+WHERE a.dateid IS NOT NULL AND a.dateid <> b.dateid_max
+""",
+    "q3_dedup_window": f"""
+WITH v AS ({VERSIONED_SQL}),
+w AS (SELECT *, rank() OVER (PARTITION BY key ORDER BY dateid DESC) AS rn
+      FROM v WHERE l_shipdate >= TIMESTAMP '{WIN_START}')
+SELECT key, dateid, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate
+FROM w WHERE rn = 1
+UNION ALL
+SELECT key, dateid, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate
+FROM v WHERE NOT (l_shipdate >= TIMESTAMP '{WIN_START}')
+""",
+    "q4_retention_probe": f"""
+SELECT o_orderkey AS id_max
+FROM (SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey ASC LIMIT 10001) t
+WHERE o_orderdate < TIMESTAMP '{RET_CUTOFF}'
+ORDER BY o_orderkey DESC LIMIT 1
+""",
+    "q5_retention_count": f"""
+SELECT count(*) AS del_count FROM orders
+WHERE o_orderkey < (
+    SELECT o_orderkey FROM
+        (SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey ASC LIMIT 10001) t
+    WHERE o_orderdate < TIMESTAMP '{RET_CUTOFF}'
+    ORDER BY o_orderkey DESC LIMIT 1)
+""",
+    "q7_argmax_checkpoint": """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+WHERE event_id = (SELECT max(event_id) FROM events)
+""",
+    "q8_daily_volume": """
+SELECT CAST(ts AS DATE) AS d, count(*) AS cnt FROM events
+WHERE CAST(ts AS DATE) > (SELECT CAST(max(ts) AS DATE) - 14 FROM events)
+GROUP BY CAST(ts AS DATE)
+ORDER BY d DESC
+""",
+    "q9_union_minima": """
+(SELECT 'orders' AS tbl, CAST(o_orderkey AS BIGINT) AS id FROM orders ORDER BY id ASC LIMIT 1)
+UNION ALL
+(SELECT 'lineitem' AS tbl, CAST(l_orderkey AS BIGINT) AS id FROM lineitem ORDER BY id ASC LIMIT 1)
+UNION ALL
+(SELECT 'customer' AS tbl, CAST(c_custkey AS BIGINT) AS id FROM customer ORDER BY id ASC LIMIT 1)
+""",
+    "q10_regional_revenue": """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    "q11_force_resync": """
+WITH moved AS (SELECT * FROM orders WHERE o_orderkey % 997 = 0),
+rest AS (SELECT * FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM moved)),
+final AS (SELECT * FROM rest UNION ALL SELECT * FROM moved)
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    "q12_ledger_prune": f"""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{LEDGER_CUT}'
+""",
+}

@@ -1,0 +1,319 @@
+"""LLM-data-pipeline operator plans (the north-star extensions):
+dedup (exact / minhash-LSH / simhash / n-gram Jaccard), similarity
+search, text analysis, multimodal plumbing — over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle strategy: everything arithmetic/string-deterministic has a full
+DuckDB oracle (md5, length arithmetic, double cosine with decimal-free
+rounding at 4dp — both engines accumulate in DOUBLE so diffs are
+~1e-14, far under the rounding grain). The hash-family ops
+(minhash/simhash) depend on Spark's murmur3/xxhash64 and are checked
+rows-only by the driver + invariant-tested in pytest.
+
+The synthetic corpus has no planted near-dups, so the near-dup queries
+build a deterministic mutated copy of each document inline (id + 10^6,
+one word appended) — the operator must find exactly those pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.minhash import verified_near_dups, with_shingles, with_simhash
+from ..functions.multimodal import attach_binary_payload, extract_media_features
+from ..functions.similarity import cosine_topk, lsh_bucketed_topk
+from ..functions.text import (
+    fingerprint_col,
+    langid_col,
+    quality_score_cols,
+    token_count_col,
+)
+from ..sources.tables import load_table
+
+SIM_THRESHOLD = 0.25
+TOPK = 10
+N_QUERIES = 5       # vec_id < 5 are the query vectors
+EMB_DIM = 64
+MUT_OFFSET = 1000000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ mutated copies (id+10^6, ' extra' appended) — the planted
+    near-duplicates that LSH must recover."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+# --- dedup ----------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (md5), keep min doc_id.
+    On the mutant corpus the mutants do NOT collide (different bytes) —
+    exact dedup's blind spot, which the near-dup ops cover."""
+    d = _docs_with_mutants(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (jaccard >= 0.7 verified). Planted
+    mutant pairs (id, id+10^6) must all surface. Rows-only driver check
+    (signature depends on Spark murmur3); pair-recall is pytest-asserted.
+    """
+    shingled = with_shingles(_docs_with_mutants(spark, sf_dir), "text", k=5)
+    return verified_near_dups(shingled, "doc_id", threshold=0.7).orderBy("id_a", "id_b")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on the planted pairs (id, id+10^6): the
+    ground truth the LSH variant approximates. Oracle-checked via DuckDB
+    list functions over the same shingle definition."""
+    sh = with_shingles(_docs_with_mutants(spark, sf_dir), "text", k=5).select(
+        "doc_id", "shingles"
+    )
+    a = sh.filter(F.col("doc_id") < MUT_OFFSET).alias("a")
+    b = sh.filter(F.col("doc_id") >= MUT_OFFSET).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast("double")
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+    ).cast("double") - inter
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + MUT_OFFSET)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (hex). Rows-only driver check (xxhash64-
+    dependent); hamming-locality is pytest-asserted on planted pairs."""
+    return with_simhash(_docs_with_mutants(spark, sf_dir), "text").select("doc_id", "simhash")
+
+
+# --- text analysis --------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + language-ID + fingerprint in a
+    single scan — the classic pre-training per-doc feature pass."""
+    d = _docs(spark, sf_dir)
+    q = quality_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        q["n_chars"].alias("n_chars_calc"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
+        langid_col(F.col("text")).alias("lang_guess"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate corpus profile per (actual, guessed) language — the
+    confusion table of the heuristic language-ID."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", langid_col(F.col("text")).alias("lang_guess"),
+                 token_count_col(F.col("text")).alias("n_tokens"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors vec_id < 5 against the
+    rest of the corpus. The scale baseline every ANN variant is measured
+    against."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return cosine_topk(c, q, k=TOPK)
+
+
+def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs (query, candidate) above the similarity threshold —
+    order-free, so fully oracle-checkable."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec")
+    )
+    from ..functions.similarity import cosine_sim_col
+
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
+        .filter(F.col("sim") > SIM_THRESHOLD)
+        .select("qid", "cid", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path). Rows-only driver check; recall vs
+    brute force is pytest-asserted."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return lsh_bucketed_topk(c, q, dim=EMB_DIM, k=TOPK, n_planes=6)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (sequential fold => engine-deterministic) +
+    label, rounded at 4dp."""
+    from ..functions.similarity import _norm
+
+    return _emb(spark, sf_dir).select(
+        "vec_id", "label", F.round(_norm(F.col("embedding")), 4).alias("l2_norm")
+    )
+
+
+# --- multimodal -----------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow ``mapInPandas`` (the
+    decode itself is a deterministic stub; the plumbing is real and the
+    fake features are oracle-checkable from byte lengths)."""
+    media = attach_binary_payload(_docs(spark, sf_dir), "text")
+    return extract_media_features(media)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "text_stats": text_stats,
+    "text_lang_profile": text_lang_profile,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_threshold": ann_cosine_threshold,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_norms": embedding_norms,
+    "multimodal_features": multimodal_features,
+}
+
+_MUTANT_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {MUT_OFFSET} AS doc_id, text || ' extra' AS text FROM documents
+"""
+
+_TOKENS_SQL = """
+CASE WHEN length(trim(text)) = 0 THEN 0
+     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+"""
+
+_NTHE_SQL = """
+(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+"""
+
+ORACLE = {
+    "dedup_exact": f"""
+WITH d AS ({_MUTANT_SQL})
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_copies
+FROM d GROUP BY md5(text)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH d AS ({_MUTANT_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(length(lower(text)) - 4, 1) + 1),
+             i -> substring(lower(text), i, 5))) AS shingles
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + {MUT_OFFSET}
+""",
+    "text_stats": f"""
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+       round(CASE WHEN {_TOKENS_SQL} > 0
+             THEN CAST(length(text) AS DOUBLE) / {_TOKENS_SQL} ELSE 0.0 END, 4) AS mean_token_len,
+       round(CASE WHEN {_TOKENS_SQL} > 0
+             THEN {_NTHE_SQL} / {_TOKENS_SQL} ELSE 0.0 END, 4) AS stopword_ratio,
+       round(least(1.0, CAST({_TOKENS_SQL} AS DOUBLE) / 64.0) * 0.5
+             + least(1.0, CASE WHEN {_TOKENS_SQL} > 0
+                     THEN {_NTHE_SQL} / {_TOKENS_SQL} ELSE 0.0 END * 10.0) * 0.5, 4)
+           AS quality_score,
+       CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+            WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+            WHEN contains(' ' || text || ' ', ' que ') THEN 'es'
+            ELSE 'unk' END AS lang_guess,
+       substring(md5(lower(text)), 1, 16) AS fingerprint
+FROM documents
+""",
+    "text_lang_profile": f"""
+SELECT lang,
+       CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+            WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+            WHEN contains(' ' || text || ' ', ' que ') THEN 'es'
+            ELSE 'unk' END AS lang_guess,
+       count(*) AS n_docs,
+       SUM(CAST({_TOKENS_SQL} AS BIGINT)) AS total_tokens
+FROM documents GROUP BY 1, 2
+""",
+    "ann_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= {N_QUERIES}),
+s AS (SELECT qid, cid, list_cosine_similarity(qe, ce) AS sim FROM q, c),
+r AS (SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+      FROM s)
+SELECT qid, cid, round(sim, 4) AS sim, rk FROM r WHERE rk <= {TOPK}
+""",
+    "ann_cosine_threshold": f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id >= {N_QUERIES})
+SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
+FROM q, c WHERE list_cosine_similarity(qe, ce) > {SIM_THRESHOLD}
+""",
+    "embedding_norms": """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4)
+           AS l2_norm
+FROM embeddings
+""",
+    "multimodal_features": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS frame_w,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS frame_h
+FROM documents
+""",
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: rows-only
+    # (hash-function-dependent); invariants asserted in tests/.
+}

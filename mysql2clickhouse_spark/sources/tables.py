@@ -1,0 +1,58 @@
+"""Parquet table sources for the driver's star schema + stream tables.
+
+At 100 TB scale these would be partitioned parquet/Delta directories; the
+reader stays the same (``spark.read.parquet``) and Catalyst handles
+partition pruning + filter/column pushdown. JDBC-shaped source/sink
+wrappers (the reference talks to MySQL/ClickHouse over the wire,
+matomo2clickhouse.py:405-472) live in ``jdbc.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Column pruning + predicate pushdown reach the scan
+    because we return the raw DataFrame (no caching, no collect).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet, which Spark only
+    reads as a long (``nanosAsLong``); we truncate to microseconds —
+    matching DuckDB's ns->us cast — so both engines see identical
+    timestamps."""
+    if name == "events":
+        try:  # harmless if the session already set it / made it static
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so the §2.5 SQL corpus can run
+    as literal ``spark.sql`` too."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

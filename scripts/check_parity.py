@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Run every declared query against its DuckDB oracle (driver mirror).
+
+Usage: python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from oracle_utils import compare, duckdb_conn  # noqa: E402
+
+from mysql2clickhouse_spark.plans import all_oracles, all_queries  # noqa: E402
+from mysql2clickhouse_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity-check")
+    con = duckdb_conn(sf_dir)
+    queries, oracles = all_queries(), all_oracles()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                ok, msg = compare(df, con, oracles[name])
+            else:
+                n = df.count()
+                ok, msg = n >= 0, f"rows-only ({n} rows)"
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:28s} {dt:6.2f}s  {msg}", flush=True)
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} pass")
+    if failed:
+        print("failed:", ", ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
