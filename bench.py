@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully (noop sink — results materialize through the
+whole plan without driver-side transfer skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql2clickhouse_spark.plans import all_queries  # noqa: E402
+from mysql2clickhouse_spark.session import get_spark  # noqa: E402
+
+#: headline set — one per operator family (SURVEY §2); the rest of the
+#: 32-query corpus is covered by the driver's correctness run
+HEADLINE = [
+    "q1_latest_window",        # Q1 dedup view (window form)
+    "q1_latest_join",          # Q1 faithful groupBy+join form
+    "q2_duplicate_audit",      # Q2 audit join
+    "q3_dedup_window",         # Q3 windowed compaction
+    "q8_daily_volume",         # agg profile
+    "q10_regional_revenue",    # flagship join chain
+    "cdc_apply_ins_upd",       # hot-path append rewrite
+    "cdc_apply_mutate",        # merge-mode replay
+    "cdc_ledger_summary",      # ledger agg
+    "dedup_exact",             # hash dedup
+    "dedup_minhash_lsh",       # MinHash+LSH near-dup
+    "text_stats",              # text feature pass
+    "ann_cosine_topk",         # brute-force ANN baseline
+    "ann_lsh_topk",            # bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("m2c-bench")
+    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    queries = all_queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

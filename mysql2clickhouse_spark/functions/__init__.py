@@ -7,6 +7,8 @@ from .text import (  # noqa: F401
 )
 from .minhash import (  # noqa: F401
     with_shingles,
+    with_hashed_shingles,
+    minhash_signatures,
     with_minhash_signature,
     lsh_candidate_pairs,
     verified_near_dups,

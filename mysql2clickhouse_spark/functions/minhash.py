@@ -1,20 +1,23 @@
 """Near-duplicate detection: shingling, MinHash+LSH, SimHash,
-n-gram Jaccard — all as native column expressions + joins.
+n-gram Jaccard — native column expressions + joins end-to-end.
 
 Design for 100 TB:
-- signatures are computed in one pass over the text during the scan
-  (higher-order array functions run in the JVM, no Python);
-- LSH banding turns the O(n²) pair space into a groupBy on
-  (band_idx, band_hash) — an ordinary shuffle whose fan-out is bounded
-  by bucket size; hot buckets are breakable via AQE skew handling or a
-  per-bucket cap;
-- only candidate pairs (same bucket) are verified with exact Jaccard —
-  the verify join is a tiny fraction of the corpus.
+- the corpus is scanned ONCE into integer shingle-hash sets (``hset``);
+  every later stage works on ints, never re-reading text;
+- signatures come from explode + groupBy-min: Spark's partial
+  aggregation combines map-side, so the shuffle carries one row per
+  (doc, perm), not per shingle;
+- LSH banding (b bands × r rows) turns the O(n²) pair space into a
+  groupBy on (band_idx, band_hash); candidate rate scales as J^r per
+  band — r=8 keeps homogeneous corpora (high ambient Jaccard) from
+  exploding the candidate set;
+- candidates are culled by a signature-estimated Jaccard (zip_with
+  equality mean; std ≈ sqrt(J(1-J)/k)) BEFORE the exact verify, so the
+  expensive hset join touches only plausible pairs.
 
-MinHash math: h_i(s) = (a_i * murmur3(s) + b_i) mod p, signature =
-elementwise min over a document's shingle set; P(sig_i matches) =
-Jaccard(A, B). Bands of r rows: candidate iff some band agrees
-(standard Broder MinHash / LSH construction).
+MinHash math (Broder): h_i(s) = (a_i * murmur3_31(s) + b_i) mod p,
+signature = elementwise min over the doc's shingle set;
+P(sig_i equal) = Jaccard(A, B).
 """
 
 from __future__ import annotations
@@ -26,6 +29,11 @@ from pyspark.sql import functions as F
 # stays inside BIGINT so the whole permutation family runs as native
 # integer arithmetic (no overflow, no BigDecimal fallback).
 MERSENNE_P = (1 << 31) - 1
+
+DEFAULT_NUM_PERM = 48
+DEFAULT_BANDS = 6
+DEFAULT_ROWS = 8
+
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) permutation params via a small LCG (no
@@ -42,49 +50,88 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Character k-shingle set, lower-cased, distinct. One pass, JVM-side:
-    sequence → transform(substring) → array_distinct."""
+    sequence → transform(substring) → array_distinct.
+
+    Null/empty text yields an EMPTY set (not a sentinel shingle): the
+    explode in ``minhash_signatures`` then drops such docs entirely, so
+    a 100 TB corpus with millions of empty docs cannot collapse them
+    into one O(n²) LSH hot bucket."""
     t = F.lower(F.col(text_col))
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     shingles = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k))
+        F.filter(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)),
+            lambda s: s.isNotNull() & (F.length(s) > 0),
+        )
     )
-    return df.withColumn("shingles", shingles)
+    return df.withColumn("shingles", F.coalesce(shingles, F.array()))
 
 
-def with_minhash_signature(df: DataFrame, num_perm: int = 32, seed: int = 42) -> DataFrame:
-    """MinHash signature as ``array<bigint>`` of length ``num_perm``.
+def with_hashed_shingles(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+    """31-bit murmur3 hash set of the shingles (``hset``): all downstream
+    stages (signatures, verify) run on ints — cheaper to shuffle and to
+    intersect than the string sets. Collision odds at 31 bits for ~1e3
+    shingles/doc are ~1e-4 per doc — immaterial for dedup."""
+    return df.withColumn(
+        "hset",
+        F.array_distinct(
+            F.transform(
+                F.col(shingle_col),
+                lambda s: F.hash(s).cast("bigint").bitwiseAND(F.lit(MERSENNE_P)),
+            )
+        ),
+    )
 
-    Single fold over the shingle array: each shingle expands to its
-    ``num_perm`` permuted hashes (murmur3 via ``F.hash``), folded with
-    elementwise min. No shuffle, no UDF.
+
+def minhash_signatures(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, minhash array<bigint>[num_perm]) via explode + groupBy-min.
+
+    The explode fans each doc into |hset| rows; the ``num_perm`` min
+    aggregates combine map-side (partial aggregation), so the shuffle is
+    one row per doc — this is the shape that survives a 100× scale-up,
+    unlike a per-row fold whose codegen collapses on wide lambdas.
     """
     params = _perm_params(num_perm, seed)
-    init = F.array(*[F.lit(MERSENNE_P).cast("bigint") for _ in range(num_perm)])
-
-    def perm_hashes(sh: Column) -> Column:
-        h = F.hash(sh).cast("bigint").bitwiseAND(F.lit((1 << 31) - 1))
-        return F.array(*[((h * a + b) % MERSENNE_P).cast("bigint") for a, b in params])
-
-    sig = F.aggregate(
-        F.col("shingles"),
-        init,
-        lambda acc, sh: F.zip_with(acc, perm_hashes(sh), lambda x, y: F.least(x, y)),
+    ex = hashed.select(id_col, F.explode("hset").alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % MERSENNE_P).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("minhash"))
     )
-    return df.withColumn("minhash", sig)
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Convenience: attach ``minhash`` to a shingled frame."""
+    hashed = with_hashed_shingles(df)
+    sigs = minhash_signatures(hashed, id_col=id_col, num_perm=num_perm, seed=seed)
+    return df.join(sigs, id_col)
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", bands: int = 8, rows: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands of ``rows``
-    values, bucket on (band_idx, hash(band)), self-join buckets for
-    candidate pairs (id_a < id_b), distinct.
-
-    The self-join is bucket-local — with band size r and threshold
-    t ≈ (1/b)^(1/r), bucket cardinality stays small; the groupBy is the
-    only corpus-wide shuffle.
-    """
-    exploded = df.select(
+    """LSH banding: bucket on (band_idx, hash(band slice)), self-join
+    buckets for candidate pairs (id_a < id_b), distinct. The only
+    corpus-wide shuffle in the pipeline; skewed (too-common) buckets are
+    AQE-splittable, or cap them upstream for adversarial corpora."""
+    exploded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[F.slice("minhash", i * rows + 1, rows) for i in range(bands)])
@@ -104,8 +151,14 @@ def lsh_candidate_pairs(
     )
 
 
+def estimated_jaccard_col(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """Signature-estimated Jaccard: fraction of agreeing minhash slots."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
+
+
 def jaccard_col(sh_a: Column, sh_b: Column) -> Column:
-    """Exact Jaccard over two shingle arrays (already distinct)."""
+    """Exact Jaccard over two (distinct) set arrays."""
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
     union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -115,24 +168,38 @@ def verified_near_dups(
     shingled: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    num_perm: int = 32,
-    bands: int = 8,
-    rows: int = 4,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
     seed: int = 42,
+    estimate_margin: float = 0.15,
 ) -> DataFrame:
-    """Full MinHash+LSH pipeline: signature → banded candidates → exact
-    Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sigs = with_minhash_signature(shingled, num_perm=num_perm, seed=seed)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
-    sh = shingled.select(F.col(id_col), F.col("shingles"))
-    pairs = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 4))
+    """Full MinHash+LSH dedup: hash shingles once → signatures → banded
+    candidates → estimate-filter → exact Jaccard ≥ threshold.
+    Returns (id_a, id_b, jaccard)."""
+    base = with_hashed_shingles(shingled).select(id_col, "hset").persist()
+    sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    plausible = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est", estimated_jaccard_col(F.col("sig_a"), F.col("sig_b"), num_perm))
+        .filter(F.col("est") >= threshold - estimate_margin)
+        .select("id_a", "id_b")
+    )
+
+    ha = base.select(F.col(id_col).alias("id_a"), F.col("hset").alias("h_a"))
+    hb = base.select(F.col(id_col).alias("id_b"), F.col("hset").alias("h_b"))
+    return (
+        plausible.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("h_a"), F.col("h_b")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:

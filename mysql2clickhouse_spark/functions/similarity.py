@@ -20,8 +20,12 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -104,23 +108,45 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def with_lsh_bucket(
-    df: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embedding", seed: int = 42
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = the sign-bit string of the vector
-    against ``n_planes`` fixed hyperplanes (cosine-LSH, Charikar 2002).
-    Hyperplanes are literals folded into the plan — broadcast for free.
+    """Multi-table random-hyperplane LSH (cosine-LSH, Charikar 2002):
+    ``n_tables`` independent sets of ``n_planes`` hyperplanes; per table
+    the bucket id packs the sign bits. A pair collides if it agrees in
+    ANY table — recall 1-(1-p^b)^L for bit-agreement probability
+    p = 1 - θ/π.
+
+    The n_tables×n_planes×dim projection is one numpy matmul per Arrow
+    batch (a vectorized pandas_udf) — the justified Python path: a
+    BLAS-backed GEMM beats any per-plane column expression by orders of
+    magnitude, and the hyperplane matrix rides inside the UDF closure
+    (broadcast once per executor). Output adds ``tbl`` + ``bucket``
+    (exploded: one row per table).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.concat(
-        *[
-            F.when(
-                _dot(F.col(vec_col), F.array(*[F.lit(v) for v in p])) >= 0, F.lit("1")
-            ).otherwise(F.lit("0"))
-            for p in planes
-        ]
+    planes = np.array(
+        [p for t in range(n_tables) for p in _hyperplanes(dim, n_planes, seed + 7919 * t)],
+        dtype=np.float64,
+    ).T  # (dim, n_tables*n_planes)
+    pack = (1 << np.arange(n_planes, dtype=np.int64))  # bit weights per table
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) >= 0  # (batch, n_tables*n_planes)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        ids = (bits * pack[None, None, :]).sum(axis=2)  # (batch, n_tables)
+        return pd.Series(list(ids))
+
+    out_cols = df.columns
+    return df.select(
+        *out_cols, F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket")
     )
-    return df.withColumn("bucket", bucket)
 
 
 def lsh_bucketed_topk(
@@ -128,22 +154,32 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """ANN: exact rerank restricted to the query's LSH bucket. Recall
-    trades off with ``n_planes``; multi-probe = union over neighboring
-    buckets (left to the caller). Returns (qid, cid, sim, rk)."""
-    cb = with_lsh_bucket(corpus, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"), "bucket"
+    """ANN: exact rerank restricted to candidates sharing an LSH bucket
+    with the query in at least one table. The candidate set is deduped
+    BEFORE the (expensive) exact rerank. Returns (qid, cid, sim, rk).
+
+    At scale: the corpus-side bucket pass is a scan (+1 shuffle on the
+    bucket join key); candidate fan-out is n_tables × bucket size, far
+    below the |corpus| × |queries| brute-force product.
+    """
+    cb = with_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col, seed).select(
+        F.col(id_col).alias("cid"), "tbl", "bucket"
     )
-    qb = with_lsh_bucket(queries, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"), "bucket"
+    qb = with_lsh_buckets(queries, dim, n_planes, n_tables, vec_col, seed).select(
+        F.col(id_col).alias("qid"), "tbl", "bucket"
     )
+    cands = cb.join(F.broadcast(qb), ["tbl", "bucket"]).select("qid", "cid").distinct()
+    c_vecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cands.join(c_vecs, "cid")
+        .join(F.broadcast(q_vecs), "qid")
         .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
         .select("qid", "cid", "sim")
     )

@@ -1,0 +1,217 @@
+"""The replication run — entry-point B of the reference
+(``process_binlog``, matomo2clickhouse.py:475-779) as a micro-batch job.
+
+One ``run_once`` call = one cron run of the reference:
+
+1. resume from the ledger (argmax dateid → last applied position,
+   matomo2clickhouse.py:786-812, S6);
+2. slice the changelog: position > resume point, clamped by the run
+   budgets (row cap B4 / file cap S2/O3);
+3. route per table policy (catalog.REGISTRY) and apply:
+   - ``insert_as_update`` tables: versioned APPEND (P5/P6) — the hot
+     path; pure columnar append partitioned by yyyymm (O11);
+   - ``mutate`` tables: two-phase fold of the batch into stored state
+     (appends first, then mutations — the write-ordering barrier
+     B2/O6), with the F6 old-delete guard;
+4. write one ledger row per (table, file) slice (S5) AFTER the data
+   writes — reproducing the reference's at-least-once contract
+   (doc_old_duplicates.md:6-10): a crash between data and ledger
+   replays the batch; dedup-at-read (Q1) + compaction (Q3) absorb it;
+5. ``dry_run=True`` plans and counts everything but writes nothing
+   (S9, _settings.py:53-55).
+
+Scale notes: every apply is a bounded-batch DataFrame op; the only
+unbounded input (stored mutate-state) participates via one
+broadcast-able anti-join per table. Appends never read existing data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import REGISTRY, TablePolicy
+from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_key
+from ..operators.filters import filter_pos_range, split_old_deletes
+
+LEDGER_SCHEMA = (
+    "dateid bigint, created_at timestamp, table_name string, sql_type string,"
+    " log_time timestamp, log_file bigint, log_pos_start bigint, log_pos_end bigint"
+)
+
+
+@dataclass
+class RunConfig:
+    target_dir: str
+    batch_row_budget: int = 1_000_000      # replication_batch_size (_settings.py:71-73)
+    max_files_per_run: int = 20            # replication_max_number_files_per_session
+    old_delete_days: int = 31              # F6 horizon (matomo2clickhouse.py:593)
+    dry_run: bool = False                  # EXECUTE_CLICKHOUSE=False analog (S9)
+
+
+@dataclass
+class RunReport:
+    start_seq: int | None
+    end_seq: int | None
+    rows_applied: int = 0
+    rows_rejected_old_delete: int = 0
+    tables: dict = field(default_factory=dict)
+    dry_run: bool = False
+
+
+class ReplicationRunner:
+    def __init__(self, spark: SparkSession, config: RunConfig):
+        self.spark = spark
+        self.cfg = config
+
+    # --- storage paths -----------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.cfg.target_dir, "tables", name)
+
+    @property
+    def ledger_path(self) -> str:
+        return os.path.join(self.cfg.target_dir, "ledger")
+
+    # --- ledger ------------------------------------------------------------
+    def read_ledger(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.ledger_path)
+        except Exception:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def resume_seq(self) -> int | None:
+        """S6/Q7 — argmax checkpoint lookup: resume after max applied
+        position (log_pos_end of the max-dateid ledger row)."""
+        led = self.read_ledger()
+        row = (
+            led.agg(F.max("dateid").alias("dateid"))
+            .join(led, "dateid")
+            .select("log_pos_end")
+            .collect()
+        )
+        return row[0]["log_pos_end"] if row else None
+
+    # --- one run -----------------------------------------------------------
+    def run_once(self, changelog: DataFrame) -> RunReport:
+        cfg = self.cfg
+        start_seq = self.resume_seq()
+
+        batch = filter_pos_range(changelog, start_seq, None)
+
+        # O3/S2: clamp to N changelog files per run
+        files = [
+            r["file_seq"]
+            for r in batch.select("file_seq").distinct().orderBy("file_seq")
+            .limit(cfg.max_files_per_run).collect()
+        ]
+        if not files:
+            return RunReport(start_seq, start_seq, dry_run=cfg.dry_run)
+        batch = batch.filter(F.col("file_seq").isin(files))
+
+        # B4: row budget — deterministic prefix of the remaining stream
+        # (seq-bounded rather than limit() so replays slice identically)
+        bounds = batch.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+        hi = bounds["hi"]
+        if cfg.batch_row_budget is not None and bounds["lo"] is not None:
+            capped = (
+                batch.orderBy("seq").limit(cfg.batch_row_budget)
+                .agg(F.max("seq").alias("hi")).collect()[0]["hi"]
+            )
+            hi = capped
+            batch = batch.filter(F.col("seq") <= hi)
+
+        batch = batch.cache()
+        report = RunReport(start_seq, hi, dry_run=cfg.dry_run)
+
+        # F6: old-delete rejection against the batch's own clock
+        now = batch.agg(F.max("ts").alias("now_ts"))
+        with_now = batch.crossJoin(F.broadcast(now))
+        kept, rejected = split_old_deletes(
+            with_now, date_col="ts", now_col=F.col("now_ts"), days=cfg.old_delete_days
+        )
+        report.rows_rejected_old_delete = rejected.count()
+        kept = kept.drop("now_ts")
+
+        for tbl in [r["table_name"] for r in kept.select("table_name").distinct().collect()]:
+            policy = REGISTRY.get(tbl, REGISTRY["events_state"])
+            tslice = kept.filter(F.col("table_name") == tbl).drop("table_name")
+            report.tables[tbl] = self._apply_table(tbl, policy, tslice)
+            report.rows_applied += report.tables[tbl]["rows"]
+
+        # ledger covers the FULL consumed slice (incl. F6-rejected rows —
+        # they are consumed positions even though not applied), so the
+        # resume point always advances and replays can't loop.
+        self._write_ledger(batch)
+        batch.unpersist()
+        return report
+
+    def _apply_table(self, tbl: str, policy: TablePolicy, tslice: DataFrame) -> dict:
+        cfg = self.cfg
+        if policy.apply_mode in ("append", "insert_as_update"):
+            # hot path: versions append, partitioned monthly (O11); no
+            # read of existing data, no shuffle beyond the write split
+            out = apply_insert_as_update(tslice, policy.key_cols)
+            out = out.withColumn("yyyymm", F.date_format("ts", "yyyyMM"))
+            n = out.count()
+            if not cfg.dry_run and n:
+                (
+                    out.coalesce(max(1, n // 500_000 + 1))  # bound file count (O9)
+                    .write.mode("append")
+                    .partitionBy("yyyymm")
+                    .parquet(self.table_path(tbl))
+                )
+            return {"mode": policy.apply_mode, "rows": n}
+
+        # mutate mode: fold batch into stored state.
+        # Two-phase ordering (B2/O6) is inherent: the replay window takes
+        # the LAST event per key, so appends can't overtake mutations.
+        try:
+            current = self.spark.read.parquet(self.table_path(tbl))
+            base = current.withColumn("op", F.lit("I")).withColumn(
+                "seq", F.lit(-1).cast("bigint")
+            )
+            merged = base.unionByName(tslice, allowMissingColumns=True)
+        except Exception:
+            merged = tslice
+        new_state = apply_mutate(merged, policy.key_cols)
+        n = new_state.count()
+        if not cfg.dry_run:
+            tmp = self.table_path(tbl) + "__staging"
+            new_state.write.mode("overwrite").parquet(tmp)
+            final = self.table_path(tbl)
+            # atomic-ish swap (HDFS/object stores: use a manifest commit)
+            import shutil
+
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+        return {"mode": "mutate", "rows": n}
+
+    def _write_ledger(self, batch: DataFrame) -> None:
+        """S5 — one ledger row per (table, file) slice; dateid := the
+        slice's max seq (structurally monotonic, see with_dateid)."""
+        entries = (
+            batch.groupBy("table_name", "file_seq")
+            .agg(
+                F.max("seq").alias("dateid"),
+                F.max("ts").alias("log_time"),
+                F.min("seq").alias("log_pos_start"),
+                F.max("seq").alias("log_pos_end"),
+                F.concat_ws(",", F.sort_array(F.collect_set("op"))).alias("sql_type"),
+            )
+            .select(
+                "dateid",
+                F.col("log_time").alias("created_at"),
+                "table_name",
+                "sql_type",
+                "log_time",
+                F.col("file_seq").alias("log_file"),
+                "log_pos_start",
+                "log_pos_end",
+            )
+        )
+        if not self.cfg.dry_run:
+            entries.coalesce(1).write.mode("append").parquet(self.ledger_path)

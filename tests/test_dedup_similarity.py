@@ -1,0 +1,113 @@
+"""Invariant tests for the hash-family extensions (the ops the driver
+checks rows-only): MinHash-LSH recall on planted near-dups, SimHash
+hamming locality, LSH-ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.functions.minhash import (
+    verified_near_dups,
+    with_minhash_signature,
+    with_shingles,
+    with_simhash,
+)
+from mysql2clickhouse_spark.functions.similarity import cosine_topk, lsh_bucketed_topk
+from mysql2clickhouse_spark.sources.tables import load_table
+
+MUT_OFFSET = 1000000
+
+
+@pytest.fixture(scope="module")
+def docs_with_mutants(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(mut).cache()
+
+
+def test_minhash_lsh_recovers_planted_pairs(docs_with_mutants):
+    n_docs = docs_with_mutants.count() // 2
+    shingled = with_shingles(docs_with_mutants, "text", k=5)
+    pairs = verified_near_dups(shingled, "doc_id", threshold=0.7)
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + MUT_OFFSET).count()
+    # LSH with 8 bands x 4 rows at jaccard ~0.95 => recall ~1
+    assert planted >= 0.98 * n_docs
+    # and verification keeps precision: every surviving pair really has
+    # jaccard >= 0.7 (checked by construction) and a sane count
+    assert pairs.count() < 3 * n_docs
+
+
+def test_minhash_signature_shape(docs_with_mutants):
+    from mysql2clickhouse_spark.functions.minhash import DEFAULT_NUM_PERM
+
+    sig = with_minhash_signature(with_shingles(docs_with_mutants.limit(10)))
+    row = sig.select("minhash").first()
+    assert len(row["minhash"]) == DEFAULT_NUM_PERM
+    assert all(v >= 0 for v in row["minhash"])
+
+
+def test_simhash_locality(docs_with_mutants):
+    """Planted near-dup pairs must agree on most simhash bits; random
+    pairs must not."""
+    sh = with_simhash(docs_with_mutants, "text").select("doc_id", "simhash")
+    a = sh.filter(F.col("doc_id") < MUT_OFFSET).alias("a")
+    b = sh.filter(F.col("doc_id") >= MUT_OFFSET).alias("b")
+
+    joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + MUT_OFFSET).select(
+        F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2")
+    )
+    pdf = joined.toPandas()
+
+    def ham(h1, h2):
+        return bin(int(h1, 16) ^ int(h2, 16)).count("1")
+
+    dists = [ham(r.h1, r.h2) for r in pdf.itertuples()]
+    assert sum(d <= 16 for d in dists) >= 0.95 * len(dists)
+    planted_mean = sum(dists) / len(dists)
+
+    rnd = (
+        a.limit(50).crossJoin(b.limit(50))
+        .filter(F.col("b.doc_id") != F.col("a.doc_id") + MUT_OFFSET)
+        .select(F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        .toPandas()
+    )
+    rnd_d = [ham(r.h1, r.h2) for r in rnd.itertuples()]
+    rnd_mean = sum(rnd_d) / len(rnd_d)
+    # shared vocabulary compresses distances on this corpus; locality =
+    # planted pairs sit far below the random-pair baseline
+    assert planted_mean < rnd_mean - 5
+    assert rnd_mean > 12
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(c, q, k=10)
+    approx = lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=6)
+    e = {(r.qid, r.cid) for r in exact.collect()}
+    a = {(r.qid, r.cid) for r in approx.collect()}
+    # 6-bit cosine LSH on random vectors: modest recall demanded, and
+    # every approx hit must be a real corpus pair
+    assert len(a & e) >= 0.2 * len(e)
+    assert all(p[1] >= 5 for p in a)
+
+
+def test_bruteforce_topk_is_sorted_and_complete(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    res = cosine_topk(c, q, k=10).collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r.qid, []).append((r.rk, r.sim))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for pairs in by_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, 11))
+        sims = [p[1] for p in pairs]
+        assert sims == sorted(sims, reverse=True)

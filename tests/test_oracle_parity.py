@@ -1,0 +1,45 @@
+"""Driver-mirror correctness gate: every declared query vs its DuckDB
+oracle at sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_utils import compare, duckdb_conn
+
+from mysql2clickhouse_spark.plans import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLES:
+        ok, msg = compare(df, con, ORACLES[name])
+        assert ok, f"{name}: {msg}"
+    else:
+        assert df.count() >= 0  # rows-only contract
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"r_name", "revenue", "n_items"}
+
+
+def test_every_query_has_callable_and_contract():
+    assert len(QUERIES) >= 30
+    for name in ORACLES:
+        assert name in QUERIES, f"oracle {name} lacks a query"

@@ -1,0 +1,147 @@
+"""Replication-runner semantics: resume, budgets, dry-run, rejection
+accounting, at-least-once + dedup-at-read (FIXTURES.md invariants 3-5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.operators.apply import latest_by_key
+from mysql2clickhouse_spark.streaming.runner import ReplicationRunner, RunConfig
+
+SCHEMA = (
+    "op string, table_name string, key bigint, seq bigint, file_seq bigint,"
+    " ts timestamp, value double, event_type string"
+)
+
+T0 = dt.datetime(2024, 3, 1)
+
+
+def mk_changelog(spark, n=200, files=4):
+    rows = []
+    for i in range(n):
+        key = i % 10
+        op = "I" if i % 5 in (0, 1) else ("U" if i % 5 in (2, 3) else "D")
+        tbl = "visits" if key % 2 == 0 else "events_state"
+        rows.append(
+            (op, tbl, key, i, i // (n // files), T0 + dt.timedelta(minutes=i), float(i), "e")
+        )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    return ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+
+
+def test_run_once_applies_and_resumes(spark, runner):
+    cl = mk_changelog(spark)
+    r1 = runner.run_once(cl)
+    assert r1.rows_applied > 0
+    # second run over the SAME changelog: nothing new
+    r2 = runner.run_once(cl)
+    assert r2.rows_applied == 0
+    assert runner.resume_seq() == 199
+
+
+def test_budgets_bound_each_run(spark, tmp_path):
+    runner = ReplicationRunner(
+        spark,
+        RunConfig(target_dir=str(tmp_path / "wh"), batch_row_budget=50, max_files_per_run=1),
+    )
+    cl = mk_changelog(spark, n=200, files=4)
+    r1 = runner.run_once(cl)
+    assert r1.end_seq == 49  # one file (=50 rows) and the row budget agree
+    r2 = runner.run_once(cl)
+    assert r2.start_seq == 49 and r2.end_seq == 99
+    # runs until caught up
+    for _ in range(2):
+        runner.run_once(cl)
+    assert runner.resume_seq() == 199
+
+
+def test_dry_run_writes_nothing(spark, tmp_path):
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), dry_run=True)
+    )
+    cl = mk_changelog(spark)
+    r = runner.run_once(cl)
+    assert r.rows_applied > 0 and r.dry_run
+    assert runner.resume_seq() is None  # no ledger rows written
+    import os
+
+    assert not os.path.exists(runner.table_path("visits"))
+
+
+def test_versioned_table_dedups_at_read(spark, runner):
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    stored = spark.read.parquet(runner.table_path("visits"))
+    latest = latest_by_key(stored, ["key"], "dateid", form="window")
+    per_key = latest.groupBy("key").count().filter(F.col("count") > 1).count()
+    assert per_key == 0
+    # latest version == max seq for that key in the changelog
+    expect = {
+        r["key"]: r["m"]
+        for r in cl.filter("table_name = 'visits' and op in ('I','U')")
+        .groupBy("key").agg(F.max("seq").alias("m")).collect()
+    }
+    got = {r["key"]: r["dateid"] for r in latest.select("key", "dateid").collect()}
+    assert got == expect
+
+
+def test_mutate_table_reaches_terminal_state(spark, runner):
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    stored = spark.read.parquet(runner.table_path("events_state"))
+    # terminal op per key in the changelog decides presence
+    last = (
+        cl.filter("table_name = 'events_state'")
+        .withColumn("rn", F.expr("row_number() over (partition by key order by seq desc)"))
+        .filter("rn = 1")
+    )
+    expect = {r["key"] for r in last.filter("op <> 'D'").collect()}
+    got = {r["key"] for r in stored.select("key").collect()}
+    assert got == expect
+
+
+def test_old_delete_rejection_counted(spark, tmp_path):
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), old_delete_days=31)
+    )
+    rows = [
+        ("I", "events_state", 1, 1, 0, T0, 1.0, "e"),
+        ("D", "events_state", 1, 2, 0, T0 - dt.timedelta(days=60), 0.0, "e"),  # old delete
+        ("I", "events_state", 2, 3, 0, T0, 2.0, "e"),
+    ]
+    cl = spark.createDataFrame(rows, SCHEMA)
+    r = runner.run_once(cl)
+    assert r.rows_rejected_old_delete == 1
+    stored = spark.read.parquet(runner.table_path("events_state"))
+    assert {x["key"] for x in stored.collect()} == {1, 2}  # key 1 survived (F6)
+    # and the consumed position still advanced past the rejected row
+    assert runner.resume_seq() == 3
+
+
+def test_at_least_once_replay_absorbed_by_dedup(spark, tmp_path):
+    """Crash between data write and ledger write => replay => duplicates
+    in the versioned store; dedup-at-read must hide them (SURVEY §2.7)."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    # simulate the crash-replay: force re-apply of the last slice
+    stored_before = spark.read.parquet(runner.table_path("visits")).count()
+    import shutil
+
+    shutil.rmtree(runner.ledger_path)           # lose the ledger => replay
+    runner.run_once(cl)
+    stored_after = spark.read.parquet(runner.table_path("visits"))
+    assert stored_after.count() == 2 * stored_before  # duplicates by design
+    latest = latest_by_key(stored_after, ["key"], "dateid", form="rank")
+    # dedup-at-read: exactly one logical current row per key (the replay
+    # ties collapse because the duplicated (key, dateid) rows are
+    # value-identical) — visits keys with any I/U event: 0,2,6,8
+    # (key 4 only ever sees deletes in this fixture)
+    assert latest.dropDuplicates(["key", "dateid"]).count() == 4
