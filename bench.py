@@ -36,6 +36,8 @@ HEADLINE = [
     "cdc_ledger_summary",      # ledger agg
     "dedup_exact",             # hash dedup
     "dedup_minhash_lsh",       # MinHash+LSH near-dup
+    "dedup_simhash_pairs",     # SimHash banding near-dup
+    "dedup_embedding_cosine",  # embedding-cosine near-dup
     "text_stats",              # text feature pass
     "ann_cosine_topk",         # brute-force ANN baseline
     "ann_lsh_topk",            # bucketed ANN

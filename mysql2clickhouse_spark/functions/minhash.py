@@ -202,25 +202,35 @@ def verified_near_dups(
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """SimHash: xxhash64 per token; for each bit position sum ±1 weights;
-    the sign vector packs into a hex string (sign-safe — no BIGINT
-    overflow games). Hamming-close docs share most bits; pairing uses
-    byte-block banding like MinHash.
+def with_simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash: xxhash64 per token; per bit position, the ±1 vote sum's
+    sign; the sign vector packs into a hex string. Hamming-close docs
+    share most bits; pairing is ``simhash_near_dups``.
 
-    One fold over the token array, entirely JVM-side.
+    Computed as explode + groupBy with one SUM per bit (vote_i > 0 ⇔
+    2·Σbit_i > n): Spark's partial aggregation combines map-side so the
+    shuffle carries one row per doc, and the codegen stays small. (A
+    per-row ``aggregate`` fold over 64-wide arrays compiles to a
+    multi-MiB expression that drops out of codegen and ran ~40× slower
+    — measured at sf0.01.)
     """
     tokens = F.split(F.lower(F.trim(F.col(text_col))), " +")
-    init = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
-
-    def bit_votes(tok: Column) -> Column:
-        h = F.xxhash64(tok)
-        return F.array(
-            *[(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint") for i in range(bits)]
-        )
-
-    votes = F.aggregate(tokens, init, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda x, y: x + y))
-    bitsarr = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    ex = df.select(F.col(id_col), F.explode(tokens).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("__n"))
+    bitsarr = F.array(
+        *[
+            F.when(F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
+            for i in range(bits)
+        ]
+    )
     # pack 4 bits per hex nibble
     nibbles = F.transform(
         F.sequence(F.lit(0), F.lit(bits // 4 - 1)),
@@ -232,4 +242,65 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataF
             16,
         ),
     )
-    return df.withColumn("simhash", F.lower(F.concat_ws("", nibbles)))
+    sig = agg.select(
+        F.col(id_col), F.lower(F.concat_ws("", nibbles)).alias("simhash")
+    )
+    return df.join(sig, id_col, "left")
+
+
+def simhash_near_dups(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    n_blocks: int = 8,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """SimHash pair-finding via block banding (the Manku/Jain/Sarma
+    near-duplicate scheme): split the 64-bit fingerprint into
+    ``n_blocks`` equal blocks; any pair with hamming ≤ n_blocks-1 shares
+    at least one identical block (pigeonhole), so bucketing on
+    (block_idx, block_value) is a *guaranteed* recall net up to that
+    distance and a probabilistic one above it. Candidates are verified
+    with the exact hamming distance (zip_with + bit_count — JVM-side).
+
+    The bucket join is the only corpus-wide shuffle; with 8-bit blocks
+    bucket fan-out is bounded by corpus/256 per block — AQE splits any
+    skewed (common-prefix) buckets.
+
+    Returns (id_a, id_b, hamming), hamming ≤ max_hamming.
+    """
+    hex_per_block = 16 // n_blocks
+    blk = F.array(
+        *[
+            F.conv(F.substring(sim_col, 1 + hex_per_block * i, hex_per_block), 16, 10).cast("bigint")
+            for i in range(n_blocks)
+        ]
+    )
+    base = sh.select(F.col(id_col), blk.alias("blk"))
+    e = base.select(id_col, F.posexplode("blk").alias("b_idx", "b_val"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.b_idx") == F.col("b.b_idx"))
+            & (F.col("a.b_val") == F.col("b.b_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ba = base.select(F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"))
+    bb = base.select(F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"))
+    hamming = F.aggregate(
+        F.zip_with(F.col("blk_a"), F.col("blk_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(ba, "id_a")
+        .join(bb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

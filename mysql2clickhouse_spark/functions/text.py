@@ -29,6 +29,19 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs | single digits | non-space
+#: punctuation — the classic byte-pair pre-split shape. Plain character
+#: classes + alternation only, so Java regex (Spark) and RE2 (DuckDB)
+#: agree byte-for-byte.
+SUBTOKEN_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def subtoken_count_col(text: Column) -> Column:
+    """BPE-ish subtoken count: regexp matches of ``SUBTOKEN_RE`` over the
+    lower-cased text. Runs as a native regexp_count inside codegen."""
+    return F.regexp_count(F.lower(text), F.lit(SUBTOKEN_RE)).cast("bigint")
+
+
 def stopword_hits_col(text: Column, word: str = "the") -> Column:
     """Occurrences of ``word`` as a standalone token, via padded
     replace-length arithmetic (left-to-right non-overlapping — matching

@@ -128,6 +128,33 @@ def cdc_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PURGE_KEEP_DAYS = 10   # reference: LEAVE_BINARY_LOGS_IN_DAYS = 180
+                       # (_settings.py:87-90); 10 fits the one-month fixture
+
+
+def cdc_binlog_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — binlog purge guarded by replication progress
+    (matomo2clickhouse.py:382-398): a changelog file may be dropped only
+    when (a) it is older than the retention horizon AND (b) the ledger
+    has consumed past it (file_seq strictly below the max applied file).
+    The per-file agg and the 1-row progress agg both broadcast — no big
+    shuffle; at scale this is partition-metadata work, not a data scan."""
+    cl = _cl(spark, sf_dir)
+    files = cl.groupBy("file_seq").agg(F.max("ts").alias("file_max_ts"))
+    progress = cl.agg(
+        F.max("ts").alias("applied_max_ts"), F.max("file_seq").alias("applied_max_file")
+    )
+    return (
+        files.crossJoin(F.broadcast(progress))
+        .filter(
+            (F.col("file_max_ts") < F.date_sub(F.col("applied_max_ts"), PURGE_KEEP_DAYS))
+            & (F.col("file_seq") < F.col("applied_max_file"))
+        )
+        .select("file_seq", "file_max_ts")
+        .orderBy("file_seq")
+    )
+
+
 def cdc_binlog_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — binlog file catalog scan with the per-session clamp
     (matomo2clickhouse.py:352-361): first N distinct files."""
@@ -150,6 +177,7 @@ QUERIES = {
     "cdc_txn_attribution": cdc_txn_attribution,
     "cdc_ledger_summary": cdc_ledger_summary,
     "cdc_binlog_catalog": cdc_binlog_catalog,
+    "cdc_binlog_purge": cdc_binlog_purge,
 }
 
 ORACLE = {
@@ -207,5 +235,16 @@ FROM c GROUP BY file_seq, op
     "cdc_binlog_catalog": f"""
 WITH c AS ({CHANGELOG_VIEW_SQL})
 SELECT DISTINCT file_seq FROM c ORDER BY file_seq LIMIT {MAX_FILES}
+""",
+    # Spark's date_sub(ts, n) truncates to DATE; the oracle mirrors that
+    # cast chain exactly so midnight-boundary files can't diverge.
+    "cdc_binlog_purge": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+f AS (SELECT file_seq, max(ts) AS file_max_ts FROM c GROUP BY file_seq),
+p AS (SELECT max(ts) AS applied_max_ts, max(file_seq) AS applied_max_file FROM c)
+SELECT file_seq, file_max_ts FROM f, p
+WHERE file_max_ts < CAST(CAST(applied_max_ts AS DATE) - {PURGE_KEEP_DAYS} AS TIMESTAMP)
+  AND file_seq < applied_max_file
+ORDER BY file_seq
 """,
 }

@@ -20,13 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.minhash import verified_near_dups, with_shingles, with_simhash
+from ..functions.minhash import (
+    simhash_near_dups,
+    verified_near_dups,
+    with_shingles,
+    with_simhash,
+)
 from ..functions.multimodal import attach_binary_payload, extract_media_features
-from ..functions.similarity import cosine_topk, lsh_bucketed_topk
+from ..functions.similarity import (
+    cosine_sim_col,
+    cosine_topk,
+    lsh_bucketed_topk,
+    with_lsh_buckets,
+)
 from ..functions.text import (
     fingerprint_col,
     langid_col,
     quality_score_cols,
+    subtoken_count_col,
     token_count_col,
 )
 from ..sources.tables import load_table
@@ -108,6 +119,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_simhash(_docs_with_mutants(spark, sf_dir), "text").select("doc_id", "simhash")
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 8-block banding + exact hamming verify
+    (Manku et al. WWW'07 scheme). Planted pairs sit at hamming ≤ ~12
+    (p99 = 9 measured on this corpus); random pairs at ~32. Rows-only
+    driver check; planted-pair recall is pytest-asserted."""
+    sh = (
+        with_simhash(_docs_with_mutants(spark, sf_dir), "text")
+        .select("doc_id", "simhash")
+        .persist()  # referenced 3× in the pair DAG (explode + both sides)
+    )
+    return simhash_near_dups(sh, "doc_id", max_hamming=10).orderBy("id_a", "id_b")
+
+
+EMB_DUP_THRESHOLD = 0.95  # ambient max pairwise cosine is ~0.60 at sf0.1
+
+
+def _emb_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus ∪ exact copies (vec_id + 10^6) — planted
+    duplicate vectors the cosine dedup must recover (cosine = 1.0)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    mut = e.select((F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding")
+    return e.unionByName(mut)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket (random hyperplanes) the
+    corpus, verify same-bucket pairs with exact cosine ≥ 0.95.
+
+    Identical vectors agree on EVERY hyperplane sign, so recall for true
+    duplicates is exactly 1 — which is why this variant stays
+    oracle-checkable against DuckDB's exhaustive O(n²) scan (ambient
+    cosine tops out at ~0.60, far under the threshold; no boundary
+    pairs exist for banding to miss). At 100 TB the bucket join replaces
+    the quadratic pair space with corpus/2^planes-sized buckets."""
+    emb = _emb_with_mutants(spark, sf_dir)
+    b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=8, n_tables=4).select(
+        "vec_id", "tbl", "bucket"
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    cands = (
+        a_.join(
+            b_,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(cosine_sim_col(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("sim") >= EMB_DUP_THRESHOLD)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # --- text analysis --------------------------------------------------------
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,6 +191,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         q["n_chars"].alias("n_chars_calc"),
         q["n_tokens"].alias("n_tokens"),
+        subtoken_count_col(F.col("text")).alias("n_subtokens"),
         q["mean_token_len"].alias("mean_token_len"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["quality_score"].alias("quality_score"),
@@ -206,6 +278,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_stats": text_stats,
     "text_lang_profile": text_lang_profile,
     "ann_cosine_topk": ann_cosine_topk,
@@ -256,6 +330,8 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + {MUT_OFFSET}
 SELECT doc_id, lang,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
        CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
+           AS n_subtokens,
        round(CASE WHEN {_TOKENS_SQL} > 0
              THEN CAST(length(text) AS DOUBLE) / {_TOKENS_SQL} ELSE 0.0 END, 4) AS mean_token_len,
        round(CASE WHEN {_TOKENS_SQL} > 0
@@ -314,6 +390,19 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 480 AS BIGINT) AS frame_h
 FROM documents
 """,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: rows-only
-    # (hash-function-dependent); invariants asserted in tests/.
+    "dedup_embedding_cosine": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {MUT_OFFSET} AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMB_DUP_THRESHOLD}
+""",
+    # dedup_minhash_lsh / dedup_simhash / dedup_simhash_pairs /
+    # ann_lsh_topk: rows-only (hash-function-dependent); invariants
+    # asserted in tests/.
 }

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mysql2clickhouse_spark.functions.minhash import (
+    simhash_near_dups,
     verified_near_dups,
     with_minhash_signature,
     with_shingles,
@@ -81,6 +82,43 @@ def test_simhash_locality(docs_with_mutants):
     # planted pairs sit far below the random-pair baseline
     assert planted_mean < rnd_mean - 5
     assert rnd_mean > 12
+
+
+def test_simhash_pair_finding_matches_bruteforce_within_guarantee(docs_with_mutants):
+    """Block banding (8 blocks) GUARANTEES every pair with hamming ≤ 7
+    is bucketed together (pigeonhole); verify the operator's output
+    equals brute force in that regime, and that the planted mutants are
+    recovered at high rate."""
+    sh = with_simhash(docs_with_mutants, "text").select("doc_id", "simhash").cache()
+    found = simhash_near_dups(sh, "doc_id", max_hamming=7)
+    got = {(r.id_a, r.id_b): r.hamming for r in found.collect()}
+
+    pdf = sh.toPandas()
+    hs = dict(zip(pdf.doc_id, pdf.simhash))
+    ids = sorted(hs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(int(hs[a], 16) ^ int(hs[b], 16)).count("1")
+            if d <= 7:
+                want[(a, b)] = d
+    assert got == want
+    planted_found = sum(1 for (a, b) in got if b == a + MUT_OFFSET)
+    planted_total = sum(1 for (a, b) in want if b == a + MUT_OFFSET)
+    assert planted_found == planted_total
+    n_docs = len(ids) // 2
+    assert planted_total >= 0.8 * n_docs  # p90 hamming ≤ 5 on this corpus
+
+
+def test_embedding_cosine_dedup_finds_exact_copies(spark, sf_dir):
+    from mysql2clickhouse_spark.plans.extensions import dedup_embedding_cosine
+
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    pairs = dedup_embedding_cosine(spark, sf_dir).collect()
+    # exactly the planted exact-copy pairs, all at cosine ~1.0
+    assert len(pairs) == emb_n
+    assert all(r.id_b == r.id_a + MUT_OFFSET for r in pairs)
+    assert all(r.sim >= 0.9999 for r in pairs)
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
