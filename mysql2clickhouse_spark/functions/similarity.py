@@ -51,6 +51,17 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def unit_vec_col(a: Column) -> Column:
+    """L2-normalized copy of the vector (double). Normalize ONCE per
+    row before a pairwise join: the per-pair cosine then degenerates to
+    a single dot-product fold instead of dot + two norms — 3× less
+    higher-order-function work on the quadratic side of the plan."""
+    n = _norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(a, lambda x: x.cast("double"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

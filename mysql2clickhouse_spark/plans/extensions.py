@@ -31,6 +31,7 @@ from ..functions.similarity import (
     cosine_sim_col,
     cosine_topk,
     lsh_bucketed_topk,
+    unit_vec_col,
     with_lsh_buckets,
 )
 from ..functions.text import (
@@ -40,7 +41,7 @@ from ..functions.text import (
     subtoken_count_col,
     token_count_col,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 SIM_THRESHOLD = 0.25
 TOPK = 10
@@ -65,7 +66,7 @@ def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
-    return d.unionByName(mut)
+    return spread(d.unionByName(mut))
 
 
 # --- dedup ----------------------------------------------------------------
@@ -120,16 +121,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 8-block banding + exact hamming verify
-    (Manku et al. WWW'07 scheme). Planted pairs sit at hamming ≤ ~12
-    (p99 = 9 measured on this corpus); random pairs at ~32. Rows-only
-    driver check; planted-pair recall is pytest-asserted."""
+    """SimHash near-dup pairs at the Manku et al. WWW'07 production
+    operating point (64-bit, 4×16-bit blocks, hamming ≤ 3 — EXACT by
+    pigeonhole, no probabilistic tail). Planted mutant pairs sit at
+    hamming p50 = 2 on this corpus, so a majority surface here; the
+    jaccard-family ops catch the rest. Rows-only driver check
+    (xxhash64-dependent); brute-force equality is pytest-asserted."""
     sh = (
         with_simhash(_docs_with_mutants(spark, sf_dir), "text")
         .select("doc_id", "simhash")
         .persist()  # referenced 3× in the pair DAG (explode + both sides)
     )
-    return simhash_near_dups(sh, "doc_id", max_hamming=10).orderBy("id_a", "id_b")
+    return simhash_near_dups(sh, "doc_id").orderBy("id_a", "id_b")
 
 
 EMB_DUP_THRESHOLD = 0.95  # ambient max pairwise cosine is ~0.60 at sf0.1
@@ -140,7 +143,7 @@ def _emb_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate vectors the cosine dedup must recover (cosine = 1.0)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     mut = e.select((F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding")
-    return e.unionByName(mut)
+    return spread(e.unionByName(mut))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,10 +156,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine tops out at ~0.60, far under the threshold; no boundary
     pairs exist for banding to miss). At 100 TB the bucket join replaces
     the quadratic pair space with corpus/2^planes-sized buckets."""
-    emb = _emb_with_mutants(spark, sf_dir)
-    b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=8, n_tables=4).select(
+    emb = _emb_with_mutants(spark, sf_dir).persist()  # bucket pass + both verify sides
+    b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=8, n_tables=2).select(
         "vec_id", "tbl", "bucket"
-    )
+    ).persist()  # self-joined: without this the Arrow UDF projection runs twice
     a_, b_ = b.alias("a"), b.alias("b")
     cands = (
         a_.join(
@@ -168,12 +171,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    # normalize once per vector; the per-pair verify is then one dot fold
+    unit = emb.select("vec_id", unit_vec_col(F.col("embedding")).alias("u")).persist()
+    va = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    vb = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", F.round(cosine_sim_col(F.col("v_a"), F.col("v_b")), 4))
+        .withColumn("sim", F.round(dot, 4))
         .filter(F.col("sim") >= EMB_DUP_THRESHOLD)
         .select("id_a", "id_b", "sim")
     )

@@ -47,6 +47,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan so CPU-heavy per-row work (shingling, token
+    hashing, vector math) uses every core.
+
+    A small parquet file arrives as 1-2 splits; without this, a
+    32-thread session runs the downstream transforms on 2 threads
+    (measured 3× slower on the minhash pipeline at sf0.1). At real
+    scale file splits ≫ cores, the condition is false, and this is a
+    no-op — so the shuffle cost is only ever paid when it's trivially
+    small."""
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

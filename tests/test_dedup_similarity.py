@@ -85,12 +85,11 @@ def test_simhash_locality(docs_with_mutants):
 
 
 def test_simhash_pair_finding_matches_bruteforce_within_guarantee(docs_with_mutants):
-    """Block banding (8 blocks) GUARANTEES every pair with hamming ≤ 7
-    is bucketed together (pigeonhole); verify the operator's output
-    equals brute force in that regime, and that the planted mutants are
-    recovered at high rate."""
+    """4-block banding GUARANTEES every pair with hamming ≤ 3 is
+    bucketed together (pigeonhole); the operator's output must EQUAL
+    brute force — this is an exact operator, not an approximation."""
     sh = with_simhash(docs_with_mutants, "text").select("doc_id", "simhash").cache()
-    found = simhash_near_dups(sh, "doc_id", max_hamming=7)
+    found = simhash_near_dups(sh, "doc_id")  # defaults: 4 blocks, ≤ 3
     got = {(r.id_a, r.id_b): r.hamming for r in found.collect()}
 
     pdf = sh.toPandas()
@@ -100,14 +99,12 @@ def test_simhash_pair_finding_matches_bruteforce_within_guarantee(docs_with_muta
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
             d = bin(int(hs[a], 16) ^ int(hs[b], 16)).count("1")
-            if d <= 7:
+            if d <= 3:
                 want[(a, b)] = d
     assert got == want
     planted_found = sum(1 for (a, b) in got if b == a + MUT_OFFSET)
-    planted_total = sum(1 for (a, b) in want if b == a + MUT_OFFSET)
-    assert planted_found == planted_total
     n_docs = len(ids) // 2
-    assert planted_total >= 0.8 * n_docs  # p90 hamming ≤ 5 on this corpus
+    assert planted_found >= 0.5 * n_docs  # planted hamming p50 = 2
 
 
 def test_embedding_cosine_dedup_finds_exact_copies(spark, sf_dir):
