@@ -85,6 +85,46 @@ def split_old_deletes(
     return df.filter(~is_old_delete), df.filter(is_old_delete)
 
 
+def split_poison(
+    df: DataFrame,
+    key_cols: Iterable[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    valid_ops: Iterable[str] = ("I", "U", "D"),
+) -> tuple[DataFrame, DataFrame]:
+    """B3/O8 — poison-record quarantine.
+
+    The reference isolates a poisoned statement by degrading to
+    row-at-a-time replay after a failure (matomo2clickhouse.py:841-847;
+    procedure README.md:162-170) — a binary search by re-execution.
+    Declaratively we can do better: the reasons a row can poison an
+    apply are schema invariants (null/absent key, null position, unknown
+    op), and those are *predicates*, so the bad rows are diverted to a
+    reject table in the same scan instead of killing the batch.
+
+    Returns ``(valid, rejected-with-reason)``. The reason column makes
+    the reject table the operator-facing diagnosis the reference surfaces
+    through DEBUG logs (``dv_sql_for_execute_last``).
+    """
+    keys = list(key_cols)
+    reason = (
+        F.when(F.col(seq_col).isNull(), F.lit("null_position"))
+        .when(~F.col(op_col).isin(list(valid_ops)), F.lit("unknown_op"))
+        .otherwise(
+            F.coalesce(
+                *[F.when(F.col(k).isNull(), F.lit(f"null_key:{k}")) for k in keys],
+                F.lit(None).cast("string"),
+            )
+        )
+    )
+    tagged = df.withColumn("__poison", reason)
+    valid = tagged.filter(F.col("__poison").isNull()).drop("__poison")
+    rejected = tagged.filter(F.col("__poison").isNotNull()).withColumnRenamed(
+        "__poison", "reject_reason"
+    )
+    return valid, rejected
+
+
 def with_txn_start(df: DataFrame, marker: Column, seq_col: str = "seq") -> DataFrame:
     """G1 — transaction-begin tracking.
 

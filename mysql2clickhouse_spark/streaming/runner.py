@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import REGISTRY, TablePolicy
 from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_key
-from ..operators.filters import filter_pos_range, split_old_deletes
+from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
 
 LEDGER_SCHEMA = (
     "dateid bigint, created_at timestamp, table_name string, sql_type string,"
@@ -50,6 +50,17 @@ class RunConfig:
     max_files_per_run: int = 20            # replication_max_number_files_per_session
     old_delete_days: int = 31              # F6 horizon (matomo2clickhouse.py:593)
     dry_run: bool = False                  # EXECUTE_CLICKHOUSE=False analog (S9)
+    degraded: bool = False                 # B3/O8: previous run failed — shrink
+                                           # the budget so the poison surfaces
+                                           # (matomo2clickhouse.py:841-847)
+    quarantine: bool = True                # B3: divert invalid rows to the
+                                           # reject table instead of failing
+
+    def effective_row_budget(self) -> int:
+        if self.degraded:
+            # the reference's degraded formula: size // 1000 + 10
+            return self.batch_row_budget // 1000 + 10
+        return self.batch_row_budget
 
 
 @dataclass
@@ -58,6 +69,7 @@ class RunReport:
     end_seq: int | None
     rows_applied: int = 0
     rows_rejected_old_delete: int = 0
+    rows_quarantined: int = 0
     tables: dict = field(default_factory=dict)
     dry_run: bool = False
 
@@ -99,7 +111,17 @@ class ReplicationRunner:
         cfg = self.cfg
         start_seq = self.resume_seq()
 
-        batch = filter_pos_range(changelog, start_seq, None)
+        # B3: quarantine BEFORE position slicing — a null-position row
+        # can never be attributed to the stream order, so it would
+        # otherwise vanish silently in the seq-bounded budget slice.
+        # (Like the reference's poison statements, an unfixed bad row
+        # re-surfaces every run until the operator clears it.)
+        if cfg.quarantine:
+            ok, poisoned = split_poison(changelog, ["key"])
+        else:
+            ok, poisoned = changelog, None
+
+        batch = filter_pos_range(ok, start_seq, None)
 
         # O3/S2: clamp to N changelog files per run
         files = [
@@ -115,9 +137,10 @@ class ReplicationRunner:
         # (seq-bounded rather than limit() so replays slice identically)
         bounds = batch.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
         hi = bounds["hi"]
-        if cfg.batch_row_budget is not None and bounds["lo"] is not None:
+        budget = cfg.effective_row_budget()
+        if budget is not None and bounds["lo"] is not None:
             capped = (
-                batch.orderBy("seq").limit(cfg.batch_row_budget)
+                batch.orderBy("seq").limit(budget)
                 .agg(F.max("seq").alias("hi")).collect()[0]["hi"]
             )
             hi = capped
@@ -125,6 +148,13 @@ class ReplicationRunner:
 
         batch = batch.cache()
         report = RunReport(start_seq, hi, dry_run=cfg.dry_run)
+
+        if poisoned is not None:
+            report.rows_quarantined = poisoned.count()
+            if report.rows_quarantined and not cfg.dry_run:
+                poisoned.coalesce(1).write.mode("append").parquet(
+                    os.path.join(cfg.target_dir, "rejects")
+                )
 
         # F6: old-delete rejection against the batch's own clock
         now = batch.agg(F.max("ts").alias("now_ts"))

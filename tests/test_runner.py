@@ -145,3 +145,49 @@ def test_at_least_once_replay_absorbed_by_dedup(spark, tmp_path):
     # value-identical) — visits keys with any I/U event: 0,2,6,8
     # (key 4 only ever sees deletes in this fixture)
     assert latest.dropDuplicates(["key", "dateid"]).count() == 4
+
+
+def test_poison_rows_quarantined_not_fatal(spark, tmp_path):
+    """B3: rows violating schema invariants divert to the reject table
+    (with a reason) and the rest of the batch applies normally."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark, n=50)
+    poison = spark.createDataFrame(
+        [
+            ("X", "visits", 7, 1000, 20, T0, 1.0, "e"),          # unknown op
+            ("I", "visits", None, 1001, 20, T0, 1.0, "e"),       # null key
+            ("I", "visits", 8, None, 20, T0, 1.0, "e"),          # null position
+        ],
+        SCHEMA,
+    )
+    r = runner.run_once(cl.unionByName(poison))
+    assert r.rows_quarantined == 3
+    assert r.rows_applied > 0
+    rej = spark.read.parquet(str(tmp_path / "wh" / "rejects"))
+    reasons = {row["reject_reason"] for row in rej.collect()}
+    assert reasons == {"unknown_op", "null_key:key", "null_position"}
+
+
+def test_degraded_mode_shrinks_budget(tmp_path):
+    cfg = RunConfig(target_dir=str(tmp_path), batch_row_budget=1_000_000, degraded=True)
+    assert cfg.effective_row_budget() == 1010  # reference: size // 1000 + 10
+    cfg2 = RunConfig(target_dir=str(tmp_path), batch_row_budget=1_000_000)
+    assert cfg2.effective_row_budget() == 1_000_000
+
+
+def test_run_report_formatting_and_redaction(spark, runner):
+    from mysql2clickhouse_spark.report import (
+        format_run_report,
+        redact_secrets,
+        should_notify,
+    )
+
+    r = runner.run_once(mk_changelog(spark, n=20))
+    txt = format_run_report(r)
+    assert "SUCCESS" in txt and "rows applied" in txt
+    err = format_run_report(r, error="connect failed: password=hunter2 token: abc123")
+    assert "hunter2" not in err and "abc123" not in err and "ERROR" in err
+    assert redact_secrets('api_key="sk-999"') == 'api_key="***"'
+    assert should_notify(False, 0.0)
+    assert not should_notify(True, 1.0)
+    assert should_notify(True, 5.0)
