@@ -1,0 +1,62 @@
+"""Physical-plan regression tests — the 100 TB contract.
+
+Correctness says what a query returns; these say how it runs. Each
+assertion pins a plan property that matters at scale and that a
+refactor could silently lose: dimension broadcasts, filter pushdown
+into the parquet scan, single-shuffle window dedup, top-k without a
+global sort, and a Python-free hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2clickhouse_spark.plans import all_queries
+
+
+def plan_of(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_q10_broadcasts_every_dimension(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["q10_regional_revenue"](spark, sf_dir))
+    # customer, nation, region are hinted broadcast; at test SF orders
+    # broadcasts too — at minimum the three hinted dims must be there
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_filters_push_into_scan(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["cdc_filters"](spark, sf_dir))
+    # F5 position bounds must reach the parquet reader as native filters
+    assert "GreaterThan(event_id,100)" in plan
+    assert "LessThanOrEqual(event_id,9000)" in plan
+
+
+def test_latest_window_is_single_shuffle(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["q1_latest_window"](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1  # one hash-partition for the window
+
+
+def test_text_stats_stays_jvm_side_no_shuffle(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["text_stats"](spark, sf_dir))
+    assert "Exchange" not in plan  # pure per-row projection over the scan
+    assert "Python" not in plan    # no UDF on the 100 TB hot path
+
+
+def test_retention_probe_is_takeordered_not_global_sort(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["q4_retention_probe"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort of the table
+
+
+def test_argmax_checkpoint_broadcasts_the_one_row_agg(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["q7_argmax_checkpoint"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
