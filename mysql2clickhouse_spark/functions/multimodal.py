@@ -72,3 +72,65 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=MEDIA_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, modality string, content binary, out_w int, out_h int"
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize (would be
+    ``PIL.Image.resize`` in production): truncate/cycle the bytes to the
+    target 'pixel count' so output sizes are exact and verifiable."""
+    target = w * h
+    if not payload:
+        return b"\x00" * target
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_media(media: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
+    """Resize transform over the binary column — 1:1 Arrow-batched
+    ``mapInPandas``; the payload column stays binary end-to-end (no
+    base64 round-trips), and partitioning is preserved."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "content": pdf["content"].map(lambda p: _resize_stub(p, w, h)),
+                    "out_w": w,
+                    "out_h": h,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+FRAME_BYTES = 256  # stub 'frame' size
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling (video-style 1→N fan-out) via ``mapInPandas``:
+    each payload splits into fixed-size chunks ('frames'); every Nth is
+    emitted as its own row. Demonstrates the expanding batch shape —
+    the output iterator yields MORE rows than the input batch, which
+    ``mapInPandas`` supports natively (unlike scalar pandas_udf).
+
+    In production the chunker is an ffmpeg keyframe iterator; the Spark
+    contract (schema, fan-out, bounded Arrow batches) is identical."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                n_frames = max(1, len(payload) // FRAME_BYTES)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": blobs})
+
+    return media.mapInPandas(frames, schema=FRAMES_SCHEMA)

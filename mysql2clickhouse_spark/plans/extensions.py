@@ -26,7 +26,11 @@ from ..functions.minhash import (
     with_shingles,
     with_simhash,
 )
-from ..functions.multimodal import attach_binary_payload, extract_media_features
+from ..functions.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+    sample_frames,
+)
 from ..functions.similarity import (
     cosine_sim_col,
     cosine_topk,
@@ -283,6 +287,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (video-style 1→N) over the binary payload
+    via ``mapInPandas``. Frame count per doc = ceil-ish chunk math on
+    byte length — oracle-checked on (doc_id, n_frames, total_bytes);
+    the raw frame bytes stay Spark-side."""
+    media = attach_binary_payload(_docs(spark, sf_dir), "text")
+    return (
+        sample_frames(media, every_n=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("frame_bytes"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -290,6 +310,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "multimodal_frames": multimodal_frames,
     "text_stats": text_stats,
     "text_lang_profile": text_lang_profile,
     "ann_cosine_topk": ann_cosine_topk,
@@ -399,6 +420,18 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 AS BIGINT) AS frame_w,
        CAST(octet_length(encode(text)) % 480 AS BIGINT) AS frame_h
 FROM documents
+""",
+    # frame chunking: payload = utf8(text); 256-byte chunks, every 4th
+    # sampled; chunks are full except the single short chunk of a
+    # sub-256-byte payload — so sampled count = ceil((L div 256)/4)
+    "multimodal_frames": """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+SELECT doc_id,
+       CASE WHEN L // 256 < 1 THEN CAST(1 AS BIGINT)
+            ELSE (L // 256 + 3) // 4 END AS n_frames,
+       CASE WHEN L // 256 < 1 THEN CAST(L AS BIGINT)
+            ELSE ((L // 256 + 3) // 4) * 256 END AS frame_bytes
+FROM m
 """,
     "dedup_embedding_cosine": f"""
 WITH e AS (

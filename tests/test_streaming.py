@@ -49,3 +49,95 @@ def test_streaming_available_now(spark, tmp_path):
     run_streaming_replication(spark, cl_dir, wh, SCHEMA, available_now=True)
     visits2 = spark.read.parquet(f"{wh}/tables/visits")
     assert visits2.filter(F.col("key") == 3).count() == 1
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    from mysql2clickhouse_spark.streaming.windows import windowed_event_counts
+
+    # one file per micro-batch: append-mode windows emit in the batch
+    # AFTER the watermark (computed at the previous batch's end) passes
+    # their end, so finalization needs subsequent batches to observe it
+    cl_dir = str(tmp_path / "cl")
+    files = [
+        [0, 30],      # B1: watermark after = 30m - 30m = 0
+        [60, 90],     # B2: wm after = 60m
+        [120, 150],   # B3: wm after = 120m -> finalizes hours 0 and 1
+        [180],        # B4: emits windows [0,1h) and [1h,2h)
+    ]
+    for i, minutes in enumerate(files):
+        rows = [
+            ("I", "visits", 1, m, i, T0 + dt.timedelta(minutes=m), 1.0, "e")
+            for m in minutes
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(cl_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(cl_dir)
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.win_start, r.cnt) for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert (T0, 2) in got and (T0 + dt.timedelta(hours=1), 2) in got
+    # the 2h window is not finalized yet — held back by the watermark
+    assert all(ws < T0 + dt.timedelta(hours=2) for ws, _ in got)
+
+    # same plan runs as a plain batch query (no watermark semantics)
+    batch = windowed_event_counts(spark.read.parquet(cl_dir))
+    assert batch.count() == 4
+
+
+def test_stateful_latest_state_across_batches(spark, tmp_path):
+    from mysql2clickhouse_spark.streaming.windows import stateful_latest_state
+
+    cl_dir = str(tmp_path / "cl2")
+    spark.createDataFrame(
+        [
+            ("I", "visits", 1, 1, 0, T0, 1.0, "e"),
+            ("U", "visits", 1, 2, 0, T0, 5.0, "e"),
+            ("I", "visits", 2, 3, 0, T0, 2.0, "e"),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(cl_dir)
+
+    emitted: list = []
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(SCHEMA).parquet(cl_dir)
+        q = (
+            stateful_latest_state(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = {r.key: (r.seq, r.value, r.deleted) for r in emitted}
+    assert got[1] == (2, 5.0, "") and got[2] == (3, 2.0, "")
+
+    # a later batch: key 2 deleted, key 1 late lower-seq update ignored
+    spark.createDataFrame(
+        [
+            ("D", "visits", 2, 4, 1, T0, 0.0, "e"),
+            ("U", "visits", 1, 1, 1, T0, 9.0, "e"),  # stale seq — must lose
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(cl_dir)
+    emitted.clear()
+    run()
+    got2 = {r.key: (r.seq, r.value, r.deleted) for r in emitted}
+    assert got2[2] == (4, 0.0, "D")   # delete is terminal, flagged
+    assert got2[1] == (2, 5.0, "")    # stale update lost — state kept seq 2
