@@ -33,7 +33,12 @@ def get_spark(app_name: str = "mysql2clickhouse-spark") -> SparkSession:
         # the driver's events.parquet stores TIMESTAMP(NANOS); Spark reads
         # them as long (we convert to micros in sources.tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: executors share the driver JVM, so the driver heap
+        # IS the cluster memory — size it for 32 concurrent task threads
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if warehouse:  # static conf: only honored at session creation
+        builder = builder.config("spark.sql.warehouse.dir", warehouse)
     return builder.getOrCreate()
