@@ -57,6 +57,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).agg(
         F.count(F.lit(1))
     ).collect()
+    # spawn the Python/Arrow worker pool once (pandas-UDF queries would
+    # otherwise each pay ~1-2 s of per-core worker startup)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10_000).repartition(64).select(_warm(F.col("id"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     queries = all_queries()
     times: dict[str, float] = {}

@@ -203,7 +203,11 @@ def verified_near_dups(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", bits: int = 64, id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    id_col: str = "doc_id",
+    attach: bool = True,
 ) -> DataFrame:
     """SimHash: xxhash64 per token; per bit position, the ±1 vote sum's
     sign; the sign vector packs into a hex string. Hamming-close docs
@@ -240,6 +244,10 @@ def with_simhash(
         F.col(id_col),
         F.format_string("%08x%08x", hi.cast("bigint"), lo.cast("bigint")).alias("simhash"),
     )
+    if not attach:
+        # (id, simhash) only — skips joining the (possibly huge) source
+        # columns back on when the caller just wants fingerprints
+        return sig
     return df.join(sig, id_col, "left")
 
 

@@ -121,7 +121,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (hex). Rows-only driver check (xxhash64-
     dependent); hamming-locality is pytest-asserted on planted pairs."""
-    return with_simhash(_docs_with_mutants(spark, sf_dir), "text").select("doc_id", "simhash")
+    return with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,8 +132,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard-family ops catch the rest. Rows-only driver check
     (xxhash64-dependent); brute-force equality is pytest-asserted."""
     sh = (
-        with_simhash(_docs_with_mutants(spark, sf_dir), "text")
-        .select("doc_id", "simhash")
+        with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False)
         .persist()  # referenced 3× in the pair DAG (explode + both sides)
     )
     return simhash_near_dups(sh, "doc_id").orderBy("id_a", "id_b")
@@ -147,7 +146,12 @@ def _emb_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate vectors the cosine dedup must recover (cosine = 1.0)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     mut = e.select((F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding")
-    return spread(e.unionByName(mut))
+    # quarter-parallelism spread: the per-row vector math is one BLAS
+    # GEMM per Arrow batch, so FAT batches win — 64 thin partitions of
+    # a small frame spend more on Python-worker round-trips than math
+    # (measured 3×). At cluster scale the input arrives wide already.
+    par = spark.sparkContext.defaultParallelism
+    return spread(e.unionByName(mut), min_partitions=max(4, par // 4))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
