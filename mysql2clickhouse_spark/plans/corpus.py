@@ -91,6 +91,19 @@ def q1_latest_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="rank").select(*VCOLS)
 
 
+def q1_latest_coarse_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's *surprising* second view semantics, reproduced
+    faithfully: ``view_matomo_log_link_visit_action`` groups by
+    ``idvisit`` — the COARSE visit key — not the row's own primary key
+    ``idlink_va`` (script_create_clickhouse_table.sql:561), while the
+    dedup-DELETE job keys on ``idlink_va`` (_settings.py:240-255). So
+    the view returns ONE row per visit (all rows tied on that visit's
+    max dateid), not one per action. Here: key = l_partkey (coarse),
+    version = dateid; ties kept, exactly like the GROUP-BY+JOIN form."""
+    v = _versioned(spark, sf_dir)
+    return latest_by_key(v, ["l_partkey"], "dateid", form="join").select(*VCOLS)
+
+
 # --- Q2/Q3: duplicate audit + windowed dedup ------------------------------
 
 def q2_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,6 +245,7 @@ def q12_ledger_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_latest_join": q1_latest_join,
     "q1_latest_window": q1_latest_window,
+    "q1_latest_coarse_key": q1_latest_coarse_key,
     "q2_duplicate_audit": q2_duplicate_audit,
     "q3_dedup_window": q3_dedup_window,
     "q4_retention_probe": q4_retention_probe,
@@ -255,6 +269,15 @@ LEFT JOIN v ON v.key = g.key AND v.dateid = g.dateid
 ORACLE = {
     "q1_latest_join": _Q1_SQL,
     "q1_latest_window": _Q1_SQL,
+    # coarse-key view: ties on max(dateid) per l_partkey are KEPT — the
+    # GROUP-BY+JOIN shape of the reference view, not row_number
+    "q1_latest_coarse_key": f"""
+WITH v AS ({VERSIONED_SQL})
+SELECT v.key AS key, v.dateid AS dateid, v.l_partkey, v.l_suppkey,
+       v.l_quantity, v.l_extendedprice, v.l_shipdate
+FROM (SELECT l_partkey, max(dateid) AS dateid FROM v GROUP BY l_partkey) g
+JOIN v ON v.l_partkey = g.l_partkey AND v.dateid = g.dateid
+""",
     "q2_duplicate_audit": f"""
 WITH v AS ({VERSIONED_SQL}),
 a AS (SELECT key, dateid FROM v WHERE l_shipdate >= TIMESTAMP '{WIN_START}'),
