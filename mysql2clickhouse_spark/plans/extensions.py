@@ -271,6 +271,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(c, q, dim=EMB_DIM, k=TOPK, n_planes=6)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the other canonical scale path): spherical-k-means
+    coarse quantizer over a bounded sample, corpus in inverted lists,
+    queries probe the nprobe nearest lists, exact rerank inside them.
+    Rows-only driver check (k-means init is seed-dependent); recall vs
+    brute force is pytest-asserted."""
+    from ..functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return ivf_topk(c, q, dim=EMB_DIM, k=TOPK, n_list=32, nprobe=8)
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm (sequential fold => engine-deterministic) +
     label, rounded at 4dp."""
@@ -320,6 +334,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_threshold": ann_cosine_threshold,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_norms": embedding_norms,
     "multimodal_features": multimodal_features,
 }

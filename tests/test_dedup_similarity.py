@@ -146,3 +146,41 @@ def test_bruteforce_topk_is_sorted_and_complete(spark, sf_dir):
         assert [p[0] for p in pairs] == list(range(1, 11))
         sims = [p[1] for p in pairs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from mysql2clickhouse_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(c, q, k=10)
+    approx = ivf_topk(c, q, dim=64, k=10, n_list=8, nprobe=3)
+    e = {(r.qid, r.cid) for r in exact.collect()}
+    a = {(r.qid, r.cid) for r in approx.collect()}
+    # probing 3/8 lists on random vectors: every hit must be a real
+    # corpus pair and overlap with the exact top-k must be substantial
+    assert len(a & e) >= 0.3 * len(e)
+    assert all(p[1] >= 5 for p in a)
+
+
+def test_ivf_lists_partition_the_corpus(spark, sf_dir):
+    from mysql2clickhouse_spark.functions.similarity import (
+        train_ivf_centroids,
+        with_ivf_lists,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, dim=64, n_list=8)
+    assert C.shape == (8, 64)
+    # unit-norm centroids (spherical k-means)
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    assigned = with_ivf_lists(emb, C, nprobe=1)
+    n = emb.count()
+    # nprobe=1: exactly one list per vector -> a true partition
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    n_lists_used = assigned.select("list_id").distinct().count()
+    assert 2 <= n_lists_used <= 8
