@@ -43,6 +43,7 @@ HEADLINE = [
     "text_stats",              # text feature pass
     "ann_cosine_topk",         # brute-force ANN baseline
     "ann_lsh_topk",            # bucketed ANN
+    "ann_ivf_topk",            # IVF-flat ANN (inverted-list scale path)
 ]
 
 
