@@ -176,9 +176,20 @@ def verified_near_dups(
 ) -> DataFrame:
     """Full MinHash+LSH dedup: hash shingles once → signatures → banded
     candidates → estimate-filter → exact Jaccard ≥ threshold.
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard).
+
+    ``base`` and ``sigs`` are persisted AND eagerly materialized
+    (count()) before the pair DAG is assembled: the candidate self-join
+    and the two verify joins consume each of them from 2-4 concurrent
+    stages, and a lazily-persisted frame gets recomputed by every branch
+    that starts before the first one finishes populating the cache
+    (measured 8.4 s → 2.9 s for the full pipeline at sf0.1). The two
+    counts are one cheap extra pass each; at cluster scale this is the
+    standard persist-then-materialize barrier for diamond-shaped DAGs."""
     base = with_hashed_shingles(shingled).select(id_col, "hset").persist()
+    base.count()
     sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
 
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
@@ -306,7 +317,11 @@ def simhash_near_dups(
             for i in range(n_blocks)
         ]
     )
-    base = sh.select(F.col(id_col), blk.alias("blk"))
+    # persist + eager count: ``base`` feeds 4 concurrent stages (both
+    # sides of the bucket self-join, both verify joins); lazy persist
+    # would recompute the upstream simhash aggregation per branch
+    base = sh.select(F.col(id_col), blk.alias("blk")).persist()
+    base.count()
     e = base.select(id_col, F.posexplode("blk").alias("b_idx", "b_val"))
     a = e.alias("a")
     b = e.alias("b")

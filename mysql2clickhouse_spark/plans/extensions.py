@@ -131,10 +131,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming p50 = 2 on this corpus, so a majority surface here; the
     jaccard-family ops catch the rest. Rows-only driver check
     (xxhash64-dependent); brute-force equality is pytest-asserted."""
-    sh = (
-        with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False)
-        .persist()  # referenced 3× in the pair DAG (explode + both sides)
-    )
+    sh = with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False)
+    # (no persist here: simhash_near_dups persists its block frame, the
+    # only consumer of ``sh`` — a second cache level would store an
+    # extra corpus copy for nothing)
     return simhash_near_dups(sh, "doc_id").orderBy("id_a", "id_b")
 
 
