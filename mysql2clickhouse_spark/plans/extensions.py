@@ -168,6 +168,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=8, n_tables=2).select(
         "vec_id", "tbl", "bucket"
     ).persist()  # self-joined: without this the Arrow UDF projection runs twice
+    # eager barrier (see verified_near_dups): materializing b also fills
+    # the emb cache; lazy persist lets the self-join's two concurrent
+    # stages each run the Arrow UDF before the cache populates
+    b.count()
     a_, b_ = b.alias("a"), b.alias("b")
     cands = (
         a_.join(
@@ -181,6 +185,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # normalize once per vector; the per-pair verify is then one dot fold
     unit = emb.select("vec_id", unit_vec_col(F.col("embedding")).alias("u")).persist()
+    unit.count()
     va = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
     vb = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     dot = F.aggregate(
