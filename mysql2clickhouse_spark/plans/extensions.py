@@ -92,7 +92,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature depends on Spark murmur3); pair-recall is pytest-asserted.
     """
     shingled = with_shingles(_docs_with_mutants(spark, sf_dir), "text", k=5)
-    return verified_near_dups(shingled, "doc_id", threshold=0.7).orderBy("id_a", "id_b")
+    pairs = verified_near_dups(shingled, "doc_id", threshold=0.7)
+    # single-partition sort: the pair set is tiny relative to the corpus
+    # (near-dup rate, not row count), and a global orderBy would run the
+    # verify join TWICE (the range partitioner's sampling job executes
+    # the child once before the real pass) — measured ~3× on the sort
+    return pairs.repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,8 +139,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False)
     # (no persist here: simhash_near_dups persists its block frame, the
     # only consumer of ``sh`` — a second cache level would store an
-    # extra corpus copy for nothing)
-    return simhash_near_dups(sh, "doc_id").orderBy("id_a", "id_b")
+    # extra corpus copy for nothing; single-partition sort: see
+    # dedup_minhash_lsh)
+    return (
+        simhash_near_dups(sh, "doc_id")
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )
 
 
 EMB_DUP_THRESHOLD = 0.95  # ambient max pairwise cosine is ~0.60 at sf0.1
