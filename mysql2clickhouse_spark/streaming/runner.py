@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import REGISTRY, TablePolicy
 from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_key
+from ..operators.dedup import dedup_in_window
 from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
 
 LEDGER_SCHEMA = (
@@ -245,3 +246,63 @@ class ReplicationRunner:
         )
         if not self.cfg.dry_run:
             entries.coalesce(1).write.mode("append").parquet(self.ledger_path)
+
+    # --- maintenance: partition-scoped dedup compaction (Q3/O12) -----------
+    def compact_table(
+        self,
+        tbl: str,
+        months: list[int],
+        keys: list[str] | None = None,
+        version_col: str = "dateid",
+    ) -> dict:
+        """End-of-run dedup compaction, the write side of O12: inside the
+        given ``yyyymm`` partitions keep only the latest version per key;
+        every other partition is untouched BYTES — neither read nor
+        rewritten.
+
+        The reference runs this hourly as ``ALTER TABLE ... DELETE WHERE
+        <date window> AND dateid IN (<superseded subquery>)`` with the
+        window bounded to 14→0 days precisely so the mutation never scans
+        the whole table (_settings.py:230-287,258,286; gate
+        matomo2clickhouse.py:756-766). Here the window is the partition
+        list: the read is partition-pruned (``yyyymm IN (...)`` lands in
+        PartitionFilters, so out-of-window files are never opened), the
+        deduped result is staged, and only the affected partition
+        directories are swapped in — the object-store-safe equivalent of
+        dynamic partition overwrite, same commit pattern as the mutate
+        path. ``months`` are ints because parquet partition-type
+        inference reads ``yyyymm=202403`` back as an integer column.
+
+        Returns ``{"partitions", "rows_before", "rows_removed"}``.
+        """
+        policy = REGISTRY.get(tbl, REGISTRY["events_state"])
+        if policy.apply_mode == "mutate":
+            # mutate tables hold latest-state only — nothing to compact
+            return {"partitions": [], "rows_before": 0, "rows_removed": 0}
+        path = self.table_path(tbl)
+        in_win = self.spark.read.parquet(path).filter(F.col("yyyymm").isin(months))
+        # key override for fixture-shaped tables whose stored business key
+        # differs from the matomo-shaped registry entry
+        deduped = dedup_in_window(in_win, keys or policy.key_cols, version_col=version_col)
+        n_before = in_win.count()
+        n_after = deduped.count()
+        stats = {
+            "partitions": sorted(months),
+            "rows_before": n_before,
+            "rows_removed": n_before - n_after,
+        }
+        if self.cfg.dry_run:
+            return stats
+        staging = path + "__compact"
+        deduped.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
+        import shutil
+
+        for m in months:
+            src = os.path.join(staging, f"yyyymm={m}")
+            dst = os.path.join(path, f"yyyymm={m}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        return stats

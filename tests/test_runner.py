@@ -191,3 +191,90 @@ def test_run_report_formatting_and_redaction(spark, runner):
     assert should_notify(False, 0.0)
     assert not should_notify(True, 1.0)
     assert should_notify(True, 5.0)
+
+
+def _partition_manifest(path):
+    """(relpath, size, mtime_ns) of every data file under a partition dir."""
+    import os
+
+    out = []
+    for root, _, names in os.walk(path):
+        for n in sorted(names):
+            p = os.path.join(root, n)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
+def test_compact_table_rewrites_only_in_window_partitions(spark, runner):
+    """O12 write side: the dedup compaction job touches ONLY the listed
+    yyyymm partitions — out-of-window partition files stay byte- and
+    mtime-identical — and its read is partition-pruned."""
+    import os
+
+    # two months of versioned traffic: even i → 2024-03, odd i → 2024-04
+    rows = []
+    for i in range(120):
+        key = i % 6
+        ts = T0 + dt.timedelta(days=35 * (i % 2), minutes=i)
+        rows.append(("I" if i < 60 else "U", "visits", key, i, 0, ts, float(i), "e"))
+    cl = spark.createDataFrame(rows, SCHEMA)
+    runner.run_once(cl)
+
+    path = runner.table_path("visits")
+    before_mar = _partition_manifest(os.path.join(path, "yyyymm=202403"))
+    full_before = spark.read.parquet(path)
+    latest_before = {
+        (r["key"], r["value"])
+        for r in latest_by_key(full_before, ["key"], "dateid").collect()
+    }
+    dups_apr_before = (
+        full_before.filter(F.col("yyyymm") == 202404).groupBy("key")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dups_apr_before > 0  # superseded versions exist pre-compaction
+
+    # the pruned read must land in PartitionFilters, not a post-scan Filter
+    plan = (
+        spark.read.parquet(path).filter(F.col("yyyymm").isin([202404]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "yyyymm" in plan.split("PartitionFilters", 1)[1][:200]
+
+    stats = runner.compact_table("visits", [202404], keys=["key"])
+    assert stats["rows_removed"] > 0
+
+    # out-of-window partition: untouched bytes
+    assert _partition_manifest(os.path.join(path, "yyyymm=202403")) == before_mar
+
+    full_after = spark.read.parquet(path)
+    # in-window: exactly one version per key remains
+    apr = full_after.filter(F.col("yyyymm") == 202404)
+    assert apr.groupBy("key").count().filter(F.col("count") > 1).count() == 0
+    # out-of-window: superseded versions still there (not compacted)
+    mar = full_after.filter(F.col("yyyymm") == 202403)
+    assert mar.groupBy("key").count().filter(F.col("count") > 1).count() > 0
+    # latest-per-key view is value-preserving across the compaction
+    latest_after = {
+        (r["key"], r["value"])
+        for r in latest_by_key(full_after, ["key"], "dateid").collect()
+    }
+    assert latest_after == latest_before
+
+
+def test_compact_table_dry_run_and_mutate_noop(spark, tmp_path):
+    import os
+
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark, n=100)
+    runner.run_once(cl)
+    path = runner.table_path("visits")
+    manifest = _partition_manifest(path)
+
+    dry = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh"), dry_run=True))
+    stats = dry.compact_table("visits", [202403], keys=["key"])
+    assert stats["rows_before"] > 0 and stats["rows_removed"] > 0
+    assert _partition_manifest(path) == manifest  # dry run wrote nothing
+
+    # mutate-mode tables hold latest-state only — compaction is a no-op
+    assert runner.compact_table("events_state", [202403])["rows_before"] == 0
