@@ -247,6 +247,52 @@ class ReplicationRunner:
         if not self.cfg.dry_run:
             entries.coalesce(1).write.mode("append").parquet(self.ledger_path)
 
+    # --- a full cron session: loop under a wall-clock budget, then
+    # --- end-of-run maintenance (entry points A + C) -----------------------
+    def run_session(
+        self,
+        changelog: DataFrame,
+        max_minutes: float = 50.0,
+        grace_minutes: float = 3.0,
+        compact_months: list[int] | None = None,
+        compact_tables: dict[str, list[str]] | None = None,
+    ) -> list[RunReport]:
+        """One cron invocation of the reference end-to-end: repeated
+        micro-batches under a wall-clock budget, then gated maintenance.
+
+        - B4 time cap: the reference stops its event loop after
+          ``replication_max_minutes`` minus a 3-minute grace
+          (matomo2clickhouse.py:187-193,688-722; _settings.py:82-84).
+          Here each ``run_once`` is one bounded micro-batch; the loop
+          stops at EOF (a run that applies/quarantines nothing) or when
+          the next batch would start past the deadline.
+        - Entry point C: end-of-run dedup compaction runs ONLY when
+          ``max_minutes > 10`` (matomo2clickhouse.py:756; README.md:327)
+          — short/test runs skip maintenance, exactly like the reference.
+          ``compact_tables`` maps table -> key cols (defaults to every
+          insert_as_update table's policy keys); ``compact_months`` is
+          the O12 window (reference: 14->0 days ≈ current month).
+        """
+        import time as _time
+
+        deadline = _time.monotonic() + 60.0 * max(0.0, max_minutes - grace_minutes)
+        reports: list[RunReport] = []
+        while _time.monotonic() < deadline:
+            r = self.run_once(changelog)
+            reports.append(r)
+            if r.rows_applied == 0 and r.rows_quarantined == 0:
+                break  # EOF — caught up with the changelog
+        if max_minutes > 10 and compact_months:
+            targets = compact_tables or {
+                name: None
+                for name, pol in REGISTRY.items()
+                if pol.apply_mode == "insert_as_update"
+                and os.path.exists(self.table_path(name))
+            }
+            for tbl, keys in targets.items():
+                self.compact_table(tbl, compact_months, keys=keys)
+        return reports
+
     # --- maintenance: partition-scoped dedup compaction (Q3/O12) -----------
     def compact_table(
         self,

@@ -278,3 +278,42 @@ def test_compact_table_dry_run_and_mutate_noop(spark, tmp_path):
 
     # mutate-mode tables hold latest-state only — compaction is a no-op
     assert runner.compact_table("events_state", [202403])["rows_before"] == 0
+
+
+def test_run_session_budget_loop_and_gated_maintenance(spark, tmp_path):
+    """Entry points A+C: the session loops micro-batches until EOF under
+    the wall-clock budget; end-of-run compaction runs ONLY when
+    max_minutes > 10 (the reference's gate, matomo2clickhouse.py:756)."""
+    import os
+
+    runner = ReplicationRunner(
+        spark,
+        RunConfig(target_dir=str(tmp_path / "wh"), batch_row_budget=60),
+    )
+    cl = mk_changelog(spark, n=200, files=4)
+
+    # short run (<= 10 min): catches up in multiple bounded batches but
+    # must NOT compact
+    reports = runner.run_session(
+        cl, max_minutes=5, compact_months=[202403], compact_tables={"visits": ["key"]}
+    )
+    assert runner.resume_seq() == 199
+    assert len(reports) >= 4  # 200 rows / 60-row budget + the EOF probe
+    assert reports[-1].rows_applied == 0
+    path = runner.table_path("visits")
+    manifest_short = _partition_manifest(path)
+    dups = (
+        spark.read.parquet(path).groupBy("key").count().filter(F.col("count") > 1).count()
+    )
+    assert dups > 0  # superseded versions still present — gate held
+
+    # long run (> 10 min): already at EOF, so one empty batch, then the
+    # maintenance gate opens and compaction rewrites the window
+    runner.run_session(
+        cl, max_minutes=50, compact_months=[202403], compact_tables={"visits": ["key"]}
+    )
+    assert _partition_manifest(path) != manifest_short
+    dups_after = (
+        spark.read.parquet(path).groupBy("key").count().filter(F.col("count") > 1).count()
+    )
+    assert dups_after == 0
