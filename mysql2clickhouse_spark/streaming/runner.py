@@ -278,10 +278,15 @@ class ReplicationRunner:
         deadline = _time.monotonic() + 60.0 * max(0.0, max_minutes - grace_minutes)
         reports: list[RunReport] = []
         while _time.monotonic() < deadline:
+            before = self.resume_seq()
             r = self.run_once(changelog)
             reports.append(r)
-            if r.rows_applied == 0 and r.rows_quarantined == 0:
-                break  # EOF — caught up with the changelog
+            # EOF = the resume point didn't advance. (Not "applied ==
+            # 0": unfixed poison rows are re-quarantined EVERY run, like
+            # the reference's poison statements — they must not keep the
+            # session spinning until the deadline.)
+            if self.resume_seq() == before:
+                break
         if max_minutes > 10 and compact_months:
             targets = compact_tables or {
                 name: None

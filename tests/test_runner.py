@@ -317,3 +317,17 @@ def test_run_session_budget_loop_and_gated_maintenance(spark, tmp_path):
         spark.read.parquet(path).groupBy("key").count().filter(F.col("count") > 1).count()
     )
     assert dups_after == 0
+
+
+def test_run_session_poison_does_not_spin(spark, tmp_path):
+    """Unfixed poison rows are re-quarantined every run (like the
+    reference's poison statements); the session loop must still
+    terminate at EOF instead of spinning until the deadline."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark, n=40)
+    poison = spark.createDataFrame([("X", "visits", 7, 1000, 20, T0, 1.0, "e")], SCHEMA)
+    reports = runner.run_session(cl.unionByName(poison), max_minutes=5)
+    assert len(reports) <= 3  # catch-up batch(es) + one no-progress probe
+    # the poison row is diverted pre-slice; the good stream is applied
+    assert runner.resume_seq() == 39
+    assert reports[0].rows_quarantined == 1  # surfaced while progressing
