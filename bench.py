@@ -25,7 +25,7 @@ from mysql2clickhouse_spark.plans import all_queries  # noqa: E402
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
 #: headline set — one per operator family (SURVEY §2); the rest of the
-#: 32-query corpus is covered by the driver's correctness run
+#: 38-query corpus is covered by the driver's correctness run
 HEADLINE = [
     "q1_latest_window",        # Q1 dedup view (window form)
     "q1_latest_join",          # Q1 faithful groupBy+join form
