@@ -419,7 +419,7 @@ SELECT lang,
             WHEN contains(' ' || text || ' ', ' que ') THEN 'es'
             ELSE 'unk' END AS lang_guess,
        count(*) AS n_docs,
-       SUM(CAST({_TOKENS_SQL} AS BIGINT)) AS total_tokens
+       CAST(SUM(CAST({_TOKENS_SQL} AS BIGINT)) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1, 2
 """,
     "ann_cosine_topk": f"""
