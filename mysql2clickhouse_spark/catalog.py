@@ -37,6 +37,12 @@ class TablePolicy:
     partition_col: str | None = None    # monthly yyyymm partition driver
     not_delete_old_col: str | None = None  # date col for the 31-day delete guard
     has_dateid: bool = False            # carries the version column
+    # P11 schema rename: the reference rewrites the source db name to
+    # ``CH_matomo_dbname`` in every emitted statement
+    # (binlog2sql_util.py:44-49, applied at 9 call sites). Here the
+    # rename is a target namespace the runner places the table under —
+    # None keeps the table directly in ``tables/``.
+    target_namespace: str | None = None
 
 
 # Fixture-shaped registry (FIXTURES.md F2-F6), mirroring the reference's
@@ -85,6 +91,20 @@ REGISTRY: dict[str, TablePolicy] = {
         not_delete_old_col="ts",
     ),
 }
+
+
+# Fallback policy for tables that reach the runner without a registry
+# entry. Append-mode on purpose: an unregistered fact-sized table must
+# never take the mutate path's read-modify-rewrite (the reference simply
+# doesn't replicate unconfigured tables at all — only_tables,
+# matomo2clickhouse.py:493 — so any apply here is already best-effort;
+# append is the mode that cannot lose or rewrite existing data).
+DEFAULT_POLICY = TablePolicy(
+    name="__default__",
+    key_cols=("key",),
+    order_cols=("key", "seq"),
+    apply_mode="append",
+)
 
 
 def replicated_tables() -> tuple[str, ...]:

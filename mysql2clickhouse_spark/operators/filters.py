@@ -91,6 +91,7 @@ def split_poison(
     seq_col: str = "seq",
     op_col: str = "op",
     valid_ops: Iterable[str] = ("I", "U", "D"),
+    table_col: str | None = "table_name",
 ) -> tuple[DataFrame, DataFrame]:
     """B3/O8 — poison-record quarantine.
 
@@ -105,11 +106,21 @@ def split_poison(
     Returns ``(valid, rejected-with-reason)``. The reason column makes
     the reject table the operator-facing diagnosis the reference surfaces
     through DEBUG logs (``dv_sql_for_execute_last``).
+
+    A NULL ``table_col`` (when the column exists) is poison too: such a
+    row can't be routed to any table policy, so without this check it
+    would be consumed into the ledger yet applied nowhere — a silent
+    drop. Pass ``table_col=None`` for table-less frames.
     """
     keys = list(key_cols)
     reason = (
         F.when(F.col(seq_col).isNull(), F.lit("null_position"))
         .when(~F.col(op_col).isin(list(valid_ops)), F.lit("unknown_op"))
+    )
+    if table_col is not None and table_col in df.columns:
+        reason = reason.when(F.col(table_col).isNull(), F.lit("null_table_name"))
+    reason = (
+        reason
         .otherwise(
             F.coalesce(
                 *[F.when(F.col(k).isNull(), F.lit(f"null_key:{k}")) for k in keys],

@@ -6,13 +6,23 @@ One ``run_once`` call = one cron run of the reference:
 1. resume from the ledger (argmax dateid → last applied position,
    matomo2clickhouse.py:786-812, S6);
 2. slice the changelog: position > resume point, clamped by the run
-   budgets (row cap B4 / file cap S2/O3);
-3. route per table policy (catalog.REGISTRY) and apply:
+   budgets (row cap B4 / file cap S2/O3). The row budget is a
+   DISTRIBUTED seq cutoff (file-boundary accumulation + an exact
+   quantile inside the one straddling file) — never a global
+   sort/TakeOrdered over the batch;
+3. route per table policy (catalog.REGISTRY; unregistered tables take
+   the append-mode DEFAULT_POLICY so they can never trigger a state
+   rewrite) and apply:
    - ``insert_as_update`` tables: versioned APPEND (P5/P6) — the hot
      path; pure columnar append partitioned by yyyymm (O11);
-   - ``mutate`` tables: two-phase fold of the batch into stored state
-     (appends first, then mutations — the write-ordering barrier
-     B2/O6), with the F6 old-delete guard;
+   - ``mutate`` tables: fold the batch into stored state scoped to the
+     ``yyyymm`` partitions that contain matched keys — untouched
+     partitions stay untouched BYTES (appends-then-mutations ordering
+     B2/O6 holds because the fold takes the last event per key);
+   - the F6 old-delete guard applies ONLY to tables whose policy sets
+     ``not_delete_old_col``, using that table's date column — the
+     reference scopes the guard to CONST_TBL_NOT_DELETE_OLD the same
+     way (matomo2clickhouse.py:583-606, _settings.py:132-138);
 4. write one ledger row per (table, file) slice (S5) AFTER the data
    writes — reproducing the reference's at-least-once contract
    (doc_old_duplicates.md:6-10): a crash between data and ledger
@@ -20,20 +30,23 @@ One ``run_once`` call = one cron run of the reference:
 5. ``dry_run=True`` plans and counts everything but writes nothing
    (S9, _settings.py:53-55).
 
-Scale notes: every apply is a bounded-batch DataFrame op; the only
-unbounded input (stored mutate-state) participates via one
-broadcast-able anti-join per table. Appends never read existing data.
+Scale notes: every apply is a bounded-batch DataFrame op; the stored
+mutate-state participates via one column-pruned semi-join (to find the
+affected partitions) plus a partition-pruned re-fold of only those
+partitions. Appends never read existing data.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import REGISTRY, TablePolicy
+from ..catalog import DEFAULT_POLICY, REGISTRY, TablePolicy
 from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_key
 from ..operators.dedup import dedup_in_window
 from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
@@ -75,6 +88,20 @@ class RunReport:
     dry_run: bool = False
 
 
+def _missing_path(err: AnalysisException) -> bool:
+    """True only for 'nothing readable at this path' analysis errors —
+    a first run. Genuine I/O / corruption errors must propagate.
+    UNABLE_TO_INFER_SCHEMA is how a missing dir surfaces when the read
+    happens inside a streaming ``foreachBatch`` (the FileStreamSink
+    metadata probe swallows the plain not-found)."""
+    msg = str(err)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+    )
+
+
 class ReplicationRunner:
     def __init__(self, spark: SparkSession, config: RunConfig):
         self.spark = spark
@@ -82,6 +109,15 @@ class ReplicationRunner:
 
     # --- storage paths -----------------------------------------------------
     def table_path(self, name: str) -> str:
+        """Target location of a replicated table, including the P11
+        schema-rename: the reference rewrites every emitted statement's
+        source db to ``CH_matomo_dbname`` (binlog2sql_util.py:44-49);
+        here the policy's ``target_namespace`` plays that role as a
+        directory level under ``tables/``."""
+        policy = REGISTRY.get(name)
+        ns = getattr(policy, "target_namespace", None) if policy else None
+        if ns:
+            return os.path.join(self.cfg.target_dir, "tables", ns, name)
         return os.path.join(self.cfg.target_dir, "tables", name)
 
     @property
@@ -90,10 +126,18 @@ class ReplicationRunner:
 
     # --- ledger ------------------------------------------------------------
     def read_ledger(self) -> DataFrame:
+        """Missing ledger (first run) => empty frame. Anything else —
+        corruption, I/O, permission — PROPAGATES: silently returning an
+        empty ledger would reset the resume point to None and replay the
+        whole changelog with no operator signal (the dedup-at-read
+        contract absorbs the duplicates, but the full-history re-fold is
+        real work and real writes)."""
         try:
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.ledger_path)
-        except Exception:
-            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        except AnalysisException as e:
+            if _missing_path(e):
+                return self.spark.createDataFrame([], LEDGER_SCHEMA)
+            raise
 
     def resume_seq(self) -> int | None:
         """S6/Q7 — argmax checkpoint lookup: resume after max applied
@@ -107,20 +151,100 @@ class ReplicationRunner:
         )
         return row[0]["log_pos_end"] if row else None
 
+    # --- helpers -----------------------------------------------------------
+    @staticmethod
+    def _poison_key_cols(changelog: DataFrame) -> list[str]:
+        """Key columns to null-check in split_poison, derived from the
+        changelog contract: the generic adapter carries the business key
+        as ``key``; matomo-shaped frames carry their policy's key
+        columns. The union of registry key names restricted to columns
+        actually present resolves both shapes."""
+        candidates = {"key"}
+        for pol in REGISTRY.values():
+            candidates.update(pol.key_cols)
+        return [c for c in changelog.columns if c in candidates]
+
+    @staticmethod
+    def _resolve_cols(policy: TablePolicy, df: DataFrame) -> list[str]:
+        """Policy key columns resolved against the frame: matomo-shaped
+        policies (idvisit, idlink_va, ...) name source columns that the
+        generic changelog contract folds into ``key``."""
+        present = [c for c in policy.key_cols if c in df.columns]
+        if present:
+            return present
+        if "key" in df.columns:
+            return ["key"]
+        raise ValueError(
+            f"table {policy.name}: none of {policy.key_cols} nor 'key' in {df.columns}"
+        )
+
+    def _budget_cutoff(self, batch: DataFrame, budget: int) -> int | None:
+        """B4 — the row budget as a distributed seq cutoff.
+
+        The reference stops its loop after ``replication_batch_size``
+        rows (matomo2clickhouse.py:679-702). A naive
+        ``orderBy(seq).limit(budget)`` compiles to TakeOrderedAndProject
+        — a budget-sized merge in ONE task, the slowest task of every
+        micro-batch at scale. Instead:
+
+        1. per-file row counts (≤ max_files rows — control plane) pick
+           the longest file prefix within budget;
+        2. if one file straddles the boundary, an exact quantile on that
+           single file's ``seq`` refines the cut — bounded by the file's
+           row count (changelog files are size-bounded), not the batch.
+
+        The cutoff is data-derived, so replays slice identically. The
+        resulting slice plan is a pure pushed-down filter.
+        """
+        stats = (
+            batch.groupBy("file_seq")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("seq").alias("max_seq"))
+            .orderBy("file_seq")
+            .collect()
+        )
+        cum, hi = 0, None
+        for r in stats:
+            if cum + r["n"] <= budget:
+                cum += r["n"]
+                hi = r["max_seq"]
+                continue
+            remaining = budget - cum
+            if remaining > 0:
+                frac = min(1.0, remaining / r["n"])
+                # relativeError=0 => exact rank; cost bounded by ONE file
+                cut = (
+                    batch.filter(F.col("file_seq") == r["file_seq"])
+                    .select("seq")
+                    .approxQuantile("seq", [frac], 0.0)
+                )
+                if cut:
+                    hi = int(cut[0]) if hi is None else max(hi, int(cut[0]))
+            break
+        return hi
+
     # --- one run -----------------------------------------------------------
     def run_once(self, changelog: DataFrame) -> RunReport:
         cfg = self.cfg
         start_seq = self.resume_seq()
+        report = RunReport(start_seq, start_seq, dry_run=cfg.dry_run)
 
         # B3: quarantine BEFORE position slicing — a null-position row
         # can never be attributed to the stream order, so it would
         # otherwise vanish silently in the seq-bounded budget slice.
         # (Like the reference's poison statements, an unfixed bad row
-        # re-surfaces every run until the operator clears it.)
+        # re-surfaces every run until the operator clears it — which is
+        # why the accounting happens before the empty-batch early
+        # return: a backlog of pure poison must still show up in the
+        # report and the rejects table.)
         if cfg.quarantine:
-            ok, poisoned = split_poison(changelog, ["key"])
+            ok, poisoned = split_poison(changelog, self._poison_key_cols(changelog))
+            report.rows_quarantined = poisoned.count()
+            if report.rows_quarantined and not cfg.dry_run:
+                poisoned.coalesce(1).write.mode("append").parquet(
+                    os.path.join(cfg.target_dir, "rejects")
+                )
         else:
-            ok, poisoned = changelog, None
+            ok = changelog
 
         batch = filter_pos_range(ok, start_seq, None)
 
@@ -131,46 +255,26 @@ class ReplicationRunner:
             .limit(cfg.max_files_per_run).collect()
         ]
         if not files:
-            return RunReport(start_seq, start_seq, dry_run=cfg.dry_run)
+            return report
         batch = batch.filter(F.col("file_seq").isin(files))
 
-        # B4: row budget — deterministic prefix of the remaining stream
-        # (seq-bounded rather than limit() so replays slice identically)
-        bounds = batch.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
-        hi = bounds["hi"]
-        budget = cfg.effective_row_budget()
-        if budget is not None and bounds["lo"] is not None:
-            capped = (
-                batch.orderBy("seq").limit(budget)
-                .agg(F.max("seq").alias("hi")).collect()[0]["hi"]
-            )
-            hi = capped
+        # B4: row budget — deterministic distributed cutoff
+        hi = self._budget_cutoff(batch, cfg.effective_row_budget())
+        if hi is not None:
             batch = batch.filter(F.col("seq") <= hi)
 
         batch = batch.cache()
-        report = RunReport(start_seq, hi, dry_run=cfg.dry_run)
+        report.end_seq = hi
 
-        if poisoned is not None:
-            report.rows_quarantined = poisoned.count()
-            if report.rows_quarantined and not cfg.dry_run:
-                poisoned.coalesce(1).write.mode("append").parquet(
-                    os.path.join(cfg.target_dir, "rejects")
-                )
+        # the batch's own clock, used by the per-table F6 guard
+        now_ts = batch.agg(F.max("ts")).collect()[0][0]
 
-        # F6: old-delete rejection against the batch's own clock
-        now = batch.agg(F.max("ts").alias("now_ts"))
-        with_now = batch.crossJoin(F.broadcast(now))
-        kept, rejected = split_old_deletes(
-            with_now, date_col="ts", now_col=F.col("now_ts"), days=cfg.old_delete_days
-        )
-        report.rows_rejected_old_delete = rejected.count()
-        kept = kept.drop("now_ts")
-
-        for tbl in [r["table_name"] for r in kept.select("table_name").distinct().collect()]:
-            policy = REGISTRY.get(tbl, REGISTRY["events_state"])
-            tslice = kept.filter(F.col("table_name") == tbl).drop("table_name")
-            report.tables[tbl] = self._apply_table(tbl, policy, tslice)
+        for tbl in [r["table_name"] for r in batch.select("table_name").distinct().collect()]:
+            policy = REGISTRY.get(tbl, DEFAULT_POLICY)
+            tslice = batch.filter(F.col("table_name") == tbl).drop("table_name")
+            report.tables[tbl] = self._apply_table(tbl, policy, tslice, now_ts)
             report.rows_applied += report.tables[tbl]["rows"]
+            report.rows_rejected_old_delete += report.tables[tbl]["rejected_old_deletes"]
 
         # ledger covers the FULL consumed slice (incl. F6-rejected rows —
         # they are consumed positions even though not applied), so the
@@ -179,12 +283,31 @@ class ReplicationRunner:
         batch.unpersist()
         return report
 
-    def _apply_table(self, tbl: str, policy: TablePolicy, tslice: DataFrame) -> dict:
+    def _apply_table(
+        self, tbl: str, policy: TablePolicy, tslice: DataFrame, now_ts
+    ) -> dict:
         cfg = self.cfg
+        stats = {"mode": policy.apply_mode, "rows": 0, "rejected_old_deletes": 0}
+
+        # F6: old-delete rejection, scoped to guarded tables only — the
+        # reference checks CONST_TBL_NOT_DELETE_OLD per table with that
+        # table's date column (matomo2clickhouse.py:583-606). Unguarded
+        # tables apply their DELETEs unconditionally.
+        if policy.not_delete_old_col:
+            date_col = (
+                policy.not_delete_old_col
+                if policy.not_delete_old_col in tslice.columns
+                else "ts"  # the generic changelog contract's event time
+            )
+            tslice, rejected = split_old_deletes(
+                tslice, date_col=date_col, now_col=F.lit(now_ts), days=cfg.old_delete_days
+            )
+            stats["rejected_old_deletes"] = rejected.count()
+
         if policy.apply_mode in ("append", "insert_as_update"):
             # hot path: versions append, partitioned monthly (O11); no
             # read of existing data, no shuffle beyond the write split
-            out = apply_insert_as_update(tslice, policy.key_cols)
+            out = apply_insert_as_update(tslice, self._resolve_cols(policy, tslice))
             out = out.withColumn("yyyymm", F.date_format("ts", "yyyyMM"))
             n = out.count()
             if not cfg.dry_run and n:
@@ -194,32 +317,157 @@ class ReplicationRunner:
                     .partitionBy("yyyymm")
                     .parquet(self.table_path(tbl))
                 )
-            return {"mode": policy.apply_mode, "rows": n}
+            stats["rows"] = n
+            return stats
 
-        # mutate mode: fold batch into stored state.
-        # Two-phase ordering (B2/O6) is inherent: the replay window takes
-        # the LAST event per key, so appends can't overtake mutations.
+        stats["rows"] = self._apply_mutate_table(tbl, policy, tslice)
+        return stats
+
+    def _apply_mutate_table(self, tbl: str, policy: TablePolicy, tslice: DataFrame) -> int:
+        """Mutate mode: fold the batch into stored state, touching ONLY
+        the ``yyyymm`` partitions that contain matched keys.
+
+        The reference's mutations hit single rows by full-row-image
+        WHERE (binlog2sql_util.py:294-341); a full-table rewrite per
+        batch would be its 100 TB scale-killer analog. Instead:
+
+        1. the batch's distinct keys (bounded by batch size) broadcast
+           into a column-pruned semi-join against stored state — a scan
+           of (key, yyyymm) only, no shuffle — to find partitions
+           holding prior versions of touched keys;
+        2. union with the partitions the batch itself lands in;
+        3. re-fold ONLY those partitions (partition-pruned read) with
+           the batch slice, stage, and swap the affected partition
+           directories — same commit pattern as ``compact_table``.
+           Untouched partitions are untouched bytes.
+
+        Tables without a date column (small dims — site, goal, ...) take
+        the unpartitioned full-rewrite path, which is bounded by the dim
+        size and stays broadcast-friendly.
+
+        The two-phase write-ordering barrier (B2/O6) is inherent: the
+        fold takes the LAST event per key, so appends can't overtake
+        mutations within the batch.
+        """
+        cfg = self.cfg
+        keys = self._resolve_cols(policy, tslice)
+        path = self.table_path(tbl)
+        part_src = (
+            policy.partition_col
+            if policy.partition_col and policy.partition_col in tslice.columns
+            else ("ts" if "ts" in tslice.columns else None)
+        )
+
+        if part_src is None:
+            # small-dim path: whole-table fold (bounded by dim size)
+            try:
+                current = self.spark.read.parquet(path)
+                base = current.withColumn("op", F.lit("I")).withColumn(
+                    "seq", F.lit(-1).cast("bigint")
+                )
+                merged = base.unionByName(tslice, allowMissingColumns=True)
+            except AnalysisException as e:
+                if not _missing_path(e):
+                    raise
+                merged = tslice
+            new_state = apply_mutate(merged, keys)
+            n = new_state.count()
+            if not cfg.dry_run:
+                staging = path + "__staging"
+                # an empty frame has 0 partitions => 0 part files => an
+                # unreadable store; force one schema-bearing empty file
+                (new_state if n else new_state.repartition(1)).write.mode(
+                    "overwrite"
+                ).parquet(staging)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(staging, path)
+            return n
+
+        slice_p = tslice.withColumn(
+            "yyyymm", F.date_format(part_src, "yyyyMM").cast("int")
+        )
         try:
-            current = self.spark.read.parquet(self.table_path(tbl))
-            base = current.withColumn("op", F.lit("I")).withColumn(
-                "seq", F.lit(-1).cast("bigint")
-            )
-            merged = base.unionByName(tslice, allowMissingColumns=True)
-        except Exception:
-            merged = tslice
-        new_state = apply_mutate(merged, policy.key_cols)
+            state = self.spark.read.parquet(path)
+        except AnalysisException as e:
+            if not _missing_path(e):
+                raise
+            state = None
+
+        if state is None:
+            new_state = apply_mutate(slice_p, keys)
+            n = new_state.count()
+            if not cfg.dry_run:
+                new_state.write.mode("overwrite").partitionBy("yyyymm").parquet(path)
+                self._ensure_readable(path, new_state)
+            return n
+
+        # 1. affected partitions: prior versions of touched keys ...
+        touched = slice_p.select(*keys).distinct()
+        prior_parts = (
+            state.select(*keys, "yyyymm")     # column-pruned scan
+            .join(F.broadcast(touched), on=keys, how="left_semi")
+            .select("yyyymm")
+            .distinct()
+            .collect()
+        )
+        # ... plus the partitions the batch itself lands in
+        slice_parts = slice_p.select("yyyymm").distinct().collect()
+        affected = sorted({r["yyyymm"] for r in prior_parts}
+                          | {r["yyyymm"] for r in slice_parts})
+
+        # 2-3. partition-pruned re-fold of only the affected partitions
+        base = (
+            state.filter(F.col("yyyymm").isin(affected))
+            .withColumn("op", F.lit("I"))
+            .withColumn("seq", F.lit(-1).cast("bigint"))
+        )
+        merged = base.unionByName(slice_p, allowMissingColumns=True)
+        new_state = apply_mutate(merged, keys)
         n = new_state.count()
         if not cfg.dry_run:
-            tmp = self.table_path(tbl) + "__staging"
-            new_state.write.mode("overwrite").parquet(tmp)
-            final = self.table_path(tbl)
-            # atomic-ish swap (HDFS/object stores: use a manifest commit)
-            import shutil
+            staging = path + "__staging"
+            new_state.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
+            if os.path.isdir(path) and not any(
+                d.startswith("yyyymm=") for d in os.listdir(path)
+            ):
+                # previous batch emptied the store (flat empty-marker
+                # layout) — clear it so partition dirs can move back in
+                shutil.rmtree(path)
+                os.makedirs(path)
+            self._swap_partitions(staging, path, affected)
+            self._ensure_readable(path, new_state)
+        return n
 
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.rename(tmp, final)
-        return {"mode": "mutate", "rows": n}
+    def _ensure_readable(self, path: str, typed_frame: DataFrame) -> None:
+        """A partitioned store whose every partition was deleted (or an
+        initial all-delete batch) contains no parquet files, so a later
+        ``spark.read.parquet`` can't infer a schema. Replace such a
+        store with one schema-bearing empty file (built from the schema,
+        not the frame — the frame may read from this very path)."""
+        if os.path.isdir(path) and not any(
+            d.startswith("yyyymm=") for d in os.listdir(path)
+        ):
+            empty = self.spark.createDataFrame([], typed_frame.schema)
+            empty.repartition(1).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def _swap_partitions(staging: str, path: str, months: list[int]) -> None:
+        """Swap only the listed ``yyyymm`` partition directories from a
+        staging write into the live table — the object-store-safe
+        equivalent of dynamic partition overwrite. A listed partition
+        absent from staging (every row deleted / deduped away) is
+        removed from the live table."""
+        for m in months:
+            src = os.path.join(staging, f"yyyymm={m}")
+            dst = os.path.join(path, f"yyyymm={m}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+            elif os.path.exists(dst):
+                shutil.rmtree(dst)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def _write_ledger(self, batch: DataFrame) -> None:
         """S5 — one ledger row per (table, file) slice; dateid := the
@@ -326,7 +574,7 @@ class ReplicationRunner:
 
         Returns ``{"partitions", "rows_before", "rows_removed"}``.
         """
-        policy = REGISTRY.get(tbl, REGISTRY["events_state"])
+        policy = REGISTRY.get(tbl, DEFAULT_POLICY)
         if policy.apply_mode == "mutate":
             # mutate tables hold latest-state only — nothing to compact
             return {"partitions": [], "rows_before": 0, "rows_removed": 0}
@@ -346,14 +594,5 @@ class ReplicationRunner:
             return stats
         staging = path + "__compact"
         deduped.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
-        import shutil
-
-        for m in months:
-            src = os.path.join(staging, f"yyyymm={m}")
-            dst = os.path.join(path, f"yyyymm={m}")
-            if os.path.exists(src):
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                os.rename(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
+        self._swap_partitions(staging, path, months)
         return stats

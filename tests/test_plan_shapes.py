@@ -60,3 +60,45 @@ def test_retention_probe_is_takeordered_not_global_sort(spark, sf_dir, queries):
 def test_argmax_checkpoint_broadcasts_the_one_row_agg(spark, sf_dir, queries):
     plan = plan_of(spark, queries["q7_argmax_checkpoint"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_budget_slice_plan_has_no_global_sort(spark, tmp_path):
+    """B4 at scale: the run-budget slice must compile to a pushed-down
+    filter, NOT a TakeOrderedAndProject (a budget-sized single-task
+    merge — the old ``orderBy(seq).limit(budget)`` shape)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.operators.filters import filter_pos_range
+    from mysql2clickhouse_spark.streaming.runner import ReplicationRunner, RunConfig
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        ("I", "visits", i % 7, i, i // 50, t0 + dt.timedelta(minutes=i), float(i), "e")
+        for i in range(200)
+    ]
+    cl = spark.createDataFrame(
+        rows,
+        "op string, table_name string, key bigint, seq bigint, file_seq bigint,"
+        " ts timestamp, value double, event_type string",
+    )
+    cl.write.parquet(str(tmp_path / "cl"))
+    stored = spark.read.parquet(str(tmp_path / "cl"))
+
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    # same construction as run_once: resume slice -> file clamp -> budget
+    batch = filter_pos_range(stored, 9, None)
+    hi = runner._budget_cutoff(batch, budget=70)
+    assert hi is not None
+    # 9 < seq <= hi covers ~70 rows: file 0 remainder (40) + refined cut
+    # inside file 1 — boundary exact to the file, cut exact to the rank
+    assert 75 <= hi <= 82
+
+    sliced = batch.filter(F.col("seq") <= hi)
+    plan = plan_of(spark, sliced)
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort " not in plan and "Exchange" not in plan
+    # and both bounds reach the parquet reader
+    assert "GreaterThan(seq,9)" in plan
+    assert f"LessThanOrEqual(seq,{hi})" in plan

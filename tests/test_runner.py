@@ -319,6 +319,154 @@ def test_run_session_budget_loop_and_gated_maintenance(spark, tmp_path):
     assert dups_after == 0
 
 
+def test_mutate_touches_only_affected_partitions(spark, tmp_path):
+    """Scale contract of mutate mode: a batch that touches keys in one
+    yyyymm partition must leave every other partition's files byte- and
+    mtime-identical (no full-table rewrite per batch)."""
+    import os
+
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    # seed state: keys 1-4 in 2024-03, keys 11-14 in 2024-04
+    seed = [
+        ("I", "events_state", k, k, 0, T0 + dt.timedelta(days=35 * (k > 10)), float(k), "e")
+        for k in [1, 2, 3, 4, 11, 12, 13, 14]
+    ]
+    runner.run_once(spark.createDataFrame(seed, SCHEMA))
+    path = runner.table_path("events_state")
+    assert os.path.isdir(os.path.join(path, "yyyymm=202403"))
+    before_mar = _partition_manifest(os.path.join(path, "yyyymm=202403"))
+
+    # batch 2: update key 12, delete key 13 — both live in 2024-04 only
+    batch2 = [
+        ("U", "events_state", 12, 100, 1, T0 + dt.timedelta(days=36), 99.0, "e"),
+        ("D", "events_state", 13, 101, 1, T0 + dt.timedelta(days=36), 0.0, "e"),
+    ]
+    r = runner.run_once(spark.createDataFrame(batch2, SCHEMA))
+    assert r.rows_applied > 0
+
+    # March partition: untouched bytes
+    assert _partition_manifest(os.path.join(path, "yyyymm=202403")) == before_mar
+    # April partition: merged state (12 updated, 13 gone, 11/14 kept)
+    state = {r["key"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert state[12] == 99.0 and 13 not in state
+    assert set(state) == {1, 2, 3, 4, 11, 12, 14}
+
+
+def test_mutate_delete_moves_key_across_partitions(spark, tmp_path):
+    """A key whose latest event lands in a NEW month must vanish from its
+    old partition (prior-version partitions are found via the key
+    semi-join and re-folded)."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    seed = [("I", "events_state", 1, 1, 0, T0, 1.0, "e")]
+    runner.run_once(spark.createDataFrame(seed, SCHEMA))
+    move = [("U", "events_state", 1, 50, 1, T0 + dt.timedelta(days=40), 2.0, "e")]
+    runner.run_once(spark.createDataFrame(move, SCHEMA))
+    state = spark.read.parquet(runner.table_path("events_state"))
+    rows = [(r["key"], r["value"], r["yyyymm"]) for r in state.collect()]
+    assert rows == [(1, 2.0, 202404)]  # one row, in the new month only
+
+
+def test_unregistered_table_defaults_to_append(spark, tmp_path):
+    """An unregistered table must take the append-mode DEFAULT_POLICY —
+    never the mutate path's read-modify-rewrite."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    rows = [
+        ("I", "mystery", 1, 1, 0, T0, 1.0, "e"),
+        ("U", "mystery", 1, 2, 0, T0, 2.0, "e"),
+        ("D", "mystery", 1, 3, 0, T0, 0.0, "e"),
+    ]
+    r = runner.run_once(spark.createDataFrame(rows, SCHEMA))
+    assert r.tables["mystery"]["mode"] == "append"
+    stored = spark.read.parquet(runner.table_path("mystery"))
+    # versioned append: I and U kept as version rows, D ignored
+    assert stored.count() == 2 and "dateid" in stored.columns
+
+
+def test_old_delete_guard_scoped_to_guarded_tables(spark, tmp_path):
+    """F6 applies ONLY to tables whose policy sets not_delete_old_col
+    (reference CONST_TBL_NOT_DELETE_OLD, _settings.py:132-138): an old
+    DELETE on an unguarded mutate dim ('site') must be APPLIED."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    rows = [
+        ("I", "site", 1, 1, 0, T0, 1.0, "e"),
+        ("I", "site", 2, 2, 0, T0, 2.0, "e"),
+        # recent anchor row keeps the batch clock at T0
+        ("I", "events_state", 9, 3, 0, T0, 9.0, "e"),
+        # old delete on the UNGUARDED site table: must be applied
+        ("D", "site", 1, 4, 0, T0 - dt.timedelta(days=60), 0.0, "e"),
+    ]
+    r = runner.run_once(spark.createDataFrame(rows, SCHEMA))
+    assert r.rows_rejected_old_delete == 0
+    assert r.tables["site"]["rejected_old_deletes"] == 0
+    site = spark.read.parquet(runner.table_path("site"))
+    assert {x["key"] for x in site.collect()} == {2}  # key 1 deleted
+
+
+def test_null_table_name_quarantined(spark, tmp_path):
+    """A NULL table_name row cannot be routed; it must land in the
+    rejects table instead of being consumed and silently dropped."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    rows = [
+        ("I", "events_state", 1, 1, 0, T0, 1.0, "e"),
+        ("I", None, 2, 2, 0, T0, 2.0, "e"),
+    ]
+    r = runner.run_once(spark.createDataFrame(rows, SCHEMA))
+    assert r.rows_quarantined == 1
+    rej = spark.read.parquet(str(tmp_path / "wh" / "rejects"))
+    assert [x["reject_reason"] for x in rej.collect()] == ["null_table_name"]
+
+
+def test_poison_counted_even_when_no_new_files(spark, tmp_path):
+    """A backlog consisting ONLY of poison rows must still be counted
+    and written to the rejects table (the re-surface-every-run
+    contract), not vanish behind the empty-batch early return."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    only_poison = spark.createDataFrame(
+        [("I", "visits", None, None, None, T0, 1.0, "e")], SCHEMA
+    )
+    r = runner.run_once(only_poison)
+    assert r.rows_applied == 0 and r.rows_quarantined == 1
+    rej = spark.read.parquet(str(tmp_path / "wh" / "rejects"))
+    assert rej.count() == 1
+
+
+def test_read_ledger_missing_vs_present(spark, tmp_path):
+    """Missing ledger (first run) => empty frame, resume None; once a
+    run lands, the ledger read must reflect it (no blanket exception
+    swallowing resetting the resume point)."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    assert runner.resume_seq() is None
+    runner.run_once(mk_changelog(spark, n=20))
+    assert runner.resume_seq() == 19
+    assert runner.read_ledger().count() > 0
+
+
+def test_schema_rename_places_table_under_namespace(spark, tmp_path):
+    """P11 — a policy with target_namespace lands its table under the
+    renamed namespace directory (binlog2sql_util.py:44-49 analog)."""
+    import os
+
+    from mysql2clickhouse_spark.catalog import REGISTRY, TablePolicy
+
+    REGISTRY["renamed_tbl"] = TablePolicy(
+        name="renamed_tbl",
+        key_cols=("key",),
+        order_cols=("key", "seq"),
+        apply_mode="insert_as_update",
+        target_namespace="CH_matomo_dbname",
+    )
+    try:
+        runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+        rows = [("I", "renamed_tbl", 1, 1, 0, T0, 1.0, "e")]
+        runner.run_once(spark.createDataFrame(rows, SCHEMA))
+        expected = str(tmp_path / "wh" / "tables" / "CH_matomo_dbname" / "renamed_tbl")
+        assert runner.table_path("renamed_tbl") == expected
+        assert os.path.isdir(expected)
+        assert spark.read.parquet(expected).count() == 1
+    finally:
+        REGISTRY.pop("renamed_tbl", None)
+
+
 def test_run_session_poison_does_not_spin(spark, tmp_path):
     """Unfixed poison rows are re-quarantined every run (like the
     reference's poison statements); the session loop must still
