@@ -16,6 +16,7 @@ from .apply import (  # noqa: F401
     delete_full_row_antijoin,
     null_safe_cond,
 )
+from .project import normalize_values  # noqa: F401
 from .dedup import duplicate_audit, dedup_in_window  # noqa: F401
 from .retention import (  # noqa: F401
     retention_probe,

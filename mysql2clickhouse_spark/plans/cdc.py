@@ -24,11 +24,13 @@ from ..operators.apply import apply_append, apply_insert_as_update, apply_mutate
 from ..operators.filters import (
     filter_dml,
     filter_pos_range,
+    filter_schemas,
     filter_tables,
     filter_time_range,
     split_old_deletes,
     with_txn_start,
 )
+from ..operators.project import normalize_values
 from ..sources.changelog import CHANGELOG_VIEW_SQL, changelog_from_events
 from ..sources.tables import load_table
 
@@ -89,10 +91,12 @@ def cdc_old_delete_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1+F3+F4+F5 composed — the event-gate of the pipeline
-    (matomo2clickhouse.py:511-550). All four predicates collapse into one
-    scan filter (check PushedFilters in `.explain`)."""
+    """F1+F2+F3+F4+F5 composed — the event-gate of the pipeline
+    (matomo2clickhouse.py:511-550). All five predicates collapse into one
+    scan-adjacent filter; the source-column bounds (F5) land in
+    PushedFilters (check `.explain`)."""
     cl = _cl(spark, sf_dir)
+    cl = filter_schemas(cl, ["matomo"])          # F2: only_schemas
     cl = filter_tables(cl, ["visits", "actions"])
     cl = filter_dml(cl, ["I", "U"])
     cl = filter_time_range(cl, T_START, T_STOP)
@@ -101,6 +105,42 @@ def cdc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.min("seq").alias("min_seq"),
         F.max("seq").alias("max_seq"),
+    )
+
+
+def cdc_value_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — value normalization (``fix_object``,
+    binlog2sql_util.py:180-193): MySQL ``set`` columns (arrays) become
+    CSV strings, binary columns become hex strings, in the ingest
+    projection.
+
+    The events fixture has no native set/binary columns, so the raw
+    shapes are derived deterministically first (a set-ish tag array and
+    a binary payload — the binary(8) ``idvisitor`` analog), then
+    normalized by the operator under test. Everything stays a pure
+    projection over one scan: zero shuffle at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        # MySQL `set` analog: members in definition order
+        F.array(
+            F.col("event_type"),
+            F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+        ).alias("tags"),
+        # binary column analog (idvisitor is binary(8) in the reference)
+        F.encode(
+            F.concat(F.col("event_type"), F.lit("-"), F.col("event_id").cast("string")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = normalize_values(raw, set_cols=["tags"], bin_cols=["payload"])
+    return out.select(
+        "key",
+        "seq",
+        F.col("tags").alias("tags_csv"),
+        F.col("payload").alias("payload_hex"),
     )
 
 
@@ -174,6 +214,7 @@ QUERIES = {
     "cdc_apply_mutate": cdc_apply_mutate,
     "cdc_old_delete_rejection": cdc_old_delete_rejection,
     "cdc_filters": cdc_filters,
+    "cdc_value_norm": cdc_value_norm,
     "cdc_txn_attribution": cdc_txn_attribution,
     "cdc_ledger_summary": cdc_ledger_summary,
     "cdc_binlog_catalog": cdc_binlog_catalog,
@@ -212,11 +253,22 @@ WITH c AS ({CHANGELOG_VIEW_SQL})
 SELECT table_name, op, event_type, count(*) AS cnt,
        min(seq) AS min_seq, max(seq) AS max_seq
 FROM c
-WHERE table_name IN ('visits', 'actions')
+WHERE schema_name IN ('matomo')
+  AND table_name IN ('visits', 'actions')
   AND op IN ('I', 'U')
   AND ts >= TIMESTAMP '{T_START}' AND ts < TIMESTAMP '{T_STOP}'
   AND seq > {SEQ_START} AND seq <= {SEQ_END}
 GROUP BY table_name, op, event_type
+""",
+    # the raw set-ish / binary-ish shapes are built the same way on both
+    # sides, then the normalization itself (CSV-join, hex) is mirrored
+    "cdc_value_norm": """
+SELECT user_id AS key, event_id AS seq,
+       array_to_string([event_type, 'u' || CAST(user_id % 5 AS VARCHAR)], ',')
+           AS tags_csv,
+       upper(hex(encode(event_type || '-' || CAST(event_id AS VARCHAR))))
+           AS payload_hex
+FROM events
 """,
     "cdc_txn_attribution": f"""
 WITH c AS ({CHANGELOG_VIEW_SQL})

@@ -6,8 +6,9 @@ yielding Write/Update/DeleteRows events, totally ordered by
 ``(log_file, log_pos)``. Here the changelog is a DataFrame with the shape
 of FIXTURES.md §F1:
 
-    op        STRING    -- 'I' | 'U' | 'D'
-    key       BIGINT    -- business key of the changed row
+    op          STRING    -- 'I' | 'U' | 'D'
+    schema_name STRING    -- source database (F2 only_schemas analog)
+    key         BIGINT    -- business key of the changed row
     seq       BIGINT    -- total order (binlog position analog)
     file_seq  BIGINT    -- binlog *file* analog (seq div 1000)
     ts        TIMESTAMP -- event time
@@ -36,6 +37,8 @@ SELECT
     CASE WHEN event_type IN ('signup', 'view') THEN 'I'
          WHEN event_type IN ('click', 'purchase') THEN 'U'
          ELSE 'D' END AS op,
+    CASE WHEN user_id % 5 = 4 THEN 'matomo_archive'
+         ELSE 'matomo' END AS schema_name,
     CASE WHEN user_id % 3 = 0 THEN 'visits'
          WHEN user_id % 3 = 1 THEN 'actions'
          ELSE 'conversions' END AS table_name,
@@ -61,6 +64,11 @@ def changelog_from_events(events: DataFrame) -> DataFrame:
         .when(F.col("event_type").isin("click", "purchase"), F.lit("U"))
         .otherwise(F.lit("D"))
         .alias("op"),
+        # F2 source-database dimension (only_schemas,
+        # matomo2clickhouse.py:492): a second schema holds 1/5 of traffic
+        F.when(F.col("user_id") % 5 == 4, F.lit("matomo_archive"))
+        .otherwise(F.lit("matomo"))
+        .alias("schema_name"),
         F.when(F.col("user_id") % 3 == 0, F.lit("visits"))
         .when(F.col("user_id") % 3 == 1, F.lit("actions"))
         .otherwise(F.lit("conversions"))

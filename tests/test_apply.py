@@ -146,3 +146,26 @@ def test_txn_attribution_carries_last_marker(spark):
     out = with_txn_start(df, marker=F.col("kind") == "B")
     got = {r.seq: r.txn_start_pos for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_normalize_values_set_and_binary(spark):
+    """P2 fix_object semantics: set->CSV (order-preserving), bytes->hex
+    (uppercase), NULLs pass through untouched, empty set -> ''."""
+    from mysql2clickhouse_spark.operators.project import normalize_values
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"], bytearray(b"MySQL")),
+            (2, [], bytearray(b"")),
+            (3, None, None),
+        ],
+        "key bigint, tags array<string>, payload binary",
+    )
+    out = normalize_values(df, set_cols=["tags"], bin_cols=["payload"])
+    got = {r.key: (r.tags, r.payload) for r in out.collect()}
+    assert got[1] == ("a,b,c", "4D7953514C")
+    assert got[2] == ("", "")
+    assert got[3] == (None, None)
+    # pure projection: no shuffle, no Python in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
