@@ -286,6 +286,19 @@ def with_simhash(
     return df.join(sig, id_col, "left")
 
 
+def hamming_hex_col(h1: Column, h2: Column) -> Column:
+    """Exact hamming distance between two 64-bit hex-string fingerprints
+    — native expressions only (conv per 32-bit half keeps the parse
+    inside BIGINT; a single 64-bit conv could overflow to NULL)."""
+    total = None
+    for i in range(0, 16, 8):
+        a = F.conv(F.substring(h1, i + 1, 8), 16, 10).cast("bigint")
+        b = F.conv(F.substring(h2, i + 1, 8), 16, 10).cast("bigint")
+        p = F.bit_count(a.bitwiseXOR(b))
+        total = p if total is None else total + p
+    return total
+
+
 def simhash_near_dups(
     sh: DataFrame,
     id_col: str = "doc_id",

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.minhash import (
+    hamming_hex_col,
     simhash_near_dups,
     verified_near_dups,
     with_shingles,
@@ -145,6 +146,136 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_dups(sh, "doc_id")
         .repartition(1)
         .sortWithinPartitions("id_a", "id_b")
+    )
+
+
+# --- oracle-checkable recall twins ----------------------------------------
+# The hash-family operators (minhash / simhash / LSH-ANN / IVF-ANN) use
+# Spark-native hash functions (murmur3 / xxhash64) DuckDB cannot
+# reproduce, so their raw outputs are rows-only for the driver. The
+# planted mutants are deterministic, though, so each operator gets a
+# TWIN query that emits its quality metric AS DATA with a fixed
+# expected outcome — fully value-hash-checkable by the driver.
+#
+# Bounds are set far under measured values at sf0.001 AND sf0.01 (the
+# driver's correctness scale), so a green row certifies the operator
+# actually recovered the planted structure:
+#   minhash planted recall measured 0.994-0.998  -> bound 0.95
+#   simhash planted frac(hamming<=16) measured 1 -> bound 0.95
+#   simhash banding vs brute force: EXACT (pigeonhole) -> equality
+#   lsh-ann per-query hits@10 measured 1-5       -> bound >= 1
+#   ivf-ann per-query hits@10 measured 4-8       -> bound >= 3
+
+MINHASH_RECALL_BOUND = 0.95
+SIMHASH_LOCALITY_BOUND = 0.95
+ANN_LSH_MIN_HITS = 1
+ANN_IVF_MIN_HITS = 3
+
+
+def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall twin of ``dedup_minhash_lsh``: every doc has exactly one
+    planted mutant (id+10^6); the fraction the LSH pipeline recovers
+    must clear MINHASH_RECALL_BOUND. One row: (n_planted, recall_ok)."""
+    shingled = with_shingles(_docs_with_mutants(spark, sf_dir), "text", k=5)
+    pairs = verified_near_dups(shingled, "doc_id", threshold=0.7)
+    found = pairs.filter(
+        (F.col("id_a") < MUT_OFFSET) & (F.col("id_b") == F.col("id_a") + MUT_OFFSET)
+    ).agg(F.count(F.lit(1)).alias("n_found"))
+    planted = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_planted"))
+    return found.crossJoin(F.broadcast(planted)).select(
+        "n_planted",
+        (F.col("n_found") >= F.lit(MINHASH_RECALL_BOUND) * F.col("n_planted")).alias(
+            "recall_ok"
+        ),
+    )
+
+
+def dedup_simhash_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality twin of ``dedup_simhash``: planted near-dup pairs must
+    agree on most fingerprint bits (hamming <= 16 of 64 for at least
+    SIMHASH_LOCALITY_BOUND of pairs). One row: (n_pairs, locality_ok)."""
+    sh = with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False)
+    a = sh.select("doc_id", F.col("simhash").alias("h1"))
+    b = sh.select(
+        (F.col("doc_id") - MUT_OFFSET).alias("doc_id"), F.col("simhash").alias("h2")
+    )
+    return (
+        a.join(b, "doc_id")
+        .withColumn("ham", hamming_hex_col(F.col("h1"), F.col("h2")))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.avg(F.when(F.col("ham") <= 16, 1.0).otherwise(0.0))
+                >= SIMHASH_LOCALITY_BOUND
+            ).alias("locality_ok"),
+        )
+    )
+
+
+def dedup_simhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness twin of ``dedup_simhash_pairs``: 4-block banding is
+    GUARANTEED (pigeonhole) to find every pair at hamming <= 3, so its
+    pair count must EQUAL the brute-force all-pairs count. Every banded
+    pair is verified <= 3 by construction (precision), so count equality
+    implies set equality. One row: (n_docs, banding_exact).
+
+    The brute force is O(n²) ON PURPOSE — it is the ground truth this
+    twin certifies against, run only at the driver's correctness scale
+    (the operator itself never does this)."""
+    sh = with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False).persist()
+    banded = simhash_near_dups(sh, "doc_id").agg(F.count(F.lit(1)).alias("n_banded"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h2"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("ham", hamming_hex_col(F.col("h1"), F.col("h2")))
+        .filter(F.col("ham") <= 3)
+        .agg(F.count(F.lit(1)).alias("n_brute"))
+    )
+    n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        banded.crossJoin(F.broadcast(brute))
+        .crossJoin(F.broadcast(n_docs))
+        .select("n_docs", (F.col("n_banded") == F.col("n_brute")).alias("banding_exact"))
+    )
+
+
+def _ann_recall_twin(spark, sf_dir, approx: DataFrame, min_hits: int) -> DataFrame:
+    """Per-query hit count of an ANN result against the exact top-k
+    (computed engine-side with the same deterministic arithmetic the
+    ``ann_cosine_topk`` oracle already certifies). One row per query:
+    (qid, recall_ok)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact = cosine_topk(c, q, k=TOPK).select("qid", "cid")
+    hits = (
+        approx.select("qid", "cid")
+        .join(exact, ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = q.select(F.col("vec_id").alias("qid"))
+    return qids.join(hits, "qid", "left").select(
+        "qid",
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(min_hits)).alias("recall_ok"),
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall twin of ``ann_lsh_topk``: each query's top-10 must overlap
+    the exact top-10 in at least ANN_LSH_MIN_HITS positions."""
+    return _ann_recall_twin(
+        spark, sf_dir, ann_lsh_topk(spark, sf_dir), ANN_LSH_MIN_HITS
+    )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall twin of ``ann_ivf_topk``: at least ANN_IVF_MIN_HITS of the
+    exact top-10 recovered per query."""
+    return _ann_recall_twin(
+        spark, sf_dir, ann_ivf_topk(spark, sf_dir), ANN_IVF_MIN_HITS
     )
 
 
@@ -339,9 +470,12 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_recall": dedup_minhash_lsh_recall,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_locality": dedup_simhash_locality,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_pairs_exact": dedup_simhash_pairs_exact,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "multimodal_frames": multimodal_frames,
     "text_stats": text_stats,
@@ -349,7 +483,9 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_threshold": ann_cosine_threshold,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_recall": ann_ivf_recall,
     "embedding_norms": embedding_norms,
     "multimodal_features": multimodal_features,
 }
@@ -480,6 +616,33 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMB_DUP_THRESHOLD}
 """,
     # dedup_minhash_lsh / dedup_simhash / dedup_simhash_pairs /
-    # ann_lsh_topk: rows-only (hash-function-dependent); invariants
-    # asserted in tests/.
+    # ann_lsh_topk / ann_ivf_topk: raw outputs are rows-only
+    # (hash-function-dependent) — but each has a fully oracle-checked
+    # recall/exactness TWIN below: the metric is emitted as data with a
+    # fixed expected outcome, so the driver value-hash certifies the
+    # operator recovered the planted structure.
+    "dedup_minhash_lsh_recall": """
+SELECT count(*) AS n_planted, CAST(true AS BOOLEAN) AS recall_ok FROM documents
+""",
+    # a doc yields a simhash iff it has >= 1 token; a mutant iff its
+    # source text is non-NULL (concat propagates NULL) — mirrored here
+    # so degenerate corpora can't skew the twin's counts
+    "dedup_simhash_locality": """
+SELECT count(*) AS n_pairs, CAST(true AS BOOLEAN) AS locality_ok
+FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+""",
+    "dedup_simhash_pairs_exact": """
+SELECT CAST(count(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN 1 END)
+            + count(CASE WHEN text IS NOT NULL THEN 1 END) AS BIGINT) AS n_docs,
+       CAST(true AS BOOLEAN) AS banding_exact
+FROM documents
+""",
+    "ann_lsh_recall": f"""
+SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    "ann_ivf_recall": f"""
+SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
 }
