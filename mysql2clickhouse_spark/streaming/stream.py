@@ -29,7 +29,7 @@ def run_streaming_replication(
     available_now: bool = True,
     processing_interval: str = "10 seconds",
     max_files_per_trigger: int = 20,
-) -> None:
+):
     """Stream the changelog directory into managed tables.
 
     ``maxFilesPerTrigger`` is the streaming twin of the reference's
@@ -37,6 +37,15 @@ def run_streaming_replication(
     same two-phase apply as a batch run; exactly-once file tracking from
     the checkpoint + our at-least-once ledger + dedup-at-read together
     reproduce the reference's delivery contract (SURVEY §2.7).
+
+    ``available_now=True`` (the hourly-cron semantics) BLOCKS until the
+    bounded catch-up completes. ``available_now=False`` is the
+    ``--stop-never`` continuous mode (binlog2sql_util.py:125-126,
+    blocking stream matomo2clickhouse.py:493,511): the query keeps
+    tailing the directory on ``processing_interval``; the RUNNING
+    StreamingQuery is returned and the caller owns its lifecycle
+    (``awaitTermination()`` for reference-faithful run-forever,
+    ``stop()`` for a controlled shutdown).
     """
     runner = ReplicationRunner(spark, RunConfig(target_dir=target_dir))
 
@@ -61,6 +70,5 @@ def run_streaming_replication(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:
-        q = writer.trigger(processingTime=processing_interval).start()
-        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=processing_interval).start()

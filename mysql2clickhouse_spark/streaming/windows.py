@@ -93,16 +93,19 @@ def _make_latest_state_fn(idle_ttl_ms: int | None):
             return
         best = state.get if state.exists else None  # (seq, ts, value, event_type, deleted)
         for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
-            for row in pdf.itertuples():
-                if best is None or row.seq > best[0]:
-                    best = (
-                        int(row.seq),
-                        row.ts.to_pydatetime() if hasattr(row.ts, "to_pydatetime") else row.ts,
-                        float(row.value),
-                        str(row.event_type),
-                        "D" if row.op == "D" else "",
-                    )
+            if len(pdf) == 0:
+                continue
+            # vectorized fold: only the chunk's max-seq row can win
+            row = pdf.loc[pdf["seq"].idxmax()]
+            if best is None or int(row["seq"]) > best[0]:
+                ts = row["ts"]
+                best = (
+                    int(row["seq"]),
+                    ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts,
+                    float(row["value"]),
+                    str(row["event_type"]),
+                    "D" if row["op"] == "D" else "",
+                )
         if best is not None:
             state.update(best)
             if idle_ttl_ms is not None:

@@ -51,6 +51,59 @@ def test_streaming_available_now(spark, tmp_path):
     assert visits2.filter(F.col("key") == 3).count() == 1
 
 
+def test_streaming_continuous_processing_time(spark, tmp_path):
+    """--stop-never parity (binlog2sql_util.py:125-126): a processingTime
+    query tails a GROWING changelog directory — files arriving after the
+    query starts are picked up by later micro-batches — until the caller
+    stops it (the reference runs forever; the test stops after the
+    second wave lands)."""
+    import time
+
+    from mysql2clickhouse_spark.streaming.runner import ReplicationRunner, RunConfig
+
+    cl_dir = str(tmp_path / "changelog")
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [("I", "visits", 1, 1, 0, T0, 1.0, "e")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(cl_dir)
+
+    q = run_streaming_replication(
+        spark, cl_dir, wh, SCHEMA,
+        available_now=False, processing_interval="1 second",
+    )
+    try:
+        assert q.isActive
+
+        def wait_for(pred, timeout=60.0):
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                if pred():
+                    return True
+                time.sleep(0.5)
+            return False
+
+        runner = ReplicationRunner(spark, RunConfig(target_dir=wh))
+        assert wait_for(lambda: runner.resume_seq() == 1), "first wave not applied"
+
+        # second wave arrives while the query is live
+        spark.createDataFrame(
+            [
+                ("U", "visits", 1, 2, 1, T0, 2.0, "e"),
+                ("I", "visits", 2, 3, 1, T0, 3.0, "e"),
+            ],
+            SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(cl_dir)
+        assert wait_for(lambda: runner.resume_seq() == 3), "second wave not applied"
+    finally:
+        q.stop()
+    assert not q.isActive
+
+    visits = spark.read.parquet(f"{wh}/tables/visits")
+    latest = latest_by_key(visits, ["key"], "dateid", form="window")
+    got = {r.key: r.value for r in latest.collect()}
+    assert got == {1: 2.0, 2: 3.0}
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     from mysql2clickhouse_spark.streaming.windows import windowed_event_counts
 
