@@ -25,7 +25,14 @@ from mysql2clickhouse_spark.plans import all_queries  # noqa: E402
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
 #: headline set — one per operator family (SURVEY §2); the rest of the
-#: 38-query corpus is covered by the driver's correctness run
+#: query corpus is covered by the driver's correctness run.
+#:
+#: METHODOLOGY IS FROZEN across rounds (same 17 queries, same warm-up
+#: protocol) so per-round totals stay comparable. Committed reference
+#: points, sf0.1 on local[32] (BENCH_r01.json):
+#:   r1 total 23.76 s; heaviest: dedup_minhash_lsh 4.74,
+#:   dedup_simhash_pairs 4.10, dedup_embedding_cosine 2.60,
+#:   q1_latest_window 1.63, q10_regional_revenue 1.45
 HEADLINE = [
     "q1_latest_window",        # Q1 dedup view (window form)
     "q1_latest_join",          # Q1 faithful groupBy+join form
