@@ -207,6 +207,19 @@ def cdc_binlog_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 source-format variant — Debezium-style JSON envelope build +
+    parse (``sources/json_changelog.py``), both pure column
+    expressions. The round-trip must reproduce the changelog exactly
+    (lossless ``ts_us`` timestamps, image precedence after/before), so
+    the oracle is the changelog view itself: any envelope or parse bug
+    breaks the value hash."""
+    from ..sources.json_changelog import changelog_from_json, changelog_to_json
+
+    env = changelog_to_json(_cl(spark, sf_dir)).select("envelope")
+    return changelog_from_json(env)
+
+
 QUERIES = {
     "cdc_apply_append": cdc_apply_append,
     "cdc_apply_ins_upd": cdc_apply_ins_upd,
@@ -219,9 +232,13 @@ QUERIES = {
     "cdc_ledger_summary": cdc_ledger_summary,
     "cdc_binlog_catalog": cdc_binlog_catalog,
     "cdc_binlog_purge": cdc_binlog_purge,
+    "cdc_json_roundtrip": cdc_json_roundtrip,
 }
 
 ORACLE = {
+    # envelope build+parse is lossless, so the round-trip equals the
+    # changelog view itself
+    "cdc_json_roundtrip": CHANGELOG_VIEW_SQL,
     "cdc_apply_append": f"""
 WITH c AS ({CHANGELOG_VIEW_SQL})
 SELECT key, seq, file_seq, ts, value, event_type FROM c WHERE op = 'I'
