@@ -74,14 +74,22 @@ def cosine_topk(
     over the (query) key — with few queries this is a light shuffle.
 
     Returns (qid, cid, sim, rk).
+
+    Both sides are L2-normalized ONCE (per row, not per pair), so the
+    |corpus|×|queries| rerank is a single dot-product fold per pair —
+    the norms would otherwise be recomputed |queries| times per corpus
+    row (3× the pair work; same normalize-once discipline as
+    ``dedup_embedding_cosine``).
     """
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("qid"), unit_vec_col(F.col(vec_col)).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
         .select("qid", "cid", "sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -186,12 +194,17 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("qid"), "tbl", "bucket"
     )
     cands = cb.join(F.broadcast(qb), ["tbl", "bucket"]).select("qid", "cid").distinct()
-    c_vecs = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    q_vecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    # normalize once per row; rerank is a single dot fold per candidate
+    c_vecs = corpus.select(
+        F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("qid"), unit_vec_col(F.col(vec_col)).alias("q_vec")
+    )
     scored = (
         cands.join(c_vecs, "cid")
         .join(F.broadcast(q_vecs), "qid")
-        .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
         .select("qid", "cid", "sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
@@ -294,17 +307,23 @@ def ivf_topk(
     if the index table was written ``partitionBy("list_id")``), and each
     query reranks ~``nprobe/n_list`` of the corpus instead of all of it."""
     C = train_ivf_centroids(corpus, dim, n_list, id_col=id_col, vec_col=vec_col, seed=seed)
+    # normalize once per row (cosine ⇒ the list assignment is norm-
+    # invariant, and the rerank becomes a single dot fold per pair)
     cb = with_ivf_lists(
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")),
+        corpus.select(
+            F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+        ),
         C, nprobe=1, vec_col="c_vec",
     )
     qb = with_ivf_lists(
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec")),
+        queries.select(
+            F.col(id_col).alias("qid"), unit_vec_col(F.col(vec_col)).alias("q_vec")
+        ),
         C, nprobe=nprobe, vec_col="q_vec",
     )
     scored = (
         cb.join(F.broadcast(qb), "list_id")
-        .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
         .select("qid", "cid", "sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
