@@ -92,6 +92,16 @@ def latest_by_key(
     is one exchange instead of the join form's two (agg + join), and AQE
     handles skewed keys; prefer it unless bit-exact tie parity with the
     reference is required (SURVEY §2.6 note).
+
+    ``form='argmax'`` is the SKEW-IMMUNE plan: ``max_by`` aggregation
+    with the full row packed in a struct. Unlike every window form
+    (which shuffles ALL versions of a key into one task — a hot key
+    with 10^8 versions is one 10^8-row task no matter what AQE does),
+    the aggregate combines map-side: the shuffle carries at most one
+    row per key per input partition, so a hot key costs each mapper one
+    struct and the reducer |partitions| structs. Requires a tie-free
+    version column per key (INS-UPD's strictly-increasing dateid
+    guarantees it; ties would be broken arbitrarily).
     """
     keys = list(keys)
     if form == "window":
@@ -105,6 +115,16 @@ def latest_by_key(
         # keeps ties like the join form, single shuffle
         w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
         return df.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+    if form == "argmax":
+        others = [c for c in df.columns if c not in keys]
+        # total order: version first, then the remaining columns
+        # lexicographically (struct comparison) — ties on max(version)
+        # resolve deterministically, so the fold is replay-stable
+        ord_cols = [version_col] + [c for c in others if c != version_col]
+        packed = df.groupBy(*keys).agg(
+            F.max_by(F.struct(*others), F.struct(*ord_cols)).alias("__row")
+        )
+        return packed.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
     # faithful groupBy + join port
     agg = df.groupBy(*keys).agg(F.max(version_col).alias(version_col))
     return agg.join(df, on=keys + [version_col], how="left")

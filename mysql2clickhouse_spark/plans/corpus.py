@@ -91,6 +91,18 @@ def q1_latest_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="rank").select(*VCOLS)
 
 
+def q1_latest_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune form: ``max_by`` aggregation packs the row into a
+    struct and combines MAP-SIDE, so a hot key ships one struct per
+    input partition instead of its entire version history into one
+    window task. ONE row per key; ties on max(dateid) — this fixture
+    has them — resolve by the struct total order (remaining columns
+    descending), mirrored exactly in the oracle. This is the form to
+    prefer on power-law keys at 100 TB; plan pinned (no Window node,
+    partial aggregation present) in test_plan_shapes."""
+    return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="argmax").select(*VCOLS)
+
+
 def q1_latest_coarse_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's *surprising* second view semantics, reproduced
     faithfully: ``view_matomo_log_link_visit_action`` groups by
@@ -245,6 +257,7 @@ def q12_ledger_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_latest_join": q1_latest_join,
     "q1_latest_window": q1_latest_window,
+    "q1_latest_argmax": q1_latest_argmax,
     "q1_latest_coarse_key": q1_latest_coarse_key,
     "q2_duplicate_audit": q2_duplicate_audit,
     "q3_dedup_window": q3_dedup_window,
@@ -266,9 +279,25 @@ FROM (SELECT key, max(dateid) AS dateid FROM v GROUP BY key) g
 LEFT JOIN v ON v.key = g.key AND v.dateid = g.dateid
 """
 
+# argmax form keeps ONE row per key; ties on max(dateid) broken by the
+# remaining columns descending (the struct total order the Spark side
+# folds with)
+_Q1_ARGMAX_SQL = f"""
+WITH v AS ({VERSIONED_SQL})
+SELECT key, dateid, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY key
+        ORDER BY dateid DESC, l_partkey DESC, l_suppkey DESC,
+                 l_quantity DESC, l_extendedprice DESC, l_shipdate DESC
+    ) AS rn FROM v
+) WHERE rn = 1
+"""
+
 ORACLE = {
     "q1_latest_join": _Q1_SQL,
     "q1_latest_window": _Q1_SQL,
+    "q1_latest_argmax": _Q1_ARGMAX_SQL,
     # coarse-key view: ties on max(dateid) per l_partkey are KEPT — the
     # GROUP-BY+JOIN shape of the reference view, not row_number
     "q1_latest_coarse_key": f"""

@@ -45,6 +45,21 @@ def test_latest_window_is_single_shuffle(spark, sf_dir, queries):
     assert plan.count("+- Exchange") == 1  # one hash-partition for the window
 
 
+def test_latest_argmax_is_partial_agg_no_window(spark, sf_dir, queries):
+    """Skew-immunity pin: the argmax form must compile to a two-phase
+    aggregate (map-side partial max_by, one struct per key per input
+    partition on the wire) with NO Window node — a window would ship a
+    hot key's whole version history into one task."""
+    plan = plan_of(spark, queries["q1_latest_argmax"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("+- Exchange") == 1
+    # two-phase aggregate around the single exchange: the map side runs
+    # partial_max_by (struct ordering => SortAggregate), so the shuffle
+    # carries one packed row per key per input partition
+    assert "partial_max_by" in plan
+    assert plan.count("SortAggregate (") == 2  # tree: partial + final
+
+
 def test_text_stats_stays_jvm_side_no_shuffle(spark, sf_dir, queries):
     plan = plan_of(spark, queries["text_stats"](spark, sf_dir))
     assert "Exchange" not in plan  # pure per-row projection over the scan
