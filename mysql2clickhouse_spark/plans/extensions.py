@@ -445,6 +445,62 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus curation (end-to-end pipeline composition) --------------------
+
+#: curation thresholds — deliberately permissive so the gate is
+#: data-driven, not degenerate (some docs fail, most pass)
+CURATE_MIN_TOKENS = 8
+CURATE_MIN_QUALITY = 0.3
+EXACT_DUP_OFFSET = 2_000_000
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline over ``documents``: per-doc
+    feature pass → quality gate → exact dedup (keep lowest doc_id per
+    content hash) → curated set with its features.
+
+    Exercised on the corpus ∪ planted EXACT copies (doc_id + 2·10^6,
+    same bytes): the dedup stage must drop every planted copy and keep
+    every original that clears the gate.
+
+    Shape at 100 TB: one scan computes all features JVM-side (same
+    codegen pass as ``text_stats``), the gate filters before the only
+    shuffle (groupBy content hash with a partial ``min_by``), so the
+    wire carries one packed row per surviving hash per input partition.
+    This is the pipeline a curation job would run nightly; every stage
+    is also available standalone (``text_stats``, ``dedup_exact``)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + EXACT_DUP_OFFSET).alias("doc_id"), "text")
+    corpus = d.unionByName(dup)
+
+    q = quality_score_cols(F.col("text"))
+    feat = corpus.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_hash"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        langid_col(F.col("text")).alias("lang_guess"),
+    ).filter(
+        (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+        & (F.col("quality_score") >= CURATE_MIN_QUALITY)
+    )
+    kept = feat.groupBy("content_hash").agg(
+        F.min_by(
+            F.struct("doc_id", "n_tokens", "quality_score", "lang_guess"),
+            F.col("doc_id"),
+        ).alias("__row"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return kept.select(
+        F.col("__row.doc_id").alias("doc_id"),
+        "content_hash",
+        F.col("__row.n_tokens").alias("n_tokens"),
+        F.col("__row.quality_score").alias("quality_score"),
+        F.col("__row.lang_guess").alias("lang_guess"),
+        "n_copies",
+    )
+
+
 # --- multimodal -----------------------------------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +540,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "text_stats": text_stats,
     "text_lang_profile": text_lang_profile,
+    "corpus_curation": corpus_curation,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_threshold": ann_cosine_threshold,
     "ann_lsh_topk": ann_lsh_topk,
@@ -551,6 +608,38 @@ SELECT doc_id, lang,
             ELSE 'unk' END AS lang_guess,
        substring(md5(lower(text)), 1, 16) AS fingerprint
 FROM documents
+""",
+    "corpus_curation": f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {EXACT_DUP_OFFSET} AS doc_id, text FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           md5(lower(text)) AS content_hash,
+           CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+           round(least(1.0, CAST({_TOKENS_SQL} AS DOUBLE) / 64.0) * 0.5
+                 + least(1.0, CASE WHEN {_TOKENS_SQL} > 0
+                         THEN {_NTHE_SQL} / {_TOKENS_SQL} ELSE 0.0 END * 10.0) * 0.5, 4)
+               AS quality_score,
+           CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                WHEN contains(' ' || text || ' ', ' que ') THEN 'es'
+                ELSE 'unk' END AS lang_guess
+    FROM corpus
+),
+gated AS (
+    SELECT * FROM feat
+    WHERE n_tokens >= {CURATE_MIN_TOKENS} AND quality_score >= {CURATE_MIN_QUALITY}
+)
+SELECT doc_id, content_hash, n_tokens, quality_score, lang_guess, n_copies
+FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies
+    FROM gated
+) WHERE rn = 1
 """,
     "text_lang_profile": f"""
 SELECT lang,
