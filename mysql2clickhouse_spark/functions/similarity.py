@@ -332,3 +332,63 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .withColumn("sim", F.round("sim", 4))
     )
+
+
+def ivf_topk_partitioned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    index_path: str,
+    k: int = 10,
+    n_list: int = 32,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF with the index AS A TABLE: the inverted lists are written
+    ``partitionBy("list_id")`` and the probe is a PARTITION-PRUNED read
+    — only the ``nprobe × |queries|`` probed list directories are ever
+    opened, which is the storage layout that makes IVF pay at 100 TB
+    (the in-memory variant still scans the whole corpus to filter it).
+
+    The probed-list set is collected driver-side — bounded by
+    |queries| × nprobe (control plane, like the runner's file lists) —
+    and pushed as an ``isin`` partition filter. Same centroids, unit
+    vectors, and tie-break as ``ivf_topk``; results are identical (the
+    ``ann_ivf_partitioned_equiv`` twin pins it).
+    """
+    C = train_ivf_centroids(corpus, dim, n_list, id_col=id_col, vec_col=vec_col, seed=seed)
+    cb = with_ivf_lists(
+        corpus.select(
+            F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+        ),
+        C, nprobe=1, vec_col="c_vec",
+    )
+    cb.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+
+    qb = with_ivf_lists(
+        queries.select(
+            F.col(id_col).alias("qid"), unit_vec_col(F.col(vec_col)).alias("q_vec")
+        ),
+        C, nprobe=nprobe, vec_col="q_vec",
+    )
+    probed = sorted(
+        r["list_id"] for r in qb.select("list_id").distinct().collect()
+    )
+    idx = (
+        corpus.sparkSession.read.parquet(index_path)
+        .filter(F.col("list_id").isin(probed))
+        .withColumn("list_id", F.col("list_id").cast("int"))
+    )
+    scored = (
+        idx.join(F.broadcast(qb), "list_id")
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
+        .select("qid", "cid", "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("sim", F.round("sim", 4))
+    )

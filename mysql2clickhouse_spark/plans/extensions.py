@@ -435,6 +435,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(c, q, dim=EMB_DIM, k=TOPK, n_list=32, nprobe=8)
 
 
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the inverted lists persisted ``partitionBy("list_id")``
+    and probed via a PARTITION-PRUNED read — the index-as-a-table layout
+    (faiss's on-disk IVF analog) that only opens the probed list
+    directories at 100 TB. Rows-only driver check; identity with the
+    in-memory IVF is oracle-pinned by ``ann_ivf_partitioned_equiv`` and
+    the pruned scan is plan-pinned in test_plan_shapes."""
+    import tempfile
+
+    from ..functions.similarity import ivf_topk_partitioned
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    path = tempfile.mkdtemp(prefix="m2c_ivf_") + "/index"
+    return ivf_topk_partitioned(c, q, dim=EMB_DIM, index_path=path, k=TOPK, n_list=32, nprobe=8)
+
+
+def ann_ivf_partitioned_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin: the partition-pruned IVF must return EXACTLY the
+    in-memory IVF's result set — (n_rows, n_mismatch) with fixed
+    expected values (5 queries × top-10, zero mismatches)."""
+    a = ann_ivf_topk(spark, sf_dir).select("qid", "cid", "sim", "rk")
+    b = ann_ivf_partitioned(spark, sf_dir).select("qid", "cid", "sim", "rk")
+    n_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    n_rows = b.count()
+    return spark.createDataFrame(
+        [(n_rows, n_mismatch)], "n_rows bigint, n_mismatch bigint"
+    )
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm (sequential fold => engine-deterministic) +
     label, rounded at 4dp."""
@@ -547,6 +578,8 @@ QUERIES = {
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
+    "ann_ivf_partitioned": ann_ivf_partitioned,
+    "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
     "multimodal_features": multimodal_features,
 }
@@ -737,5 +770,11 @@ FROM embeddings WHERE vec_id < {N_QUERIES}
     "ann_ivf_recall": f"""
 SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    # the partitioned (index-as-table) IVF must be row-identical to the
+    # in-memory IVF: full top-k result set, zero mismatches
+    "ann_ivf_partitioned_equiv": f"""
+SELECT CAST({N_QUERIES * TOPK} AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_mismatch
 """,
 }

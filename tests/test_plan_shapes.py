@@ -60,6 +60,17 @@ def test_latest_argmax_is_partial_agg_no_window(spark, sf_dir, queries):
     assert plan.count("SortAggregate (") == 2  # tree: partial + final
 
 
+def test_ivf_partitioned_probe_prunes_partitions(spark, sf_dir, queries):
+    """Index-as-table pin: the persisted IVF probe must read ONLY the
+    probed list_id partition directories — the isin filter lands in
+    PartitionFilters (metadata pruning), never in post-scan Filter."""
+    plan = plan_of(spark, queries["ann_ivf_partitioned"](spark, sf_dir))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, f"no list_id partition filter in scan:\n{plan[:2000]}"
+
+
 def test_text_stats_stays_jvm_side_no_shuffle(spark, sf_dir, queries):
     plan = plan_of(spark, queries["text_stats"](spark, sf_dir))
     assert "Exchange" not in plan  # pure per-row projection over the scan
