@@ -101,9 +101,9 @@ def rolling_hash_col(text: Column, base: int = 257, mod: int = (1 << 31) - 1) ->
     """Polynomial rolling hash over characters (Rabin-Karp style), as a
     native aggregate over the char array: h = (h*base + code) % mod.
 
-    Kept JVM-side via ``aggregate`` over ``split``; used by tests as an
-    alternative fingerprint (no SQL oracle — DuckDB lacks a clean
-    fold-over-chars; the md5 fingerprint is the oracle-checked one).
+    Kept JVM-side via ``aggregate`` over ``split``. Oracle-checked by
+    ``text_rolling_fingerprint`` — DuckDB folds the identical
+    polynomial with ``list_reduce`` over ``string_split_regex``.
     """
     chars = F.split(text, "")
     return F.aggregate(

@@ -30,6 +30,7 @@ from ..functions.minhash import (
 from ..functions.multimodal import (
     attach_binary_payload,
     extract_media_features,
+    resize_media,
     sample_frames,
 )
 from ..functions.similarity import (
@@ -43,6 +44,7 @@ from ..functions.text import (
     fingerprint_col,
     langid_col,
     quality_score_cols,
+    rolling_hash_col,
     subtoken_count_col,
     token_count_col,
 )
@@ -368,6 +370,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling hash per doc as a JVM-side fold — the
+    content-defined-chunking primitive. Oracle-checked: DuckDB folds the
+    identical polynomial with list_reduce over the char array."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        rolling_hash_col(F.coalesce(F.col("text"), F.lit(""))).alias("rhash"),
+    )
+
+
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate corpus profile per (actual, guessed) language — the
     confusion table of the heuristic language-ID."""
@@ -542,6 +555,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 binary resize transform (Arrow ``mapInPandas``, stub codec):
+    every payload lands at exactly out_w×out_h bytes. Oracle checks the
+    full (doc_id, modality, dims, size) contract of the transform."""
+    media = attach_binary_payload(_docs(spark, sf_dir), "text")
+    resized = resize_media(media, w=32, h=16)
+    return resized.select(
+        "doc_id",
+        "modality",
+        "out_w",
+        "out_h",
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (video-style 1→N) over the binary payload
     via ``mapInPandas``. Frame count per doc = ceil-ish chunk math on
@@ -569,7 +597,9 @@ QUERIES = {
     "dedup_simhash_pairs_exact": dedup_simhash_pairs_exact,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "multimodal_frames": multimodal_frames,
+    "multimodal_resize": multimodal_resize,
     "text_stats": text_stats,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_lang_profile": text_lang_profile,
     "corpus_curation": corpus_curation,
     "ann_cosine_topk": ann_cosine_topk,
@@ -673,6 +703,26 @@ FROM (
            CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies
     FROM gated
 ) WHERE rn = 1
+""",
+    # identical polynomial fold: h = (h*257 + ascii(char)) % (2^31-1)
+    "text_rolling_fingerprint": """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(coalesce(text, ''), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+           (acc, ch) -> (acc * 257 + ch) % 2147483647
+       ) AS rhash
+FROM documents
+""",
+    # 1:1 resize to 32x16: every payload lands at exactly 512 bytes
+    "multimodal_resize": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       CAST(32 AS INT) AS out_w,
+       CAST(16 AS INT) AS out_h,
+       CAST(512 AS BIGINT) AS n_bytes
+FROM documents
 """,
     "text_lang_profile": f"""
 SELECT lang,
