@@ -13,9 +13,12 @@ the options that encode the reference's operational tuning:
   write parallelism so the target isn't overwhelmed ("too many parts",
   README.md:189-194).
 
-No driver jars ship in this environment, so everything here is
-plan-building only (tested for option wiring; execution requires a JDBC
-driver on the classpath at deploy time).
+No MySQL/ClickHouse driver jars ship in this environment, but Spark
+bundles Derby (its metastore engine), so the wrappers are EXECUTED
+end-to-end against embedded Derby in ``tests/test_jdbc.py`` — batched
+writes, range-partitioned parallel reads, append accumulation, and
+filter pushdown into the remote query. Deploy time only swaps the URL
+and driver class.
 """
 
 from __future__ import annotations
