@@ -207,6 +207,53 @@ def cdc_binlog_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE RUNNER ITSELF under the correctness gate: a full
+    ``run_session`` (budget loop → file clamp → per-table routing →
+    policy apply → partitioned writes → ledger → argmax resume → EOF
+    detection) into a fresh target, then the final latest-state of
+    every routed table read back FROM STORAGE.
+
+    visits/actions take the insert_as_update path (versions appended,
+    dateid := seq, monthly partitions; latest = dedup-at-read);
+    conversions takes the mutate path (partition-scoped fold, deletes
+    terminal). The multi-batch fold equals the whole-stream fold — the
+    property ``test_batched_fold_equals_one_fold`` pins — so the oracle
+    is plain per-key argmax SQL regardless of how the budget loop cut
+    the batches. F6 is neutralized (horizon 10^6 days) — it has its own
+    oracle query (``cdc_old_delete_rejection``)."""
+    import tempfile
+
+    from ..streaming.runner import ReplicationRunner, RunConfig
+
+    runner = ReplicationRunner(
+        spark,
+        RunConfig(
+            target_dir=tempfile.mkdtemp(prefix="m2c_e2e_"),
+            max_files_per_run=5,
+            old_delete_days=10**6,
+        ),
+    )
+    # max_minutes < 10 skips end-of-run maintenance (entry point C gate)
+    runner.run_session(_cl(spark, sf_dir), max_minutes=5.0, grace_minutes=0.0)
+
+    outs = []
+    for tbl in ("visits", "actions"):
+        stored = spark.read.parquet(runner.table_path(tbl))
+        latest = latest_by_key(stored, ["key"], "dateid", form="window")
+        outs.append(
+            latest.select(
+                F.lit(tbl).alias("table_name"), "key",
+                F.col("dateid").alias("seq"), "value",
+            )
+        )
+    conv = spark.read.parquet(runner.table_path("conversions"))
+    outs.append(
+        conv.select(F.lit("conversions").alias("table_name"), "key", "seq", "value")
+    )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
 def cdc_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 source-format variant — Debezium-style JSON envelope build +
     parse (``sources/json_changelog.py``), both pure column
@@ -233,12 +280,31 @@ QUERIES = {
     "cdc_binlog_catalog": cdc_binlog_catalog,
     "cdc_binlog_purge": cdc_binlog_purge,
     "cdc_json_roundtrip": cdc_json_roundtrip,
+    "cdc_replication_e2e": cdc_replication_e2e,
 }
 
 ORACLE = {
     # envelope build+parse is lossless, so the round-trip equals the
     # changelog view itself
     "cdc_json_roundtrip": CHANGELOG_VIEW_SQL,
+    # final stored state per policy: ins_upd tables = argmax over I/U
+    # versions; mutate table = argmax over all events, deletes terminal
+    "cdc_replication_e2e": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+ins AS (
+    SELECT table_name, key, seq, value,
+           row_number() OVER (PARTITION BY table_name, key ORDER BY seq DESC) AS rn
+    FROM c WHERE table_name IN ('visits', 'actions') AND op IN ('I', 'U')
+),
+conv AS (
+    SELECT table_name, key, seq, value, op,
+           row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM c WHERE table_name = 'conversions'
+)
+SELECT table_name, key, seq, value FROM ins WHERE rn = 1
+UNION ALL
+SELECT table_name, key, seq, value FROM conv WHERE rn = 1 AND op <> 'D'
+""",
     "cdc_apply_append": f"""
 WITH c AS ({CHANGELOG_VIEW_SQL})
 SELECT key, seq, file_seq, ts, value, event_type FROM c WHERE op = 'I'
