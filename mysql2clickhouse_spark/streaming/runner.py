@@ -51,6 +51,11 @@ from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_ke
 from ..operators.dedup import dedup_in_window
 from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
 
+#: O9 write fan-in: files per (table, batch) is bounded below by this
+#: coalesce (the reference's "too many parts" guidance, README.md:189-194)
+#: and above by maxRecordsPerFile — no pre-count of the slice needed
+WRITE_PARTITIONS = 8
+
 LEDGER_SCHEMA = (
     "dateid bigint, created_at timestamp, table_name string, sql_type string,"
     " log_time timestamp, log_file bigint, log_pos_start bigint, log_pos_end bigint"
@@ -306,18 +311,29 @@ class ReplicationRunner:
 
         if policy.apply_mode in ("append", "insert_as_update"):
             # hot path: versions append, partitioned monthly (O11); no
-            # read of existing data, no shuffle beyond the write split
+            # read of existing data, no shuffle beyond the write split.
+            # The row count rides ON the write via Observation (one pass
+            # over the slice, not count-then-write); the file count is
+            # bounded WITHOUT knowing n: a fixed coalesce caps files per
+            # month from below (O9 "too many parts") and
+            # maxRecordsPerFile splits oversized ones from above.
             out = apply_insert_as_update(tslice, self._resolve_cols(policy, tslice))
             out = out.withColumn("yyyymm", F.date_format("ts", "yyyyMM"))
-            n = out.count()
-            if not cfg.dry_run and n:
-                (
-                    out.coalesce(max(1, n // 500_000 + 1))  # bound file count (O9)
-                    .write.mode("append")
-                    .partitionBy("yyyymm")
-                    .parquet(self.table_path(tbl))
-                )
-            stats["rows"] = n
+            if cfg.dry_run:
+                stats["rows"] = out.count()
+                return stats
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            (
+                out.coalesce(WRITE_PARTITIONS)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .partitionBy("yyyymm")
+                .option("maxRecordsPerFile", 500_000)
+                .parquet(self.table_path(tbl))
+            )
+            stats["rows"] = int(obs.get["n"])
             return stats
 
         stats["rows"] = self._apply_mutate_table(tbl, policy, tslice)
