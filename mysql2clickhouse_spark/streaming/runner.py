@@ -243,11 +243,24 @@ class ReplicationRunner:
         # report and the rejects table.)
         if cfg.quarantine:
             ok, poisoned = split_poison(changelog, self._poison_key_cols(changelog))
-            report.rows_quarantined = poisoned.count()
-            if report.rows_quarantined and not cfg.dry_run:
-                poisoned.coalesce(1).write.mode("append").parquet(
-                    os.path.join(cfg.target_dir, "rejects")
+            if cfg.dry_run:
+                report.rows_quarantined = poisoned.count()
+            else:
+                # one pass: the quarantine count rides on the rejects
+                # write (count-then-conditional-write was two scans of
+                # the raw changelog, before the batch cache exists). An
+                # empty micro-batch appends a schema-bearing empty file
+                # once — harmless, and the rejects table stays readable.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                (
+                    poisoned.coalesce(1)
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .write.mode("append")
+                    .parquet(os.path.join(cfg.target_dir, "rejects"))
                 )
+                report.rows_quarantined = int(obs.get["n"])
         else:
             ok = changelog
 
