@@ -60,6 +60,15 @@ def test_latest_argmax_is_partial_agg_no_window(spark, sf_dir, queries):
     assert plan.count("SortAggregate (") == 2  # tree: partial + final
 
 
+def test_json_envelope_roundtrip_stays_jvm_side(spark, sf_dir, queries):
+    """The Debezium-envelope build+parse must be pure column expressions
+    (to_json/from_json inside codegen) — no Python eval in a CDC source
+    adapter that fronts every byte at 100 TB."""
+    plan = plan_of(spark, queries["cdc_json_roundtrip"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # scan → project, no shuffle
+
+
 def test_ivf_partitioned_probe_prunes_partitions(spark, sf_dir, queries):
     """Index-as-table pin: the persisted IVF probe must read ONLY the
     probed list_id partition directories — the isin filter lands in
