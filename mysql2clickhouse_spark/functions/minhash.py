@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import rotate_cache
+
 # Mersenne prime 2^31-1: with 31-bit shingle hashes, h*a + b < 2^62 —
 # stays inside BIGINT so the whole permutation family runs as native
 # integer arithmetic (no overflow, no BigDecimal fallback).
@@ -227,6 +229,7 @@ def verified_near_dups(
     base.count()
     sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
     sigs.count()
+    rotate_cache("minhash.verified_near_dups", base, sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
 
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
@@ -372,6 +375,7 @@ def simhash_near_dups(
     # would recompute the upstream simhash aggregation per branch
     base = sh.select(F.col(id_col), blk.alias("blk")).persist()
     base.count()
+    rotate_cache("minhash.simhash_near_dups", base)
     e = base.select(id_col, F.posexplode("blk").alias("b_idx", "b_val"))
     a = e.alias("a")
     b = e.alias("b")

@@ -85,6 +85,13 @@ def split_old_deletes(
     return df.filter(~is_old_delete), df.filter(is_old_delete)
 
 
+def _null_key_reason(keys: Iterable[str]) -> Column:
+    whens = [F.when(F.col(k).isNull(), F.lit(f"null_key:{k}")) for k in keys]
+    if not whens:
+        return F.lit(None).cast("string")
+    return F.coalesce(*whens, F.lit(None).cast("string"))
+
+
 def split_poison(
     df: DataFrame,
     key_cols: Iterable[str],
@@ -92,6 +99,7 @@ def split_poison(
     op_col: str = "op",
     valid_ops: Iterable[str] = ("I", "U", "D"),
     table_col: str | None = "table_name",
+    key_cols_by_table: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """B3/O8 — poison-record quarantine.
 
@@ -111,23 +119,35 @@ def split_poison(
     row can't be routed to any table policy, so without this check it
     would be consumed into the ledger yet applied nowhere — a silent
     drop. Pass ``table_col=None`` for table-less frames.
+
+    ``key_cols_by_table`` scopes the key-null check per row to the
+    row's OWN table's key columns (a matomo-shaped changelog carries
+    many tables' key columns; a visits row legitimately has NULL
+    idgoal). Tables not in the map fall back to ``key_cols``.
     """
     keys = list(key_cols)
     reason = (
         F.when(F.col(seq_col).isNull(), F.lit("null_position"))
-        .when(~F.col(op_col).isin(list(valid_ops)), F.lit("unknown_op"))
-    )
-    if table_col is not None and table_col in df.columns:
-        reason = reason.when(F.col(table_col).isNull(), F.lit("null_table_name"))
-    reason = (
-        reason
-        .otherwise(
-            F.coalesce(
-                *[F.when(F.col(k).isNull(), F.lit(f"null_key:{k}")) for k in keys],
-                F.lit(None).cast("string"),
-            )
+        # isNull first: ``~isin`` is NULL (not true) for a NULL op, which
+        # would let a corrupt-envelope row through as "valid".
+        .when(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(list(valid_ops)),
+            F.lit("unknown_op"),
         )
     )
+    have_table = table_col is not None and table_col in df.columns
+    if have_table:
+        reason = reason.when(F.col(table_col).isNull(), F.lit("null_table_name"))
+    null_key = _null_key_reason(keys)
+    if key_cols_by_table and have_table:
+        # per-row scoping: each table checks only its own key columns
+        per_table = null_key
+        for tbl, cols in key_cols_by_table.items():
+            per_table = F.when(
+                F.col(table_col) == F.lit(tbl), _null_key_reason(cols)
+            ).otherwise(per_table)
+        null_key = per_table
+    reason = reason.otherwise(null_key)
     tagged = df.withColumn("__poison", reason)
     valid = tagged.filter(F.col("__poison").isNull()).drop("__poison")
     rejected = tagged.filter(F.col("__poison").isNotNull()).withColumnRenamed(

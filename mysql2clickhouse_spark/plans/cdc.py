@@ -222,14 +222,13 @@ def cdc_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     is plain per-key argmax SQL regardless of how the budget loop cut
     the batches. F6 is neutralized (horizon 10^6 days) — it has its own
     oracle query (``cdc_old_delete_rejection``)."""
-    import tempfile
-
+    from ..session import scratch_dir
     from ..streaming.runner import ReplicationRunner, RunConfig
 
     runner = ReplicationRunner(
         spark,
         RunConfig(
-            target_dir=tempfile.mkdtemp(prefix="m2c_e2e_"),
+            target_dir=scratch_dir("m2c_e2e_"),
             max_files_per_run=5,
             old_delete_days=10**6,
         ),

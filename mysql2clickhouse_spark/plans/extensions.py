@@ -48,6 +48,7 @@ from ..functions.text import (
     subtoken_count_col,
     token_count_col,
 )
+from ..session import rotate_cache
 from ..sources.tables import load_table, spread
 
 SIM_THRESHOLD = 0.25
@@ -223,6 +224,7 @@ def dedup_simhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin certifies against, run only at the driver's correctness scale
     (the operator itself never does this)."""
     sh = with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False).persist()
+    rotate_cache("ext.simhash_pairs_exact", sh)
     banded = simhash_near_dups(sh, "doc_id").agg(F.count(F.lit(1)).alias("n_banded"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h1"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h2"))
@@ -319,6 +321,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the emb cache; lazy persist lets the self-join's two concurrent
     # stages each run the Arrow UDF before the cache populates
     b.count()
+    rotate_cache("ext.embedding_cosine.bucket", emb, b)
     a_, b_ = b.alias("a"), b.alias("b")
     cands = (
         a_.join(
@@ -333,6 +336,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize once per vector; the per-pair verify is then one dot fold
     unit = emb.select("vec_id", unit_vec_col(F.col("embedding")).alias("u")).persist()
     unit.count()
+    rotate_cache("ext.embedding_cosine.unit", unit)
     va = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
     vb = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     dot = F.aggregate(
@@ -455,14 +459,13 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories at 100 TB. Rows-only driver check; identity with the
     in-memory IVF is oracle-pinned by ``ann_ivf_partitioned_equiv`` and
     the pruned scan is plan-pinned in test_plan_shapes."""
-    import tempfile
-
     from ..functions.similarity import ivf_topk_partitioned
+    from ..session import scratch_dir
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    path = tempfile.mkdtemp(prefix="m2c_ivf_") + "/index"
+    path = scratch_dir("m2c_ivf_") + "/index"
     return ivf_topk_partitioned(c, q, dim=EMB_DIM, index_path=path, k=TOPK, n_list=32, nprobe=8)
 
 

@@ -15,8 +15,9 @@ so the value-hash compare certifies streaming semantics end-to-end:
 - ``stream_windowed_counts``: watermarked tumbling-window counts
   (append mode). Append emission needs the watermark to pass a
   window's end, so a bounded run would withhold the tail windows; a
-  sentinel "closer" event 3 h past the real max event-time advances the
-  final watermark beyond every real window, and availableNow's no-data
+  sentinel "closer" event 4 h past the last real window boundary
+  advances the final watermark beyond every real window, and
+  availableNow's no-data
   micro-batch (the engine's end-of-stream eviction pass) flushes them.
   Every REAL window therefore finalizes and the result equals a plain
   per-hour GROUP BY — oracle-checkable.
@@ -35,12 +36,12 @@ real changelog directory — no per-query staging.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import scratch_dir
 from ..sources.changelog import CHANGELOG_VIEW_SQL, changelog_from_events
 from ..sources.tables import load_table
 from ..streaming.windows import stateful_latest_state, windowed_event_counts
@@ -50,8 +51,14 @@ CHANGELOG_DDL = (
     " file_seq bigint, ts timestamp, value double, event_type string"
 )
 
-#: closer-event horizon past max(ts); must exceed the watermark delay
-CLOSER_HOURS = 3
+#: closer-event horizon past date_trunc('hour', max(ts)). Anchoring on
+#: the window boundary (not raw max(ts)) makes the final watermark
+#: strictly exceed the last real window's end by a full hour no matter
+#: where max(ts) falls inside its hour: with max(ts) exactly on the
+#: boundary, a raw max(ts)+3h closer gives watermark == window end and
+#: append mode's strict eviction would withhold that window — a
+#: data-dependent oracle flake. Must exceed watermark delay + window.
+CLOSER_HOURS = 4
 WATERMARK = "2 hours"
 WINDOW = "1 hour"
 
@@ -62,7 +69,7 @@ def _stage_changelog(spark: SparkSession, sf_dir: str, n_files: int, closer: boo
     source). With ``closer`` a single sentinel row at max(ts)+3h is
     appended (table ``__closer__``) to advance the final watermark."""
     cl = changelog_from_events(load_table(spark, sf_dir, "events"))
-    out = os.path.join(tempfile.mkdtemp(prefix="m2c_stream_"), "changelog")
+    out = os.path.join(scratch_dir("m2c_stream_"), "changelog")
     cl.repartition(n_files, "file_seq").write.mode("overwrite").parquet(out)
     if closer:
         sentinel = cl.agg(F.max("ts").alias("mx")).select(
@@ -72,7 +79,10 @@ def _stage_changelog(spark: SparkSession, sf_dir: str, n_files: int, closer: boo
             F.lit(-1).cast("bigint").alias("key"),
             F.lit(-1).cast("bigint").alias("seq"),
             F.lit(-1).cast("bigint").alias("file_seq"),
-            (F.col("mx") + F.expr(f"INTERVAL {CLOSER_HOURS} HOURS")).alias("ts"),
+            (
+                F.date_trunc("hour", F.col("mx"))
+                + F.expr(f"INTERVAL {CLOSER_HOURS} HOURS")
+            ).alias("ts"),
             F.lit(0.0).alias("value"),
             F.lit("closer").alias("event_type"),
         )

@@ -13,9 +13,53 @@ but every setting below is chosen for cluster scale:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp dir removed at process exit. Oracle/bench queries that
+    stage data (replication targets, IVF indexes, stream sinks) MUST
+    allocate through this: a bare ``mkdtemp`` per invocation leaks a
+    full staged dataset every driver sweep / bench iteration —
+    unbounded /tmp growth at larger sf."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
+
+
+_CACHE_SLOTS: dict[str, list] = {}
+
+
+def rotate_cache(tag: str, *frames):
+    """Register ``frames`` as ``tag``'s live persisted set, unpersisting
+    whatever the tag held before. The eager-persist barriers in the
+    near-dup helpers must stay cached until the CALLER materializes the
+    returned (lazy) frame, so the helper can't unpersist them itself —
+    but without any release, a 50-query driver sweep pins dozens of
+    full-corpus signature caches and evicts useful memory at scale.
+    Rotation bounds the pinned set to one invocation per helper."""
+    for old in _CACHE_SLOTS.get(tag, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHE_SLOTS[tag] = list(frames)
+    return frames[0] if len(frames) == 1 else frames
 
 
 def get_spark(app_name: str = "mysql2clickhouse-spark") -> SparkSession:

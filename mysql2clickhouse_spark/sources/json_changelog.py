@@ -95,9 +95,13 @@ def changelog_from_json(df: DataFrame, json_col: str = "envelope") -> DataFrame:
     e = F.from_json(F.col(json_col), ENVELOPE_SCHEMA)
     img = F.when(e["op"] == "d", e["before"]).otherwise(e["after"])
     return df.select(
+        # Unmapped wire ops (e.g. Debezium snapshot-read "r") pass through
+        # verbatim so split_poison tags them unknown_op instead of a NULL
+        # op silently skating past the quarantine into the apply.
         F.when(e["op"] == "c", F.lit("I"))
         .when(e["op"] == "d", F.lit("D"))
         .when(e["op"] == "u", F.lit("U"))
+        .otherwise(e["op"])
         .alias("op"),
         e["source"]["db"].alias("schema_name"),
         e["source"]["table"].alias("table_name"),

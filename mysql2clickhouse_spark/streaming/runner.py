@@ -158,16 +158,24 @@ class ReplicationRunner:
 
     # --- helpers -----------------------------------------------------------
     @staticmethod
-    def _poison_key_cols(changelog: DataFrame) -> list[str]:
-        """Key columns to null-check in split_poison, derived from the
-        changelog contract: the generic adapter carries the business key
-        as ``key``; matomo-shaped frames carry their policy's key
-        columns. The union of registry key names restricted to columns
-        actually present resolves both shapes."""
-        candidates = {"key"}
-        for pol in REGISTRY.values():
-            candidates.update(pol.key_cols)
-        return [c for c in changelog.columns if c in candidates]
+    def _poison_key_cols(
+        changelog: DataFrame,
+    ) -> tuple[list[str], dict[str, list[str]]]:
+        """Key columns to null-check in split_poison. The generic
+        adapter carries the business key as ``key``; matomo-shaped
+        frames carry several tables' key columns side by side, so the
+        null check must be scoped PER TABLE (a visits row legitimately
+        has NULL idgoal — checking the union of all policies' keys
+        would quarantine nearly every valid row). Returns
+        ``(fallback_cols, per_table_cols)`` for ``split_poison``:
+        unregistered tables null-check ``key`` when present; registered
+        tables check only their own policy keys present in the frame."""
+        fallback = ["key"] if "key" in changelog.columns else []
+        by_table: dict[str, list[str]] = {}
+        for name, pol in REGISTRY.items():
+            present = [c for c in pol.key_cols if c in changelog.columns]
+            by_table[name] = present if present else fallback
+        return fallback, by_table
 
     @staticmethod
     def _resolve_cols(policy: TablePolicy, df: DataFrame) -> list[str]:
@@ -242,25 +250,44 @@ class ReplicationRunner:
         # return: a backlog of pure poison must still show up in the
         # report and the rejects table.)
         if cfg.quarantine:
-            ok, poisoned = split_poison(changelog, self._poison_key_cols(changelog))
+            fallback, by_table = self._poison_key_cols(changelog)
+            ok, poisoned = split_poison(
+                changelog, fallback, key_cols_by_table=by_table
+            )
             if cfg.dry_run:
                 report.rows_quarantined = poisoned.count()
             else:
                 # one pass: the quarantine count rides on the rejects
                 # write (count-then-conditional-write was two scans of
-                # the raw changelog, before the batch cache exists). An
-                # empty micro-batch appends a schema-bearing empty file
-                # once — harmless, and the rejects table stays readable.
+                # the raw changelog, before the batch cache exists).
+                # The write lands in a staging dir first: a clean batch
+                # must NOT append yet another empty file to the rejects
+                # table (one near-empty parquet per micro-batch forever
+                # is the classic small-files leak on object stores).
                 from pyspark.sql import Observation
 
+                rejects = os.path.join(cfg.target_dir, "rejects")
+                staging = rejects + "__staging"
                 obs = Observation()
                 (
                     poisoned.coalesce(1)
                     .observe(obs, F.count(F.lit(1)).alias("n"))
-                    .write.mode("append")
-                    .parquet(os.path.join(cfg.target_dir, "rejects"))
+                    .write.mode("overwrite")
+                    .parquet(staging)
                 )
-                report.rows_quarantined = int(obs.get["n"])
+                n = int(obs.get["n"])
+                if n:
+                    # part file names carry the write's job UUID, so a
+                    # plain move into the live dir cannot collide
+                    os.makedirs(rejects, exist_ok=True)
+                    for fn in os.listdir(staging):
+                        if fn.endswith(".parquet"):
+                            os.rename(
+                                os.path.join(staging, fn),
+                                os.path.join(rejects, fn),
+                            )
+                shutil.rmtree(staging, ignore_errors=True)
+                report.rows_quarantined = n
         else:
             ok = changelog
 
@@ -347,6 +374,17 @@ class ReplicationRunner:
                 .parquet(self.table_path(tbl))
             )
             stats["rows"] = int(obs.get["n"])
+            path = self.table_path(tbl)
+            if stats["rows"] == 0 and not any(
+                d.startswith("yyyymm=") for d in os.listdir(path)
+            ):
+                # a zero-row FIRST write left a dir holding only
+                # _SUCCESS — unreadable (UNABLE_TO_INFER_SCHEMA) for
+                # compaction and read-back; remove it so the table
+                # simply doesn't exist yet. A zero-row append to an
+                # existing table keeps its yyyymm dirs and is left
+                # alone.
+                shutil.rmtree(path)
             return stats
 
         stats["rows"] = self._apply_mutate_table(tbl, policy, tslice)
@@ -555,14 +593,20 @@ class ReplicationRunner:
         deadline = _time.monotonic() + 60.0 * max(0.0, max_minutes - grace_minutes)
         reports: list[RunReport] = []
         while _time.monotonic() < deadline:
-            before = self.resume_seq()
             r = self.run_once(changelog)
             reports.append(r)
-            # EOF = the resume point didn't advance. (Not "applied ==
-            # 0": unfixed poison rows are re-quarantined EVERY run, like
-            # the reference's poison statements — they must not keep the
-            # session spinning until the deadline.)
-            if self.resume_seq() == before:
+            # EOF = the resume point didn't advance, read off the report
+            # (start_seq comes from the ledger inside run_once; end_seq
+            # is the consumed cutoff) — NOT from extra ledger scans per
+            # iteration: the ledger grows a file per run, so bracketing
+            # each batch with two more read+agg+collect passes makes an
+            # N-batch session pay ~3N increasingly expensive reads.
+            # (Not "applied == 0": unfixed poison rows are re-quarantined
+            # EVERY run, like the reference's poison statements — they
+            # must not keep the session spinning until the deadline.)
+            # Dry runs never advance the ledger, so one probe batch is
+            # the whole session.
+            if r.dry_run or r.end_seq == r.start_seq:
                 break
         if max_minutes > 10 and compact_months:
             targets = compact_tables or {
