@@ -90,6 +90,30 @@ def langid_col(text: Column) -> Column:
     )
 
 
+def tokens_col(text: Column) -> Column:
+    """Whitespace token array (lower-cased, empties dropped) — the
+    shared tokenizer of the n-gram ops. Same token definition as
+    ``token_count_col`` (every whitespace run splits)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), " +"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def token_ngrams_col(tokens: Column, n: int) -> Column:
+    """All ``n``-token shingles of a token array, joined with single
+    spaces — the decontamination / fuzzy-match unit (GPT-3 used 13-gram
+    overlap; we default to 8 at the call sites). Fewer than ``n`` tokens
+    yields an EMPTY array (such docs can't leak an n-gram)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def fingerprint_col(text: Column, bits: int = 64) -> Column:
     """Document fingerprint: first ``bits/4`` hex chars of md5 over the
     lower-cased text — a stable content address for exact dedup and

@@ -1,4 +1,4 @@
-from . import corpus, cdc, extensions, streaming_queries  # noqa: F401
+from . import cdc, corpus, curation, extensions, streaming_queries  # noqa: F401
 
 
 def all_queries():
@@ -6,6 +6,7 @@ def all_queries():
     q.update(corpus.QUERIES)
     q.update(cdc.QUERIES)
     q.update(extensions.QUERIES)
+    q.update(curation.QUERIES)
     q.update(streaming_queries.QUERIES)
     return q
 
@@ -15,5 +16,6 @@ def all_oracles():
     o.update(corpus.ORACLE)
     o.update(cdc.ORACLE)
     o.update(extensions.ORACLE)
+    o.update(curation.ORACLE)
     o.update(streaming_queries.ORACLE)
     return o

@@ -1,0 +1,362 @@
+"""Corpus-curation operators beyond pair mining: near-dup CLUSTERING
+(connected components over the pair graph), test-set DECONTAMINATION
+(n-gram overlap against an eval set), sequence PACKING (token-budget
+binning for training), and deterministic STRATIFIED SAMPLING.
+
+These are the stages a production training-data pipeline runs after
+(or alongside) the dedup/similarity ops in ``plans/extensions.py``:
+pairs → clusters → canonical doc; corpus − eval leakage; docs →
+fixed-token training sequences; corpus → per-language quota sample.
+
+Every query here is fully deterministic (no engine-specific hash
+functions), so each carries a complete DuckDB oracle — including the
+connected-components result, which the oracle reproduces with a
+recursive CTE (min-reachable-label closure).
+
+Reference parity note: the reference has none of these (its dedup is
+per-key latest-version, SURVEY §2.5 Q1-Q3); they are north-star
+extensions mandated by BASELINE.json, built on the same corpus tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.graph import cluster_summary, connected_components
+from ..functions.minhash import jaccard_col, with_shingles
+from ..functions.text import token_count_col, token_ngrams_col, tokens_col
+from ..sources.tables import load_table, spread
+
+#: near-dup cluster corpus: two mutation generations plant 3-node chains
+CC_OFF_1 = 1_000_000   # doc + ' extra'
+CC_OFF_2 = 3_000_000   # doc + ' extra extra'
+CC_EDGE_THRESHOLD = 0.7
+
+#: decontamination: eval set = every 50th doc's first 12 tokens
+DECON_EVAL_MOD = 50
+DECON_PREFIX_TOKENS = 12
+DECON_NGRAM = 8
+
+#: sequence packing: shard fan-out and per-sequence token budget
+PACK_SHARDS = 32
+PACK_BUDGET = 2048
+
+#: stratified sampling: per-language keep rates (default for unseen)
+SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2, "fr": 0.4, "zh": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+#: LCG constants (glibc): u = ((id*A + C) mod 2^31) / 2^31 — pure
+#: BIGINT arithmetic both engines evaluate identically (no overflow for
+#: id < 2^32; at larger ids pre-reduce id mod 2^31 first)
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- near-dup clustering ----------------------------------------------------
+
+def _cc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ two mutant generations: (id) — (id+10^6, ' extra') —
+    (id+3·10^6, ' extra extra'). Adjacent generations are near-dups, so
+    the similarity graph contains 3-node chains — clusters that only
+    emerge from transitive closure, which is exactly what the CC
+    operator must recover (pair mining alone sees 2-3 separate edges)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    m1 = d.select(
+        (F.col("doc_id") + CC_OFF_1).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    m2 = d.select(
+        (F.col("doc_id") + CC_OFF_2).alias("doc_id"),
+        F.concat("text", F.lit(" extra extra")).alias("text"),
+    )
+    return spread(d.unionByName(m1).unionByName(m2))
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: deterministic edge mining (exact
+    5-gram Jaccard ≥ 0.7 on the generation pairs) → connected
+    components → per-cluster rollup, singletons included — a complete
+    partition of the corpus into (rep_id, n_members) groups, the thing
+    a curation job writes back as its keep-list.
+
+    The edge miner here is the ORACLE-CHECKABLE stand-in for the
+    production pair source (``verified_near_dups`` — plug its output
+    straight into ``connected_components``); exact Jaccard keeps the
+    whole query deterministic so the driver can value-hash the cluster
+    structure against DuckDB's recursive-CTE closure.
+
+    Scale: edges are mined with equi-joins on the generation offset (no
+    all-pairs stage); CC is O(log d) rounds of two narrow shuffles each
+    (functions/graph.py); the rollup is one agg. The singleton
+    completion is a broadcast anti-join against the (tiny) clustered-
+    node set."""
+    sh = with_shingles(_cc_corpus(spark, sf_dir), "text", k=5).select(
+        "doc_id", "shingles"
+    )
+    sh = sh.persist()
+    sh.count()  # eager: 3 edge joins + the singleton pass consume it
+    from ..session import rotate_cache
+
+    rotate_cache("curation.cc_shingles", sh)
+
+    edges = None
+    for off in (CC_OFF_1, CC_OFF_2 - CC_OFF_1, CC_OFF_2):
+        a, b = sh.alias("a"), sh.alias("b")
+        e = (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + off)
+            .withColumn(
+                "j", jaccard_col(F.col("a.shingles"), F.col("b.shingles"))
+            )
+            .filter(F.col("j") >= CC_EDGE_THRESHOLD)
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+        )
+        edges = e if edges is None else edges.unionByName(e)
+
+    comp = connected_components(edges, "id_a", "id_b")
+    clusters = cluster_summary(comp)
+    singles = (
+        sh.select("doc_id")
+        .join(
+            F.broadcast(comp.select(F.col("node").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+        .select(F.col("doc_id").alias("rep_id"), F.lit(1).cast("bigint").alias("n_members"))
+    )
+    return clusters.unionByName(singles)
+
+
+# --- test-set decontamination ----------------------------------------------
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-eval n-gram decontamination (the GPT-3 appendix-C
+    procedure, 8-gram variant): the eval set is every 50th doc's first
+    12 tokens; any training doc sharing ≥ 1 lower-cased 8-token gram
+    with the eval set is flagged with its distinct shared-gram count.
+
+    Output: (doc_id, n_shared_grams) for contaminated docs only — the
+    source docs of the eval prompts must all flag themselves (their
+    prefix IS an eval gram), plus whatever collides naturally.
+
+    Scale: the eval gram set is tiny relative to the corpus (eval
+    benchmarks are fixed-size) → broadcast inner join against the
+    exploded training grams; one scan of the corpus, one narrow
+    groupBy(doc_id). At extreme eval sizes swap the broadcast for a
+    bloom-filter pre-pass; the plan shape otherwise survives 100 TB."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+
+    eval_grams = (
+        toks.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(
+            F.explode(
+                token_ngrams_col(
+                    F.slice("toks", 1, DECON_PREFIX_TOKENS), DECON_NGRAM
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    train_grams = toks.select(
+        "doc_id", F.explode(token_ngrams_col(F.col("toks"), DECON_NGRAM)).alias("gram")
+    ).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-then-chunk, the standard
+    pre-training packing): docs are sharded by ``doc_id % 32``, ordered
+    by doc_id within a shard, and cut into sequences wherever the
+    running token total crosses a 2048-token boundary. Output: one row
+    per (shard, seq_id) with its doc count and token total.
+
+    Scale: the only shuffle is the per-shard window sort; shards are
+    independent, so parallelism = shard count — size PACK_SHARDS to the
+    cluster (100k+ at 100 TB) and each shard's window stays a local
+    sort. No global order is ever imposed."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)),
+    )
+    return c.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
+# --- stratified sampling ----------------------------------------------------
+
+def sample_uniform_col(id_col: Column) -> Column:
+    """Deterministic uniform in [0, 1) from an integer id (glibc LCG
+    constants). Pure BIGINT arithmetic — replay-stable, engine-agnostic,
+    and a plain filter predicate (no shuffle, pushes past scans)."""
+    return (
+        F.pmod(id_col * F.lit(LCG_A) + F.lit(LCG_C), F.lit(LCG_M))
+        / F.lit(float(LCG_M))
+    )
+
+
+def sample_rate_col(lang_col: Column) -> Column:
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(lang_col == lang, F.lit(r)).otherwise(rate)
+    return rate
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling with a deterministic hash-uniform:
+    keep a doc iff u(doc_id) < rate(lang). The per-stratum report
+    (n_total, n_sampled) is the auditable artifact; the keep predicate
+    itself (``sample_uniform_col < sample_rate_col``) is a pure filter
+    any downstream query composes for free.
+
+    Scale: sampling is a stateless per-row predicate — no shuffle, no
+    state, survives any corpus size; the report is one agg."""
+    d = _docs(spark, sf_dir)
+    kept = sample_uniform_col(F.col("doc_id")) < sample_rate_col(F.col("lang"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("bigint")).alias("n_sampled"),
+        )
+    )
+
+
+QUERIES = {
+    "dedup_cluster_cc": dedup_cluster_cc,
+    "corpus_decontaminate": corpus_decontaminate,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_sample_stratified": corpus_sample_stratified,
+}
+
+_CC_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {CC_OFF_1} AS doc_id, text || ' extra' AS text FROM documents
+UNION ALL
+SELECT doc_id + {CC_OFF_2} AS doc_id, text || ' extra extra' AS text FROM documents
+"""
+
+_TOK_SQL = "list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t <> '')"
+
+_TOKENS_COUNT_SQL = """
+CASE WHEN length(trim(text)) = 0 THEN 0
+     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END
+"""
+
+
+def _gram_sql(toks: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+
+
+ORACLE = {
+    # min-reachable-label closure reproduces the CC result exactly
+    "dedup_cluster_cc": f"""
+WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(length(lower(text)) - 4, 1) + 1),
+             i -> substring(lower(text), i, 5))) AS shingles
+  FROM corpus
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles))) AS j
+  FROM sh a JOIN sh b
+    ON b.doc_id - a.doc_id IN ({CC_OFF_1}, {CC_OFF_2 - CC_OFF_1}, {CC_OFF_2})
+),
+edges AS (SELECT id_a, id_b FROM cand WHERE j >= {CC_EDGE_THRESHOLD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+clusters AS (
+  SELECT component AS rep_id, count(*) AS n_members FROM comp GROUP BY component
+),
+singles AS (
+  SELECT c.doc_id AS rep_id, CAST(1 AS BIGINT) AS n_members
+  FROM corpus c WHERE c.doc_id NOT IN (SELECT node FROM nodes)
+)
+SELECT rep_id, n_members FROM clusters
+UNION ALL
+SELECT rep_id, n_members FROM singles
+""",
+    "corpus_decontaminate": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+egrams AS (
+  SELECT DISTINCT unnest({_gram_sql(f"(toks)[1:{DECON_PREFIX_TOKENS}]", DECON_NGRAM)}) AS gram
+  FROM tok WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+tgrams AS (
+  SELECT DISTINCT doc_id, unnest({_gram_sql("toks", DECON_NGRAM)}) AS gram FROM tok
+)
+SELECT t.doc_id, count(*) AS n_shared_grams
+FROM tgrams t JOIN egrams e USING (gram)
+GROUP BY t.doc_id
+""",
+    "corpus_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST({_TOKENS_COUNT_SQL} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT shard, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM c GROUP BY 1, 2
+""",
+    "corpus_sample_stratified": f"""
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN
+           CAST((doc_id * {LCG_A} + {LCG_C}) % {LCG_M} AS DOUBLE) / {LCG_M}
+           < (CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))}
+              ELSE {SAMPLE_DEFAULT_RATE} END)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang
+""",
+}
