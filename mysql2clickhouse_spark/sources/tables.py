@@ -29,22 +29,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning + predicate pushdown reach the scan
     because we return the raw DataFrame (no caching, no collect).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet, which Spark only
-    reads as a long (``nanosAsLong``); we truncate to microseconds —
-    matching DuckDB's ns->us cast — so both engines see identical
-    timestamps."""
+    Timestamp normalization: the driver has shipped ``events.ts`` both as
+    TIMESTAMP(NANOS) (readable only as long via ``nanosAsLong``) and as
+    plain TIMESTAMP micros without a UTC flag (which Spark 4 infers as
+    TIMESTAMP_NTZ). Either way the generator's wall-clock IS UTC, and the
+    engine + DuckDB oracles agree on instant semantics — so we pin the
+    session zone to UTC and surface every timestamp column as the regular
+    (instant) TIMESTAMP type. The cast is a scan-stage projection; pruning
+    and pushdown still reach the parquet reader."""
     if name == "events":
         try:  # harmless if the session already set it / made it static
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    needs_ns = name == "events" and dict(df.dtypes).get("ts") == "bigint"
+    if ntz_cols or needs_ns:
+        from pyspark.sql import functions as F
 
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+        if needs_ns:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
