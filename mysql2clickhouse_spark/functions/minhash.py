@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..session import rotate_cache
+from ..session import release_cache, rotate_cache
 
 # Mersenne prime 2^31-1: with 31-bit shingle hashes, h*a + b < 2^62 —
 # stays inside BIGINT so the whole permutation family runs as native
@@ -225,6 +225,7 @@ def verified_near_dups(
         hashed = with_hashed_shingles(shingled)
     else:
         hashed = with_hset(shingled, text_col, k)
+    release_cache("minhash.verified_near_dups")  # BEFORE persist — see session.py
     base = hashed.select(id_col, "hset").persist()
     base.count()
     sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
@@ -373,6 +374,7 @@ def simhash_near_dups(
     # persist + eager count: ``base`` feeds 4 concurrent stages (both
     # sides of the bucket self-join, both verify joins); lazy persist
     # would recompute the upstream simhash aggregation per branch
+    release_cache("minhash.simhash_near_dups")  # BEFORE persist — see session.py
     base = sh.select(F.col(id_col), blk.alias("blk")).persist()
     base.count()
     rotate_cache("minhash.simhash_near_dups", base)

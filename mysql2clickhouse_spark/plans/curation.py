@@ -94,13 +94,14 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/graph.py); the rollup is one agg. The singleton
     completion is a broadcast anti-join against the (tiny) clustered-
     node set."""
+    from ..session import release_cache, rotate_cache
+
+    release_cache("curation.cc_shingles")  # BEFORE persist — see session.py
     sh = with_shingles(_cc_corpus(spark, sf_dir), "text", k=5).select(
         "doc_id", "shingles"
     )
     sh = sh.persist()
     sh.count()  # eager: 3 edge joins + the singleton pass consume it
-    from ..session import rotate_cache
-
     rotate_cache("curation.cc_shingles", sh)
 
     edges = None

@@ -48,7 +48,7 @@ from ..functions.text import (
     subtoken_count_col,
     token_count_col,
 )
-from ..session import rotate_cache
+from ..session import release_cache, rotate_cache
 from ..sources.tables import load_table, spread
 
 SIM_THRESHOLD = 0.25
@@ -223,6 +223,7 @@ def dedup_simhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The brute force is O(n²) ON PURPOSE — it is the ground truth this
     twin certifies against, run only at the driver's correctness scale
     (the operator itself never does this)."""
+    release_cache("ext.simhash_pairs_exact")  # BEFORE persist — see session.py
     sh = with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False).persist()
     rotate_cache("ext.simhash_pairs_exact", sh)
     banded = simhash_near_dups(sh, "doc_id").agg(F.count(F.lit(1)).alias("n_banded"))
@@ -313,6 +314,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 candidate set from 79k to ~4k (verify join 40×→2× the true
     pair volume, measured) with recall for exact dups still exactly 1
     (identical vectors agree on every sign bit regardless of b)."""
+    release_cache("ext.embedding_cosine.bucket")  # BEFORE persist — see session.py
+    release_cache("ext.embedding_cosine.unit")
     emb = _emb_with_mutants(spark, sf_dir).persist()  # bucket pass + both verify sides
     b = with_lsh_buckets(emb, dim=EMB_DIM, n_planes=12, n_tables=2).select(
         "vec_id", "tbl", "bucket"

@@ -45,19 +45,31 @@ def _cleanup_scratch() -> None:
 _CACHE_SLOTS: dict[str, list] = {}
 
 
-def rotate_cache(tag: str, *frames):
-    """Register ``frames`` as ``tag``'s live persisted set, unpersisting
-    whatever the tag held before. The eager-persist barriers in the
-    near-dup helpers must stay cached until the CALLER materializes the
-    returned (lazy) frame, so the helper can't unpersist them itself —
-    but without any release, a 50-query driver sweep pins dozens of
-    full-corpus signature caches and evicts useful memory at scale.
-    Rotation bounds the pinned set to one invocation per helper."""
-    for old in _CACHE_SLOTS.get(tag, []):
+def release_cache(tag: str) -> None:
+    """Unpersist whatever ``tag`` holds. Helpers MUST call this at entry,
+    BEFORE persisting the invocation's own frames: a repeat invocation
+    with identical inputs produces the same analyzed plan, and Spark's
+    CacheManager treats ``persist()`` on an already-cached plan as a
+    no-op — so rotating AFTER the new persist would drop the one cache
+    entry both invocations share, and the repeat run would execute its
+    whole diamond DAG uncached (measured 2× on the minhash pipeline)."""
+    for old in _CACHE_SLOTS.pop(tag, []):
         try:
             old.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+
+
+def rotate_cache(tag: str, *frames):
+    """Register ``frames`` as ``tag``'s live persisted set, unpersisting
+    whatever the tag held before (normally nothing — the helper released
+    at entry). The eager-persist barriers in the near-dup helpers must
+    stay cached until the CALLER materializes the returned (lazy) frame,
+    so the helper can't unpersist them itself — but without any release,
+    a 50-query driver sweep pins dozens of full-corpus signature caches
+    and evicts useful memory at scale. Rotation bounds the pinned set to
+    one invocation per helper."""
+    release_cache(tag)
     _CACHE_SLOTS[tag] = list(frames)
     return frames[0] if len(frames) == 1 else frames
 
