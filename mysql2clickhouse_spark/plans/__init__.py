@@ -1,4 +1,4 @@
-from . import cdc, corpus, curation, extensions, streaming_queries  # noqa: F401
+from . import cdc, corpus, curation, extensions, quality, streaming_queries  # noqa: F401
 
 
 def all_queries():
@@ -7,6 +7,7 @@ def all_queries():
     q.update(cdc.QUERIES)
     q.update(extensions.QUERIES)
     q.update(curation.QUERIES)
+    q.update(quality.QUERIES)
     q.update(streaming_queries.QUERIES)
     return q
 
@@ -17,5 +18,6 @@ def all_oracles():
     o.update(cdc.ORACLE)
     o.update(extensions.ORACLE)
     o.update(curation.ORACLE)
+    o.update(quality.ORACLE)
     o.update(streaming_queries.ORACLE)
     return o

@@ -1,0 +1,219 @@
+"""Quality-filtering and PII-screening queries over ``documents`` —
+the pre-training gate stages a corpus pipeline runs before dedup:
+Gopher-style repetition/composition filters, the top-2-gram repetition
+profile, and regex PII redaction.
+
+Reference parity note: the reference has none of these (its engine is
+CDC replication, SURVEY §2); they are north-star extensions in the same
+series as plans/curation.py, fully deterministic and oracle-checked.
+
+Scale shapes:
+- ``text_quality_gopher`` / ``text_pii_redact``: pure per-row column
+  expressions — zero shuffles, the filter rides the parquet scan;
+- ``text_repetition_top2gram``: explode → per-(doc, gram) count →
+  per-doc argmax — two narrow shuffles, both combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.pii import pii_count_cols, redact_pii_col
+from ..functions.quality import gopher_metrics
+from ..functions.text import token_ngrams_col, tokens_col
+from ..sources.tables import load_table
+
+#: PII planting: which synthetic artifact each doc gets (by doc_id % 7)
+PII_MOD = 7
+PII_PHONE_SLOT = 1
+PII_EMAIL_SLOT = 3
+PII_IP_SLOT = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher metric set + keep decision. One scan, zero
+    shuffles — check the plan: a single Project over the file scan."""
+    d = _docs(spark, sf_dir)
+    m = gopher_metrics(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in m.items()])
+
+
+def text_repetition_top2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent 2-gram per doc and the fraction of the doc's
+    characters its occurrences cover (the Gopher "top n-gram character
+    fraction" screen). Deterministic tie-break: highest count, then
+    lexicographically smallest gram. Docs with < 2 tokens are absent
+    (no 2-grams)."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(token_ngrams_col(tokens_col(F.col("text")), 2)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("n_chars").alias("n_chars")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_count"),
+            F.round(
+                F.col("cnt") * F.length("gram") / F.col("n_chars").cast("double"), 4
+            ).alias("top2gram_char_frac"),
+        )
+    )
+
+
+def _planted_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with deterministic PII planted on 3/7 of docs (the corpus
+    itself is synthetic word salad with no PII): a phone, an email, or
+    an IPv4 built from doc_id, appended to the text. Both engines build
+    the identical string, so redaction is value-hash-checkable."""
+    d = _docs(spark, sf_dir)
+    mod = F.pmod(F.col("doc_id"), F.lit(PII_MOD))
+    did = F.col("doc_id").cast("string")
+    suffix = (
+        F.when(
+            mod == PII_PHONE_SLOT,
+            F.concat(
+                F.lit(" call 202-555-01"),
+                (F.pmod(F.col("doc_id"), F.lit(90)) + 10).cast("string"),
+            ),
+        )
+        .when(mod == PII_EMAIL_SLOT, F.concat(F.lit(" mail user"), did, F.lit("@example.com")))
+        .when(
+            mod == PII_IP_SLOT,
+            F.concat(
+                F.lit(" from 10."),
+                F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+                F.lit(".0."),
+                (F.pmod(F.col("doc_id"), F.lit(200)) + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text"))
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screen end-to-end on the planted corpus: per-type match
+    counts on the raw text + md5 of the redacted text (certifying the
+    replacement landed AND clean docs passed through unchanged).
+    Pure per-row regex — zero shuffles."""
+    p = _planted_pii(spark, sf_dir)
+    counts = pii_count_cols(F.col("text"))
+    return p.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        F.md5(redact_pii_col(F.col("text"))).alias("clean_hash"),
+    )
+
+
+QUERIES = {
+    "text_quality_gopher": text_quality_gopher,
+    "text_repetition_top2gram": text_repetition_top2gram,
+    "text_pii_redact": text_pii_redact,
+}
+
+# --- DuckDB oracles ---------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t <> '')"
+
+
+def _grams2(toks: str) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - 1, 0) + 1),"
+        f" i -> array_to_string(({toks})[i:i+1], ' '))"
+    )
+
+
+_PII_SUFFIX_SQL = f"""
+CASE doc_id % {PII_MOD}
+  WHEN {PII_PHONE_SLOT} THEN ' call 202-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+  WHEN {PII_EMAIL_SLOT} THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+  WHEN {PII_IP_SLOT} THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+  ELSE '' END
+"""
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE_RE = r"\+?[0-9][0-9() \-]{6,}[0-9]\b"
+
+ORACLE = {
+    "text_quality_gopher": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_token_len,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS dup_token_frac,
+         CASE WHEN len({_grams2('toks')}) > 0
+              THEN 1.0 - CAST(len(list_distinct({_grams2('toks')})) AS DOUBLE)
+                   / len({_grams2('toks')})
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS symbol_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(dup_token_frac, 4) AS dup_token_frac,
+       round(dup_2gram_frac, 4) AS dup_2gram_frac,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       (n_tokens >= 30 AND n_tokens <= 100000
+        AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+        AND dup_2gram_frac <= 0.60 AND symbol_ratio <= 0.10) AS gopher_keep
+FROM m
+""",
+    "text_repetition_top2gram": f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars, unnest({_grams2('toks')}) AS gram FROM t
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS cnt, max(n_chars) AS n_chars
+  FROM g GROUP BY doc_id, gram
+),
+r AS (
+  SELECT doc_id, gram, cnt, n_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c
+)
+SELECT doc_id, gram AS top_gram, cnt AS top_count,
+       round(cnt * length(gram) / CAST(n_chars AS DOUBLE), 4) AS top2gram_char_frac
+FROM r WHERE rn = 1
+""",
+    "text_pii_redact": f"""
+WITH p AS (
+  SELECT doc_id, coalesce(text, '') || {_PII_SUFFIX_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IPV4_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM p
+""",
+}

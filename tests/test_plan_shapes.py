@@ -137,3 +137,26 @@ def test_budget_slice_plan_has_no_global_sort(spark, tmp_path):
     # and both bounds reach the parquet reader
     assert "GreaterThan(seq,9)" in plan
     assert f"LessThanOrEqual(seq,{hi})" in plan
+
+
+def test_quality_and_pii_queries_stay_jvm_side_no_shuffle(spark, sf_dir, queries):
+    """The pre-training filter pass must ride the scan: per-row column
+    expressions only — no Exchange, no Python workers — so at 100 TB the
+    gate costs one projection, not a stage."""
+    for name in ("text_quality_gopher", "text_pii_redact"):
+        plan = plan_of(spark, queries[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_top2gram_is_two_narrow_shuffles(spark, sf_dir, queries):
+    """The per-doc argmax profile: one shuffle for the (doc, gram)
+    count (partial-agg combines map-side), one for the per-doc window —
+    and nothing else (no join back to the corpus, no global sort)."""
+    plan = plan_of(spark, queries["text_repetition_top2gram"](spark, sf_dir))
+    # "Exchange (" counts tree nodes only (details repeat the name)
+    assert plan.count("Exchange (") == 2, plan[:1500]
+    assert "Join" not in plan
+    assert "HashAggregate" in plan  # partial+final agg, not sort-based
+    # rank-1 pruning runs BEFORE the window shuffle (partial group limit)
+    assert "WindowGroupLimit" in plan
