@@ -356,6 +356,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic dedup (SemDeDup) --------------------------------------------
+
+SEMDEDUP_N_CLUSTERS = 32
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    the IVF coarse quantizer, then drop any vector whose cosine to a
+    SMALLER-id vector in the SAME cluster clears the duplicate
+    threshold — pairwise work confined to clusters, never the corpus.
+    Returns (vec_id, cluster_id, keep).
+
+    Exercised on the corpus ∪ planted exact copies (vec_id + 10^6):
+    identical vectors always land in the same cluster (same argmax) at
+    cosine exactly 1, so every planted copy must come back keep=false —
+    ``semdedup_recall`` pins that as an oracle row.
+
+    Scale: the cluster pass is the IVF assignment (one GEMM per Arrow
+    batch, no shuffle); the within-cluster pair join shuffles on
+    ``cluster_id`` once, and per-cluster pair volume is (n/k)² — size
+    SEMDEDUP_N_CLUSTERS ∝ corpus so cluster populations stay bounded
+    (the paper runs 50k clusters on its web corpus)."""
+    from ..functions.similarity import train_ivf_centroids, with_ivf_lists
+    from ..session import release_cache, rotate_cache
+
+    emb = _emb_with_mutants(spark, sf_dir)
+    C = train_ivf_centroids(emb, EMB_DIM, SEMDEDUP_N_CLUSTERS, id_col="vec_id")
+    release_cache("ext.semdedup.assigned")  # BEFORE persist — see session.py
+    assigned = (
+        with_ivf_lists(
+            emb.select("vec_id", unit_vec_col(F.col("embedding")).alias("u")),
+            C,
+            nprobe=1,
+            vec_col="u",
+        )
+        .withColumnRenamed("list_id", "cluster_id")
+        .persist()  # feeds both sides of the pair join + the output
+    )
+    assigned.count()  # eager barrier (see verified_near_dups)
+    rotate_cache("ext.semdedup.assigned", assigned)
+
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("u").alias("u_a")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("u").alias("u_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dropped = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot >= EMB_DUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.select("vec_id", "cluster_id").join(
+        dropped.withColumn("__drop", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster_id", F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep")
+    )
+
+
+def semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of ``semdedup``: every planted exact copy must be
+    dropped (cosine 1 to its smaller-id original, provably co-clustered)
+    and every vector must appear exactly once. One row:
+    (n_vectors, n_planted, planted_all_dropped)."""
+    out = semdedup(spark, sf_dir)
+    planted = out.filter(F.col("vec_id") >= MUT_OFFSET)
+    return (
+        out.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("vec_id") >= MUT_OFFSET, 1).otherwise(0)).cast(
+                "bigint"
+            ).alias("n_planted"),
+        )
+        .crossJoin(
+            F.broadcast(
+                planted.agg(
+                    (F.sum(F.when(F.col("keep"), 1).otherwise(0)) == 0).alias(
+                        "planted_all_dropped"
+                    )
+                )
+            )
+        )
+    )
+
+
 # --- text analysis --------------------------------------------------------
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,6 +694,8 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_pairs_exact": dedup_simhash_pairs_exact,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "semdedup": semdedup,
+    "semdedup_recall": semdedup_recall,
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
     "text_stats": text_stats,
@@ -636,6 +730,14 @@ _NTHE_SQL = """
 """
 
 ORACLE = {
+    # planted exact copies are provably co-clustered at cosine 1, so the
+    # expected outcome is a constant the oracle derives from row counts
+    "semdedup_recall": """
+SELECT CAST(2 * count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_planted,
+       TRUE AS planted_all_dropped
+FROM embeddings
+""",
     "dedup_exact": f"""
 WITH d AS ({_MUTANT_SQL})
 SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
