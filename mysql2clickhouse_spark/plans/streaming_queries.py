@@ -169,9 +169,50 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-native dedup of an at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on the globally-unique position
+    absorbs a full REPLAY of the changelog (the reference's crash-
+    between-data-and-ledger duplicate scenario, doc_old_duplicates.md:
+    6-10 — handled in-stream instead of at read time).
+
+    The staged stream is the changelog written TWICE (two identical
+    single-file copies, one micro-batch each). Whichever copy processes
+    first emits every row (a batch is never late against the initial
+    watermark); the second copy's rows are all dropped — by dedup state
+    inside the watermark, by the late-record filter beyond it. Either
+    way the sink holds the changelog exactly once, so the oracle is the
+    plain changelog view.
+
+    Scale: state is one (seq) entry per in-watermark event — bounded by
+    the watermark horizon, not the stream length — which is the point of
+    the WithinWatermark variant over plain dropDuplicates."""
+    cl = changelog_from_events(load_table(spark, sf_dir, "events"))
+    out = os.path.join(scratch_dir("m2c_stream_"), "changelog")
+    cl.coalesce(1).write.mode("overwrite").parquet(out)
+    cl.coalesce(1).write.mode("append").parquet(out)  # the replayed delivery
+    stream = (
+        spark.readStream.schema(CHANGELOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    deduped = stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["seq"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_latest_state
+    try:
+        sink = _run_to_sink(deduped, os.path.dirname(out), "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink).select(
+        "op", "schema_name", "table_name", "key", "seq", "file_seq", "ts",
+        "value", "event_type",
+    )
+
+
 QUERIES = {
     "stream_latest_state": stream_latest_state,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_dedup_replay": stream_dedup_replay,
 }
 
 ORACLE = {
@@ -185,6 +226,12 @@ ORACLE = {
                    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
             FROM ({CHANGELOG_VIEW_SQL}) c
         ) WHERE rn = 1
+    """,
+    # the doubled delivery dedups back to exactly the changelog
+    "stream_dedup_replay": f"""
+        SELECT op, schema_name, table_name, key, seq, file_seq, ts,
+               value, event_type
+        FROM ({CHANGELOG_VIEW_SQL}) c
     """,
     # every real window finalizes (closer advances the watermark past
     # them), so streaming append == plain per-hour GROUP BY
