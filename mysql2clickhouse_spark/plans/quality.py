@@ -119,10 +119,84 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus-wide 5-gram boilerplate threshold: a gram in >= this many
+#: DISTINCT docs is boilerplate (C4 removes repeated spans corpus-wide)
+BOILERPLATE_NGRAM = 5
+BOILERPLATE_MIN_DOCS = 2
+
+
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per-token occurrence and document frequency —
+    the base table for frequency-based filtering and the unigram LM.
+    Explode + one groupBy(token); partial aggregation combines map-side
+    so the shuffle carries one row per (partition, token)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter with a self-trained unigram LM:
+    per-doc mean negative log2 probability of its tokens under the
+    corpus unigram distribution. High values flag out-of-distribution
+    docs (the role KenLM plays in CCNet, model-free and deterministic).
+
+    Two aggregations: the unigram table (one groupBy) broadcasts into
+    the token stream (vocabulary ≪ corpus — Zipf guarantees it at any
+    scale; swap to a shuffle join for a pathological vocab), then one
+    groupBy(doc). Output: (doc_id, n_tokens, logppl)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (-F.log2(F.col("cnt") / F.col("total"))).alias("neg_log2_p")
+    )
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("neg_log2_p"), 4).alias("logppl"),
+        )
+    )
+
+
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span detector (the C4 boilerplate rule):
+    5-grams present in >= BOILERPLATE_MIN_DOCS distinct documents, with
+    their document frequency. Downstream, docs containing these grams
+    get the spans stripped or are down-weighted.
+
+    Per-doc grams are deduped BEFORE the corpus aggregation (explode of
+    the distinct array), so the shuffle carries document frequency, not
+    occurrence counts."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                token_ngrams_col(tokens_col(F.col("text")), BOILERPLATE_NGRAM)
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
 QUERIES = {
     "text_quality_gopher": text_quality_gopher,
     "text_repetition_top2gram": text_repetition_top2gram,
     "text_pii_redact": text_pii_redact,
+    "corpus_vocab": corpus_vocab,
+    "text_unigram_logppl": text_unigram_logppl,
+    "corpus_boilerplate_ngrams": corpus_boilerplate_ngrams,
 }
 
 # --- DuckDB oracles ---------------------------------------------------------
@@ -130,11 +204,15 @@ QUERIES = {
 _TOKS = "list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t <> '')"
 
 
-def _grams2(toks: str) -> str:
+def _grams(toks: str, n: int) -> str:
     return (
-        f"list_transform(range(1, greatest(len({toks}) - 1, 0) + 1),"
-        f" i -> array_to_string(({toks})[i:i+1], ' '))"
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
     )
+
+
+def _grams2(toks: str) -> str:
+    return _grams(toks, 2)
 
 
 _PII_SUFFIX_SQL = f"""
@@ -201,6 +279,38 @@ r AS (
 SELECT doc_id, gram AS top_gram, cnt AS top_count,
        round(cnt * length(gram) / CAST(n_chars AS DOUBLE), 4) AS top2gram_char_frac
 FROM r WHERE rn = 1
+""",
+    "corpus_vocab": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+)
+SELECT token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+""",
+    "text_unigram_logppl": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+lm AS (
+  SELECT token, -log2(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM vocab)) AS neg_log2_p
+  FROM vocab
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(l.neg_log2_p), 4) AS logppl
+FROM tok t JOIN lm l USING (token)
+GROUP BY t.doc_id
+""",
+    "corpus_boilerplate_ngrams": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, unnest({_grams("toks", 5)}) AS gram FROM t
+)
+SELECT gram, count(*) AS n_docs
+FROM g GROUP BY gram HAVING count(*) >= 2
 """,
     "text_pii_redact": f"""
 WITH p AS (
