@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.apply import latest_by_key
 from ..operators.dedup import dedup_in_window, duplicate_audit
@@ -254,6 +255,67 @@ def q12_ledger_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ledger_prune(ev, LEDGER_CUT, created_col="ts")
 
 
+# --- corpus extensions: sessionization + exact percentiles -----------------
+# The reference's domain (Matomo) IS web-session analytics — its source
+# builds `log_visit` upstream by sessionizing hit streams with an
+# inactivity timeout. These two close that loop on the engine side: the
+# gaps-and-islands sessionizer over the raw event stream, and exact
+# percentile profiles (the only aggregate family Q1-Q12 lacks).
+
+SESSION_GAP_S = 1800  # Matomo's default visit timeout: 30 min
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the event stream: a new
+    session starts when a user's inter-event gap exceeds 30 minutes.
+    Output: one row per (user, session) with bounds and event count.
+
+    Plan at scale: ONE shuffle on ``user_id``; both windows (the lag
+    and the running sum) and the final per-session aggregation share
+    that partitioning, so Catalyst plans a single Exchange — pinned in
+    test_plan_shapes. Per-user streams sort locally; no global order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds on BOTH engines — a seconds cast would
+    # truncate fractional gaps and disagree with the oracle at 1800.x s
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    tagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of ``value`` per event type (linear
+    interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the definition). Exact percentiles sort within each group;
+    at 100 TB swap to ``percentile_approx`` (t-digest, mergeable
+    map-side) and drop the oracle to a tolerance check — the exact form
+    is the corpus-scale ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
 QUERIES = {
     "q1_latest_join": q1_latest_join,
     "q1_latest_window": q1_latest_window,
@@ -269,6 +331,8 @@ QUERIES = {
     "q10_regional_revenue": q10_regional_revenue,
     "q11_force_resync": q11_force_resync,
     "q12_ledger_prune": q12_ledger_prune,
+    "events_sessionize": events_sessionize,
+    "events_value_percentiles": events_value_percentiles,
 }
 
 _Q1_SQL = f"""
@@ -381,5 +445,35 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
     "q12_ledger_prune": f"""
 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{LEDGER_CUT}'
+""",
+    "events_sessionize": f"""
+WITH t AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+  FROM t
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       min(event_id) AS first_event_id
+FROM s GROUP BY user_id, session_idx
+""",
+    "events_value_percentiles": """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
 """,
 }

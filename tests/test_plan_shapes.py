@@ -160,3 +160,12 @@ def test_top2gram_is_two_narrow_shuffles(spark, sf_dir, queries):
     assert "HashAggregate" in plan  # partial+final agg, not sort-based
     # rank-1 pruning runs BEFORE the window shuffle (partial group limit)
     assert "WindowGroupLimit" in plan
+
+
+def test_sessionize_is_single_shuffle(spark, sf_dir, queries):
+    """Gaps-and-islands sessionization: the lag window, the running-sum
+    window, and the per-session aggregation all share the user_id
+    partitioning — exactly ONE Exchange in the plan."""
+    plan = plan_of(spark, queries["events_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange (") == 1, plan[:1500]
+    assert "Python" not in plan
