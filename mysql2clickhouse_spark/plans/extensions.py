@@ -587,6 +587,43 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 scalar quantization — the storage transform that
+    cuts an embedding store 4× (float32 → 1 byte/dim + 2 scale floats),
+    standard practice before a 100 TB ANN index is persisted.
+
+    code_i = floor((x_i - min) / scale + 0.5) with scale = (max-min)/255
+    — round-half-up spelled as floor(+0.5) because DuckDB's round() on
+    DOUBLE is half-away-from-zero while the quantity here is always
+    ≥ 0; the floor form is bit-identical on both engines. Per-row fold,
+    zero shuffles. Output certifies the codebook (md5 over the code
+    string) and the reconstruction bound (max |dequant - x| ≤ scale/2).
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v, lambda x: F.floor((x - mn) / scale + F.lit(0.5)).cast("int")
+    )
+    err = F.array_max(
+        F.zip_with(
+            codes, v, lambda c, x: F.abs((c.cast("double") * scale + mn) - x)
+        )
+    )
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.round(mn, 4).alias("qmin"),
+        F.round(mx, 4).alias("qmax"),
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.md5(F.array_join(F.transform(codes, lambda c: c.cast("string")), ",")).alias(
+            "code_md5"
+        ),
+        (err <= scale / F.lit(2.0) + F.lit(1e-12)).alias("reconstruction_ok"),
+    )
+
+
 # --- corpus curation (end-to-end pipeline composition) --------------------
 
 #: curation thresholds — deliberately permissive so the gate is
@@ -711,6 +748,7 @@ QUERIES = {
     "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
+    "embedding_quantize": embedding_quantize,
     "multimodal_features": multimodal_features,
 }
 
@@ -730,6 +768,32 @@ _NTHE_SQL = """
 """
 
 ORACLE = {
+    # same floor(+0.5) spelling as the Spark side: bit-identical
+    # round-half-up on both engines, no round() dialect divergence
+    "embedding_quantize": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         CASE WHEN list_max(v) > list_min(v)
+              THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id, v, mn, mx, scale,
+         list_transform(v, x -> CAST(floor((x - mn) / scale + 0.5) AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id, round(mn, 4) AS qmin, round(mx, 4) AS qmax,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       md5(array_to_string(list_transform(codes, k -> CAST(k AS VARCHAR)), ',')) AS code_md5,
+       (list_max(list_transform(range(1, len(codes) + 1),
+                 i -> abs(codes[i] * scale + mn - v[i])))
+        <= scale / 2.0 + 1e-12) AS reconstruction_ok
+FROM c
+""",
     # planted exact copies are provably co-clustered at cosine 1, so the
     # expected outcome is a constant the oracle derives from row counts
     "semdedup_recall": """
