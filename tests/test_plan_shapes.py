@@ -169,3 +169,24 @@ def test_sessionize_is_single_shuffle(spark, sf_dir, queries):
     plan = plan_of(spark, queries["events_sessionize"](spark, sf_dir))
     assert plan.count("Exchange (") == 1, plan[:1500]
     assert "Python" not in plan
+
+
+def test_hash_signature_stages_are_shuffle_free(spark, sf_dir, queries):
+    """MinHash and SimHash signatures are per-row projections now: no
+    Exchange may appear in either signature stage (the old explode +
+    groupBy forms shuffled corpus x shingles/tokens rows — the term
+    that grew with document length)."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.functions.minhash import (
+        minhash_signatures,
+        with_hset,
+        with_simhash,
+    )
+    from mysql2clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(with_hset(docs, "text", 5))
+    assert "Exchange" not in plan_of(spark, sigs)
+    sim = with_simhash(docs, "text", attach=False)
+    assert "Exchange" not in plan_of(spark, sim)
