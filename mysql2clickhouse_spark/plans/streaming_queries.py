@@ -41,10 +41,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..catalog import REGISTRY
 from ..session import scratch_dir
 from ..sources.changelog import CHANGELOG_VIEW_SQL, changelog_from_events
 from ..sources.tables import load_table
 from ..streaming.windows import stateful_latest_state, windowed_event_counts
+
+#: the registry's table→apply-mode mapping as a SQL CASE — built from
+#: the SAME registry the stream-static join broadcasts, so the oracle
+#: cannot drift from the engine's routing policy
+_POLICY_CASE = " ".join(
+    f"WHEN '{name}' THEN '{pol.apply_mode}'" for name, pol in REGISTRY.items()
+)
 
 CHANGELOG_DDL = (
     "op string, schema_name string, table_name string, key bigint, seq bigint,"
@@ -169,6 +177,42 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the changelog stream joined
+    per-micro-batch against a static routing dimension (table →
+    apply-mode policy, broadcast every batch — the canonical
+    stream⋈small-dim shape), rolled up to per-policy event counts.
+
+    The aggregation runs IN the stream (complete mode via foreachBatch
+    overwrite of the final batch state — here availableNow, so the last
+    write holds the totals). Static-side reads need no watermark; at
+    100 TB the dim broadcast is per-batch constant cost."""
+    cl_dir = _stage_changelog(spark, sf_dir, n_files=2, closer=False)
+    policy_rows = [(n, p.apply_mode) for n, p in REGISTRY.items()]
+    policies = spark.createDataFrame(policy_rows, "table_name string, apply_mode string")
+    stream = spark.readStream.schema(CHANGELOG_DDL).parquet(cl_dir)
+    enriched = (
+        stream.join(F.broadcast(policies), "table_name", "left")
+        .withColumn("apply_mode", F.coalesce("apply_mode", F.lit("__default__")))
+        .groupBy("apply_mode")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    base = os.path.dirname(cl_dir)
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("overwrite").parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-native dedup of an at-least-once delivery:
     ``dropDuplicatesWithinWatermark`` on the globally-unique position
@@ -213,6 +257,7 @@ QUERIES = {
     "stream_latest_state": stream_latest_state,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_dedup_replay": stream_dedup_replay,
+    "stream_enrich_join": stream_enrich_join,
 }
 
 ORACLE = {
@@ -226,6 +271,13 @@ ORACLE = {
                    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
             FROM ({CHANGELOG_VIEW_SQL}) c
         ) WHERE rn = 1
+    """,
+    # per-policy routing counts == a CASE over the same registry mapping
+    "stream_enrich_join": f"""
+        SELECT CASE table_name {_POLICY_CASE} ELSE '__default__' END AS apply_mode,
+               count(*) AS n_events
+        FROM ({CHANGELOG_VIEW_SQL}) c
+        GROUP BY 1
     """,
     # the doubled delivery dedups back to exactly the changelog
     "stream_dedup_replay": f"""
