@@ -297,6 +297,62 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every ``purchase`` event, the nearest PRECEDING
+    ``view`` event of the same user (or none). Spark has no native
+    AS OF join; the naive equi-join + per-pair filter is quadratic in
+    events-per-user. This is the UNION-WINDOW form: tag both sides,
+    union, one window per user carries the latest view forward, keep
+    the purchase rows — ONE shuffle on ``user_id`` total, linear work,
+    the shape that survives 100 TB (same single-Exchange property as
+    ``events_sessionize``).
+
+    Ties: ordering is (ts, event_id), so a view in the same microsecond
+    matches only if its event_id is smaller — deterministic on both
+    engines (DuckDB's native ASOF JOIN can't express the event_id
+    tie-break, so the oracle uses the identical union-window SQL).
+    Output: (user_id, purchase_event_id, purchase_ts_us, view_event_id,
+    view_gap_us nullable)."""
+    ev = load_table(spark, sf_dir, "events")
+    sides = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_id = F.last(
+        F.when(F.col("is_p") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    view_us = F.last(
+        F.when(F.col("is_p") == 0, F.col("us")), ignorenulls=True
+    ).over(w)
+    # both carries in ONE select => a single Window node sharing the
+    # sort (sequential withColumn would chain two Window operators)
+    return (
+        sides.select(
+            "user_id",
+            "event_id",
+            "us",
+            "is_p",
+            view_id.alias("view_event_id"),
+            (F.col("us") - view_us).alias("view_gap_us"),
+        )
+        .filter(F.col("is_p") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("us").alias("purchase_ts_us"),
+            "view_event_id",
+            "view_gap_us",
+        )
+    )
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of ``value`` per event type (linear
     interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
@@ -332,6 +388,7 @@ QUERIES = {
     "q11_force_resync": q11_force_resync,
     "q12_ledger_prune": q12_ledger_prune,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
     "events_value_percentiles": events_value_percentiles,
 }
 
@@ -468,6 +525,26 @@ SELECT user_id, session_idx, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        min(event_id) AS first_event_id
 FROM s GROUP BY user_id, session_idx
+""",
+    "events_asof_join": """
+WITH sides AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+carried AS (
+  SELECT user_id, event_id, us, is_p,
+         last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+             OVER w AS view_event_id,
+         last_value(CASE WHEN is_p = 0 THEN us END IGNORE NULLS)
+             OVER w AS view_us
+  FROM sides
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_event_id, us AS purchase_ts_us,
+       view_event_id, us - view_us AS view_gap_us
+FROM carried WHERE is_p = 1
 """,
     "events_value_percentiles": """
 SELECT event_type, count(*) AS n,

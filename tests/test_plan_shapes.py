@@ -190,3 +190,14 @@ def test_hash_signature_stages_are_shuffle_free(spark, sf_dir, queries):
     assert "Exchange" not in plan_of(spark, sigs)
     sim = with_simhash(docs, "text", attach=False)
     assert "Exchange" not in plan_of(spark, sim)
+
+
+def test_asof_join_is_single_shuffle_single_window(spark, sf_dir, queries):
+    """The union-window as-of join: one Exchange on user_id, one Window
+    node carrying both the matched id and its timestamp (the naive
+    join+filter form would be quadratic in events-per-user), and the
+    side filter pushed into the parquet scan."""
+    plan = plan_of(spark, queries["events_asof_join"](spark, sf_dir))
+    assert plan.count("Exchange (") == 1, plan[:1200]
+    assert plan.count("Window (") == 1, plan[:1200]
+    assert "In(event_type" in plan  # side filter reaches the scan
