@@ -353,6 +353,59 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: range-join demo windows: every 5th hour opens a 90-minute window
+RANGE_HOUR_US = 3_600_000_000
+RANGE_WIN_US = 5_400_000_000  # 1.5 h — deliberately spans 2 hour-buckets
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via BUCKET EXPANSION: count events falling
+    inside synthetic maintenance windows (every 5th hour present in the
+    data opens a 90-minute window).
+
+    Spark plans a plain ``ts BETWEEN start AND end`` join as a
+    nested-loop — O(|events| × |windows|) and a broadcast of one side.
+    The scalable form buckets time at the hour, EXPLODES each interval
+    to the buckets it covers (≤ 2 here: ceil(len/bucket)+1 in general),
+    and equi-joins on the bucket before the exact BETWEEN filter — an
+    ordinary shuffle join whose fan-out is bounded by interval length /
+    bucket size. This is the standard range-join binning technique.
+    Output: (win_start_us, n_events)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts")).alias("us")
+    )
+    hours = ev.select(
+        F.floor(F.col("us") / RANGE_HOUR_US).cast("bigint").alias("h")
+    ).distinct()
+    wins = hours.filter(F.col("h") % 5 == 0).select(
+        (F.col("h") * RANGE_HOUR_US).alias("win_start_us"),
+        (F.col("h") * RANGE_HOUR_US + RANGE_WIN_US).alias("win_end_us"),
+    )
+    # expand each window to its covered hour-buckets; events carry one
+    w_exp = wins.select(
+        "win_start_us",
+        "win_end_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("win_start_us") / RANGE_HOUR_US).cast("bigint"),
+                F.floor(F.col("win_end_us") / RANGE_HOUR_US).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    e_b = ev.withColumn(
+        "bucket", F.floor(F.col("us") / RANGE_HOUR_US).cast("bigint")
+    )
+    return (
+        e_b.join(w_exp, "bucket")
+        .filter(
+            (F.col("us") >= F.col("win_start_us"))
+            & (F.col("us") < F.col("win_end_us"))
+        )
+        .groupBy("win_start_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of ``value`` per event type (linear
     interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
@@ -389,6 +442,7 @@ QUERIES = {
     "q12_ledger_prune": q12_ledger_prune,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "events_value_percentiles": events_value_percentiles,
 }
 
@@ -545,6 +599,20 @@ carried AS (
 SELECT user_id, event_id AS purchase_event_id, us AS purchase_ts_us,
        view_event_id, us - view_us AS view_gap_us
 FROM carried WHERE is_p = 1
+""",
+    "events_range_join": f"""
+WITH ev AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+wins AS (
+  SELECT DISTINCT (us // {RANGE_HOUR_US}) * {RANGE_HOUR_US} AS win_start_us,
+         (us // {RANGE_HOUR_US}) * {RANGE_HOUR_US} + {RANGE_WIN_US} AS win_end_us
+  FROM ev WHERE (us // {RANGE_HOUR_US}) % 5 = 0
+)
+SELECT w.win_start_us, count(*) AS n_events
+FROM ev e JOIN wins w
+  ON e.us >= w.win_start_us AND e.us < w.win_end_us
+GROUP BY w.win_start_us
 """,
     "events_value_percentiles": """
 SELECT event_type, count(*) AS n,

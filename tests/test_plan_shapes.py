@@ -201,3 +201,12 @@ def test_asof_join_is_single_shuffle_single_window(spark, sf_dir, queries):
     assert plan.count("Exchange (") == 1, plan[:1200]
     assert plan.count("Window (") == 1, plan[:1200]
     assert "In(event_type" in plan  # side filter reaches the scan
+
+
+def test_range_join_is_binned_equi_join_not_nested_loop(spark, sf_dir, queries):
+    """Interval join via bucket expansion: the plan must contain an
+    equi-join (hash or sort-merge) on the time bucket and NO
+    nested-loop — the shape a plain BETWEEN-join would produce."""
+    plan = plan_of(spark, queries["events_range_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
