@@ -353,6 +353,59 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: funnel conversion window: each stage must follow the previous one
+#: within 4 h (tight enough that the corpus shows a mixed distribution
+#: of reached stages — an unconstrained funnel converts every user)
+FUNNEL_GAP_US = 4 * 3_600_000_000
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → view → purchase, each within a
+    4 h conversion window of the previous stage) — the other core
+    web-analytics operator of the reference's domain. Per user:
+    t1 = first signup, t2 = first view in (t1, t1+4h], t3 = first
+    purchase in (t2, t2+4h]; ``reached`` = deepest stage.
+
+    ONE aggregation shuffle: per-user event times collect into three
+    per-type arrays (collect_list skips nulls; map-side partial
+    aggregation packs them), and the sequential-min chain is per-row
+    array arithmetic — ``array_min(filter(v, x -> x > t1))`` — which a
+    join- or window-based funnel would pay extra shuffles for. A NULL
+    t1 propagates: the filter predicate goes NULL → element dropped →
+    empty array → NULL min, so partial funnels terminate correctly on
+    both engines. At 100 TB per-user arrays are bounded by per-user
+    event counts (the same bound sessionization relies on)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def times_of(t: str):
+        return F.collect_list(F.when(F.col("event_type") == t, us))
+
+    agg = ev.groupBy("user_id").agg(
+        times_of("signup").alias("s"),
+        times_of("view").alias("v"),
+        times_of("purchase").alias("p"),
+    )
+    t1 = F.array_min(F.col("s"))
+    t2 = F.array_min(
+        F.filter(F.col("v"), lambda x: (x > t1) & (x <= t1 + FUNNEL_GAP_US))
+    )
+    t3 = F.array_min(
+        F.filter(F.col("p"), lambda x: (x > t2) & (x <= t2 + FUNNEL_GAP_US))
+    )
+    return agg.select(
+        "user_id",
+        t1.alias("t_signup_us"),
+        t2.alias("t_view_us"),
+        t3.alias("t_purchase_us"),
+        F.when(t3.isNotNull(), 3)
+        .when(t2.isNotNull(), 2)
+        .when(t1.isNotNull(), 1)
+        .otherwise(0)
+        .alias("reached"),
+    )
+
+
 #: range-join demo windows: every 5th hour opens a 90-minute window
 RANGE_HOUR_US = 3_600_000_000
 RANGE_WIN_US = 5_400_000_000  # 1.5 h — deliberately spans 2 hour-buckets
@@ -443,6 +496,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "events_funnel": events_funnel,
     "events_value_percentiles": events_value_percentiles,
 }
 
@@ -599,6 +653,31 @@ carried AS (
 SELECT user_id, event_id AS purchase_event_id, us AS purchase_ts_us,
        view_event_id, us - view_us AS view_gap_us
 FROM carried WHERE is_p = 1
+""",
+    "events_funnel": f"""
+WITH a AS (
+  SELECT user_id,
+         list(epoch_us(CAST(ts AS TIMESTAMP))) FILTER (WHERE event_type = 'signup') AS s,
+         list(epoch_us(CAST(ts AS TIMESTAMP))) FILTER (WHERE event_type = 'view') AS v,
+         list(epoch_us(CAST(ts AS TIMESTAMP))) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT user_id, list_min(s) AS t1, v, p FROM a
+),
+g AS (
+  SELECT user_id, t1,
+         list_min(list_filter(v, x -> x > t1 AND x <= t1 + {FUNNEL_GAP_US})) AS t2,
+         p
+  FROM f
+)
+SELECT user_id, t1 AS t_signup_us, t2 AS t_view_us,
+       list_min(list_filter(p, x -> x > t2 AND x <= t2 + {FUNNEL_GAP_US})) AS t_purchase_us,
+       CASE WHEN list_min(list_filter(p, x -> x > t2 AND x <= t2 + {FUNNEL_GAP_US})) IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS reached
+FROM g
 """,
     "events_range_join": f"""
 WITH ev AS (
