@@ -459,6 +459,43 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregate family — what actually runs at 100 TB
+    where exact distinct/percentile sorts are unaffordable:
+    ``approx_count_distinct`` (HyperLogLog++, mergeable map-side) and
+    ``percentile_approx`` (t-digest style quantile sketch).
+
+    Sketches are engine-specific, so the driver check is a TOLERANCE
+    twin: emit the exact values (which DuckDB reproduces) plus booleans
+    asserting each sketch landed inside its error envelope (HLL rsd 5%
+    → assert 10%; approx percentile vs exact p50 within 5% of the value
+    spread). Sketch results are deterministic for fixed data (register
+    merges are commutative), so the booleans are stable, not flaky."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_hll"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_sketch"),
+    )
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "n_users_exact",
+        F.round("p50_exact", 4).alias("p50_exact"),
+        (
+            F.abs(F.col("n_users_hll") - F.col("n_users_exact"))
+            <= 0.10 * F.col("n_users_exact")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("p50_sketch") - F.col("p50_exact"))
+            <= 0.05 * (F.col("hi") - F.col("lo"))
+        ).alias("p50_sketch_ok"),
+    )
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of ``value`` per event type (linear
     interpolation — Spark ``percentile`` and DuckDB ``quantile_cont``
@@ -497,6 +534,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
+    "events_approx_profile": events_approx_profile,
     "events_value_percentiles": events_value_percentiles,
 }
 
@@ -692,6 +730,14 @@ SELECT w.win_start_us, count(*) AS n_events
 FROM ev e JOIN wins w
   ON e.us >= w.win_start_us AND e.us < w.win_end_us
 GROUP BY w.win_start_us
+""",
+    # the sketch booleans have fixed expected values (inside-envelope)
+    "events_approx_profile": """
+SELECT count(DISTINCT user_id) AS n_users_exact,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       TRUE AS hll_ok,
+       TRUE AS p50_sketch_ok
+FROM events
 """,
     "events_value_percentiles": """
 SELECT event_type, count(*) AS n,
