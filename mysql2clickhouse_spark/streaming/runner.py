@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import DEFAULT_POLICY, REGISTRY, TablePolicy
-from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_key
+from ..operators.apply import apply_insert_as_update, apply_mutate
 from ..operators.dedup import dedup_in_window
 from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
 
@@ -618,6 +618,57 @@ class ReplicationRunner:
             for tbl, keys in targets.items():
                 self.compact_table(tbl, compact_months, keys=keys)
         return reports
+
+    # --- maintenance: incremental materialized aggregate -------------------
+    def refresh_daily_aggregate(
+        self, tbl: str, months: list[int], value_col: str = "value"
+    ) -> dict:
+        """Incremental materialized-view maintenance — the engine-side
+        analog of the target DB's aggregate views over ReplacingMergeTree
+        (the reference's `view_matomo_*` latest-row views feed exactly
+        such rollups; script_create_clickhouse_table.sql:402-563).
+
+        Maintains a per-day (n_rows, sum_value) rollup of ``tbl``'s
+        stored rows, partitioned by ``yyyymm`` beside the table. Only
+        the given months are recomputed: the source read is
+        partition-pruned and the refreshed partitions swap in via the
+        same staging pattern as ``compact_table``; out-of-scope months
+        are untouched BYTES. A post-batch refresh therefore costs
+        O(changed months), not O(table).
+
+        Semantics by apply mode — this is what makes the per-month
+        refresh EXACT, not approximate:
+        - versioned (``insert_as_update``) tables roll up VERSION
+          volume (the Q8 daily-change profile): the store is
+          append-only, so a month's rollup is immutable once written —
+          a later month's version never retroactively changes it. A
+          latest-row rollup would NOT be month-decomposable (an April
+          update supersedes a key's March row, silently invalidating
+          March), so latest-state rollups belong on…
+        - mutate-mode tables, whose stored state IS the latest state:
+          there the per-month rollup of stored rows is the latest-row
+          MV, and the affected-partition discovery in
+          ``_apply_mutate_table`` already names the months to refresh.
+
+        Returns ``{"partitions", "rows"}`` (rows = aggregate rows
+        written across the refreshed months).
+        """
+        path = self.table_path(tbl)
+        agg_path = path + "__daily"
+        cur = self.spark.read.parquet(path).filter(F.col("yyyymm").isin(months))
+        agg = cur.groupBy("yyyymm", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        n = agg.count()
+        stats = {"partitions": sorted(months), "rows": n}
+        if self.cfg.dry_run:
+            return stats
+        staging = agg_path + "__staging"
+        agg.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
+        os.makedirs(agg_path, exist_ok=True)
+        self._swap_partitions(staging, agg_path, months)
+        return stats
 
     # --- maintenance: partition-scoped dedup compaction (Q3/O12) -----------
     def compact_table(

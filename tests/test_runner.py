@@ -479,3 +479,63 @@ def test_run_session_poison_does_not_spin(spark, tmp_path):
     # the poison row is diverted pre-slice; the good stream is applied
     assert runner.resume_seq() == 39
     assert reports[0].rows_quarantined == 1  # surfaced while progressing
+
+
+def test_refresh_daily_aggregate_touches_only_given_months(spark, runner):
+    """Incremental MV maintenance: refresh after a second batch that
+    only touches later months must leave the untouched month's
+    aggregate partition byte-identical, and the maintained rollup must
+    equal a from-scratch recompute of current state."""
+    import os
+
+    def files_snapshot(d):
+        out = {}
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = (os.path.getmtime(p), os.path.getsize(p))
+        return out
+
+    # batch 1: March rows for visits
+    rows1 = [
+        ("I", "visits", i % 6, i, 0, T0 + dt.timedelta(hours=i), float(i), "e")
+        for i in range(60)
+    ]
+    runner.run_once(spark.createDataFrame(rows1, SCHEMA))
+    agg_path = runner.table_path("visits") + "__daily"
+    r1 = runner.refresh_daily_aggregate("visits", [202403])
+    assert r1["rows"] > 0
+    march = {
+        p: s
+        for p, s in files_snapshot(agg_path).items()
+        if "yyyymm=202403" in p
+    }
+    assert march
+
+    # batch 2: April-only rows (seq continues past batch 1)
+    t1 = dt.datetime(2024, 4, 2)
+    rows2 = [
+        ("U", "visits", i % 6, 100 + i, 1, t1 + dt.timedelta(hours=i), float(i), "e")
+        for i in range(24)
+    ]
+    runner.run_once(spark.createDataFrame(rows2, SCHEMA))
+    runner.refresh_daily_aggregate("visits", [202404])
+
+    # March aggregate partition: untouched bytes
+    assert {
+        p: s
+        for p, s in files_snapshot(agg_path).items()
+        if "yyyymm=202403" in p
+    } == march
+
+    # maintained rollup == from-scratch recompute over the stored
+    # version rows (append-only => months are immutable once rolled up)
+    stored = spark.read.parquet(runner.table_path("visits"))
+    expect = (
+        stored.groupBy("yyyymm", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+    )
+    got = spark.read.parquet(agg_path).select("yyyymm", "day", "n_rows", "sum_value")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
