@@ -617,6 +617,10 @@ class ReplicationRunner:
             }
             for tbl, keys in targets.items():
                 self.compact_table(tbl, compact_months, keys=keys)
+                # keep the daily MV fresh for the same window: compaction
+                # just rewrote exactly these partitions, so the rollup's
+                # version counts change in exactly these months too
+                self.refresh_daily_aggregate(tbl, compact_months)
         return reports
 
     # --- maintenance: incremental materialized aggregate -------------------

@@ -318,6 +318,19 @@ def test_run_session_budget_loop_and_gated_maintenance(spark, tmp_path):
     )
     assert dups_after == 0
 
+    # maintenance also refreshed the daily MV for the compacted window,
+    # and post-compaction it equals the rollup of the deduped store
+    agg = spark.read.parquet(path + "__daily").select(
+        "yyyymm", "day", "n_rows", "sum_value"
+    )
+    expect = (
+        spark.read.parquet(path)
+        .groupBy("yyyymm", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+    )
+    assert agg.exceptAll(expect).count() == 0
+    assert expect.exceptAll(agg).count() == 0
+
 
 def test_mutate_touches_only_affected_partitions(spark, tmp_path):
     """Scale contract of mutate mode: a batch that touches keys in one
