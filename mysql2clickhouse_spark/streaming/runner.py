@@ -623,6 +623,164 @@ class ReplicationRunner:
                 self.refresh_daily_aggregate(tbl, compact_months)
         return reports
 
+    # --- initial load: snapshot bootstrap ----------------------------------
+    def bootstrap_from_snapshot(
+        self, tbl: str, snapshot: DataFrame, as_of_seq: int
+    ) -> dict:
+        """Initial-load bootstrap — the reference's install procedure:
+        create the target tables from a source snapshot, then start
+        replication from the snapshot's binlog position (README.md's
+        deploy steps; the ledger row at matomo2clickhouse.py:893-899 is
+        what makes the first run resume instead of replaying history).
+
+        ``snapshot`` is the source table's full-row image at changelog
+        position ``as_of_seq`` (one row per live key). It lands under the
+        table's policy layout:
+
+        - versioned tables (``append`` / ``insert_as_update``): each
+          snapshot row becomes the key's initial version; ``dateid``
+          keeps the row's own ``seq`` when the snapshot carries one
+          (so later replays order correctly against it), else pins to
+          ``as_of_seq``;
+        - ``mutate`` tables: the snapshot IS the initial state.
+
+        A ``BOOTSTRAP`` ledger row at ``as_of_seq`` seeds the resume
+        point, so the next ``run_once`` consumes only events with
+        ``seq > as_of_seq`` — bootstrap + incremental replay is
+        serial-equivalent to a full-history replay (pinned in
+        ``test_bootstrap_plus_replay_equals_full_replay``).
+
+        Scale: the snapshot write is a pure partitioned append of an
+        already-deduplicated frame — no shuffle beyond the write split,
+        no read of existing data; this is how the 100 TB initial load
+        avoids replaying months of changelog.
+        """
+        cfg = self.cfg
+        policy = REGISTRY.get(tbl, DEFAULT_POLICY)
+        path = self.table_path(tbl)
+        snap = snapshot
+        if "seq" not in snap.columns:
+            snap = snap.withColumn("seq", F.lit(as_of_seq).cast("bigint"))
+
+        if policy.apply_mode in ("append", "insert_as_update"):
+            out = snap.withColumn("dateid", F.col("seq").cast("bigint"))
+            out = out.withColumn("yyyymm", F.date_format("ts", "yyyyMM"))
+            n = out.count()
+            if not cfg.dry_run:
+                (
+                    out.coalesce(WRITE_PARTITIONS)
+                    .write.mode("overwrite")
+                    .partitionBy("yyyymm")
+                    .option("maxRecordsPerFile", 500_000)
+                    .parquet(path)
+                )
+        else:
+            part_src = (
+                policy.partition_col
+                if policy.partition_col and policy.partition_col in snap.columns
+                else ("ts" if "ts" in snap.columns else None)
+            )
+            n = snap.count()
+            if not cfg.dry_run:
+                if part_src is None:
+                    (snap if n else snap.repartition(1)).write.mode(
+                        "overwrite"
+                    ).parquet(path)
+                else:
+                    snap.withColumn(
+                        "yyyymm", F.date_format(part_src, "yyyyMM").cast("int")
+                    ).write.mode("overwrite").partitionBy("yyyymm").parquet(path)
+
+        if not cfg.dry_run:
+            log_time = (
+                snap.agg(F.max("ts").alias("log_time"))
+                if "ts" in snap.columns
+                else self.spark.range(1).select(
+                    F.lit(None).cast("timestamp").alias("log_time")
+                )
+            )
+            seed = self.spark.createDataFrame(
+                [], LEDGER_SCHEMA
+            ).unionByName(
+                log_time.select(
+                    F.lit(as_of_seq).cast("bigint").alias("dateid"),
+                    F.col("log_time").alias("created_at"),
+                    F.lit(tbl).alias("table_name"),
+                    F.lit("BOOTSTRAP").alias("sql_type"),
+                    "log_time",
+                    F.lit(-1).cast("bigint").alias("log_file"),
+                    F.lit(as_of_seq).cast("bigint").alias("log_pos_start"),
+                    F.lit(as_of_seq).cast("bigint").alias("log_pos_end"),
+                )
+            )
+            seed.coalesce(1).write.mode("append").parquet(self.ledger_path)
+        return {"table": tbl, "rows": n, "as_of_seq": as_of_seq}
+
+    # --- maintenance: small-file compaction (O9) ---------------------------
+    def compact_small_files(
+        self,
+        tbl: str,
+        months: list[int],
+        target_rows_per_file: int = 500_000,
+    ) -> dict:
+        """Bin-pack each listed ``yyyymm`` partition's accumulated small
+        part files into few right-sized, sort-clustered files WITHOUT
+        changing a single row — the OPTIMIZE/file-compaction analog of
+        the reference's "too many parts" guidance (README.md:189-194:
+        every micro-batch append is one more part; ClickHouse merges
+        them in the background, parquet needs an explicit job).
+
+        The read is partition-pruned to ``months``; rows are
+        range-repartitioned on (yyyymm, order key) — contiguous files,
+        cluster-wide parallelism even when one month dominates — and
+        sorted within partitions (the ORDER BY clustering analog, O11,
+        which also tightens parquet min/max stats for later pruning).
+        The rewritten partition dirs swap in via the same staging
+        pattern as ``compact_table``; out-of-window partitions are
+        untouched BYTES.
+
+        Returns ``{"partitions", "rows", "files_before", "files_after"}``.
+        """
+        import math
+
+        path = self.table_path(tbl)
+        policy = REGISTRY.get(tbl, DEFAULT_POLICY)
+
+        def _count_files() -> int:
+            return sum(
+                len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+                for d in os.listdir(path)
+                if d.startswith("yyyymm=")
+                and int(d.split("=", 1)[1]) in months
+            )
+
+        files_before = _count_files()
+        in_win = self.spark.read.parquet(path).filter(F.col("yyyymm").isin(months))
+        n = in_win.count()
+        stats = {"partitions": sorted(months), "rows": n}
+        stats["files_before"] = files_before
+        if self.cfg.dry_run or n == 0:
+            stats["files_after"] = files_before
+            return stats
+        order_cols = [c for c in policy.order_cols if c in in_win.columns] or [
+            c for c in ("seq", "dateid") if c in in_win.columns
+        ]
+        nfiles = max(1, math.ceil(n / target_rows_per_file))
+        staged = (
+            in_win.repartitionByRange(nfiles, "yyyymm", *order_cols)
+            .sortWithinPartitions("yyyymm", *order_cols)
+        )
+        staging = path + "__filecompact"
+        (
+            staged.write.mode("overwrite")
+            .partitionBy("yyyymm")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .parquet(staging)
+        )
+        self._swap_partitions(staging, path, months)
+        stats["files_after"] = _count_files()
+        return stats
+
     # --- maintenance: incremental materialized aggregate -------------------
     def refresh_daily_aggregate(
         self, tbl: str, months: list[int], value_col: str = "value"

@@ -552,3 +552,84 @@ def test_refresh_daily_aggregate_touches_only_given_months(spark, runner):
     got = spark.read.parquet(agg_path).select("yyyymm", "day", "n_rows", "sum_value")
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_bootstrap_plus_replay_equals_full_replay(spark, tmp_path):
+    """Initial-load bootstrap: snapshot-at-S + incremental replay of
+    seq > S must reach the same state as a full-history replay — for
+    both a versioned (insert_as_update) and a mutate table. The seeded
+    BOOTSTRAP ledger row is what makes run_once skip the history."""
+    from mysql2clickhouse_spark.operators.apply import apply_mutate
+
+    cl = mk_changelog(spark, n=200, files=4)
+    S = 99
+
+    ra = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "full")))
+    ra.run_once(cl)
+
+    rb = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "boot")))
+    head = cl.filter(F.col("seq") <= S)
+    for tbl in ("visits", "events_state"):
+        # source-table state at S: in-place replay of the head slice
+        snap = apply_mutate(head.filter(F.col("table_name") == tbl), ["key"]).drop(
+            "table_name"
+        )
+        rb.bootstrap_from_snapshot(tbl, snap, as_of_seq=S)
+    assert rb.resume_seq() == S
+    r = rb.run_once(cl)
+    assert r.start_seq == S and r.rows_applied > 0
+
+    # versioned table: latest row per key must agree (dateid orders the
+    # snapshot version below every replayed event)
+    for tbl in ("visits", "events_state"):
+        a = spark.read.parquet(ra.table_path(tbl))
+        b = spark.read.parquet(rb.table_path(tbl))
+        if tbl == "visits":
+            a = latest_by_key(a, ["key"], "dateid")
+            b = latest_by_key(b, ["key"], "dateid")
+        a = a.select("key", "value")
+        b = b.select("key", "value")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_small_files_packs_without_changing_rows(spark, tmp_path):
+    """O9 file compaction: many tiny appended part files bin-pack into
+    few files; the row set (including versions) is bit-identical and
+    out-of-window partitions keep their exact files."""
+    import os
+
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), batch_row_budget=25)
+    )
+    # one month of visits rows, applied across many budget-bounded runs
+    rows = [
+        ("I", "visits", i % 7, i, i // 25, T0 + dt.timedelta(minutes=i), float(i), "e")
+        for i in range(100)
+    ] + [
+        # second month, single run's worth — stays out of the window
+        ("I", "visits", i % 7, 200 + i, 8, dt.datetime(2024, 4, 2, 0, i), float(i), "e")
+        for i in range(20)
+    ]
+    cl = spark.createDataFrame(rows, SCHEMA)
+    runner.run_session(cl, max_minutes=5)
+
+    path = runner.table_path("visits")
+    before = spark.read.parquet(path).orderBy("seq").collect()
+
+    def files_in(month):
+        d = os.path.join(path, f"yyyymm={month}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    march_before, april_before = files_in(202403), files_in(202404)
+    assert len(march_before) > 2  # small-file debris accumulated
+
+    stats = runner.compact_small_files("visits", [202403], target_rows_per_file=1000)
+    assert stats["files_after"] < stats["files_before"]
+    assert len(files_in(202403)) < len(march_before)
+    assert files_in(202404) == april_before  # untouched bytes
+    after = spark.read.parquet(path).orderBy("seq").collect()
+    assert after == before
