@@ -247,11 +247,87 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus mixing weights --------------------------------------------------
+
+#: temperature for the mixing exponent p^(1/T): T=2 → sqrt(p). sqrt is
+#: IEEE-754 correctly rounded on BOTH engines (unlike pow, whose libm
+#: results may differ in the last ulp), so the oracle hash can't flake.
+MIX_TEMPERATURE = 2
+
+
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixing weights over the per-language
+    token counts — the standard multilingual sampling scheme (raise each
+    domain's token share to 1/T and renormalize; T>1 up-samples the
+    tail so low-resource languages aren't drowned). Output per lang:
+    (n_docs, n_tokens, token_share, mix_weight).
+
+    Scale: one scan + one groupBy(lang) — the per-lang frame is
+    dimension-sized, so the normalization (two scalar totals) is a
+    broadcast crossJoin; no second pass over the corpus."""
+    d = _docs(spark, sf_dir)
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    shared = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_tokens") / F.col("total_tokens")
+    ).withColumn("w_raw", F.sqrt(F.col("share")))
+    wtot = shared.agg(F.sum("w_raw").alias("w_total"))
+    return (
+        shared.crossJoin(F.broadcast(wtot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 4).alias("token_share"),
+            F.round(F.col("w_raw") / F.col("w_total"), 4).alias("mix_weight"),
+        )
+    )
+
+
+# --- sliding-window chunking ------------------------------------------------
+
+#: chunk geometry: window of CHUNK_TOKENS with CHUNK_STRIDE advance
+#: (overlap = window - stride), the standard long-document training cut
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan per document: how many overlapping
+    CHUNK_TOKENS-token windows (advancing CHUNK_STRIDE) cover the doc,
+    and where the last one starts — the complement of
+    ``corpus_pack_sequences`` (that one concatenates SHORT docs into
+    budget bins; this one cuts LONG docs into overlapping windows).
+
+    n_chunks = 1 for n <= W, else ceil((n - W) / S) + 1 — pure per-row
+    arithmetic on the token count: zero shuffles, the chunk plan rides
+    the scan. The chunk slicing itself is then a bounded fan-out
+    (posexplode of sequence(0, n_chunks-1)) any downstream tokenizer
+    stage applies shard-locally."""
+    d = _docs(spark, sf_dir)
+    n = token_count_col(F.col("text"))
+    w, s = F.lit(CHUNK_TOKENS), F.lit(CHUNK_STRIDE)
+    n_chunks = F.when(n <= w, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((n - w) / s.cast("double")).cast("bigint") + 1
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+        ((n_chunks - 1) * s).alias("last_chunk_start"),
+    )
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_mixing_weights": corpus_mixing_weights,
+    "corpus_chunk_sliding": corpus_chunk_sliding,
 }
 
 _CC_CORPUS_SQL = f"""
@@ -350,6 +426,37 @@ c AS (
 SELECT shard, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
 FROM c GROUP BY 1, 2
+""",
+    # sqrt(share) on both engines is IEEE-exact; the two scalar totals
+    # are exact BIGINT / small double sums
+    "corpus_mixing_weights": f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum({_TOKENS_COUNT_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+shared AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_lang) AS share
+  FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(share, 4) AS token_share,
+       round(sqrt(share) / (SELECT sum(sqrt(share)) FROM shared), 4) AS mix_weight
+FROM shared
+""",
+    "corpus_chunk_sliding": f"""
+WITH t AS (
+  SELECT doc_id, CAST({_TOKENS_COUNT_SQL} AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens <= {CHUNK_TOKENS} THEN CAST(1 AS BIGINT)
+            ELSE CAST(ceil((n_tokens - {CHUNK_TOKENS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+       END AS n_chunks,
+       (CASE WHEN n_tokens <= {CHUNK_TOKENS} THEN CAST(1 AS BIGINT)
+             ELSE CAST(ceil((n_tokens - {CHUNK_TOKENS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+        END - 1) * {CHUNK_STRIDE} AS last_chunk_start
+FROM t
 """,
     "corpus_sample_stratified": f"""
 SELECT lang, count(*) AS n_total,
