@@ -116,31 +116,41 @@ def minhash_signatures(
     num_perm: int = DEFAULT_NUM_PERM,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, minhash array<bigint>[num_perm]) as a PER-ROW projection:
-    the permutation params ride as a literal array of (a, b) structs and
-    the signature is ``transform(perms, p -> array_min(transform(hset,
-    h -> (h*a+b) % P)))`` — one compact nested lambda, evaluated
-    iteratively (it does NOT unroll into a wide expression the way a
-    64-branch fold does, so codegen holds).
+    """(id, minhash array<bigint>[num_perm]) via explode + ONE groupBy
+    carrying ``num_perm`` ``min`` aggregates — deliberately NOT a
+    per-row higher-order-function projection.
 
-    Zero shuffles: the signature is computed inside the scan stage.
-    Measured 5× over the previous explode + groupBy-min shape at sf0.1
-    (0.23 s vs 1.13 s warm) — and at cluster scale it removes the
-    corpus×shingles-row exchange entirely, which is the term that grew
-    with document length. Empty-hset docs drop out (same policy as the
-    explode form: a null/empty doc must never reach the LSH bands).
+    Why this shape wins: lambda bodies inside ``transform``/``aggregate``
+    are evaluated by Spark's expression INTERPRETER (higher-order
+    functions are excluded from whole-stage codegen), so a per-row
+    ``transform(perms, p -> array_min(transform(hset, ...)))`` pays
+    ~100 ns per element-op on the corpus×shingles×num_perm product —
+    measured 2-5× slower than this form at sf0.1. Here every term is a
+    plain column expression: the 48 ``(h*a+b) % P`` projections and the
+    48 ``min`` aggregates all run inside whole-stage codegen.
+
+    The exchange stays corpus-sized, not corpus×shingles: each doc's
+    shingles live in one partition, so the partial (map-side) aggregate
+    folds them locally and the shuffle carries ONE 48-value row per doc
+    per partition. Empty-hset docs drop out (no exploded rows) — same
+    policy as before: a null/empty doc must never reach the LSH bands.
+    Signature VALUES are bit-identical to the per-row form (same params,
+    same arithmetic, same min).
     """
     params = _perm_params(num_perm, seed)
-    perms = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    ex = hashed.select(id_col, F.explode("hset").alias("__h"))
+    mins = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("minhash"),
+        )
     )
-    sig = F.transform(
-        perms,
-        lambda p: F.array_min(
-            F.transform(F.col("hset"), lambda h: (h * p["a"] + p["b"]) % MERSENNE_P)
-        ),
-    )
-    return hashed.filter(F.size("hset") > 0).select(id_col, sig.alias("minhash"))
 
 
 def with_minhash_signature(
@@ -235,17 +245,10 @@ def verified_near_dups(
     release_cache("minhash.verified_near_dups")  # BEFORE persist — see session.py
     base = hashed.select(id_col, "hset").persist()
     base.count()
-    # hash-partition the (tiny: one row per doc) signature table on the
-    # id before caching: the estimate-filter joins then reuse this
-    # partitioning for their build side instead of re-shuffling it per
-    # branch. The old explode+groupBy signature got this for free from
-    # its aggregation exchange — at the price of shuffling
-    # corpus×shingles rows; this shuffle is corpus rows only.
-    sigs = (
-        minhash_signatures(base, id_col, num_perm, seed)
-        .repartition(32, id_col)
-        .persist()
-    )
+    # the signature aggregation's own exchange already hash-partitions
+    # the (one row per doc) table on the id — the estimate-filter joins
+    # reuse that partitioning for their build side for free
+    sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
     sigs.count()
     rotate_cache("minhash.verified_near_dups", base, sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
@@ -282,31 +285,28 @@ def with_simhash(
     sign; the sign vector packs into a hex string. Hamming-close docs
     share most bits; pairing is ``simhash_near_dups``.
 
-    Computed PER ROW, zero shuffles: 16 compact ``aggregate`` folds over
-    the token-hash array (one per packed lane — lane j of fold i holds
-    the vote count of bit ``i + 16·j``, vote_k > 0 ⇔ 2·Σbit_k > n),
-    then the 64-bit extraction reads the 16-long lane array via
-    ``element_at``. The folds stage in their own projection; Spark's
-    CollapseProject declines to inline a non-cheap alias referenced 64
-    times, so each fold runs once (verified by timing — a collapsed
-    plan would re-run the fold per bit and be ~60× slower). Replaced
-    the explode + 16-packed-agg groupBy: same signatures bit-for-bit,
-    ~30% faster at sf0.1 (1.6 s vs 2.4 s warm), and the
-    corpus×tokens-row exchange is gone — that shuffle grew with
-    document length. (The earlier measured failure mode was different:
-    a SINGLE 64-wide fold building one giant expression dropped out of
-    codegen; 16 narrow folds + a bound lane array stay compact.)
+    Computed as explode + ONE groupBy carrying the 16 packed-lane vote
+    sums (lane j of sum i holds the vote count of bit ``i + 16·j``,
+    vote_k > 0 ⇔ 2·Σbit_k > n), then the 64-bit extraction reads the
+    16-long lane array via ``element_at``. Deliberately NOT a per-row
+    higher-order-function fold: lambda bodies inside
+    ``transform``/``aggregate`` run on Spark's expression INTERPRETER
+    (HoFs are excluded from whole-stage codegen), which puts ~100 ns on
+    every corpus×tokens×16 element-op. Here ``xxhash64`` and the 16
+    ``sum(shiftright & mask)`` aggregates are plain column expressions —
+    the whole vote pass is codegen, and the partial (map-side) aggregate
+    keeps the exchange at one 16-value row per doc per partition, NOT
+    corpus×tokens (each doc's tokens live in one partition).
 
     Tokens are capped at 32768/doc so a lane can never overflow its
     16-bit field (cap ≪ 65536; simhash over the first 32k tokens is
     standard practice for long docs).
 
-    Null/empty/whitespace-only text yields NO signature (filtered
-    before the fold), same policy as ``with_shingles``: a 100 TB corpus
-    with millions of empty docs must not collapse them onto one
-    identical fingerprint — that bucket would go O(n²) in
-    ``simhash_near_dups``. With ``attach=True`` such docs surface with
-    a null ``simhash``.
+    Null/empty/whitespace-only text yields NO signature (no exploded
+    rows), same policy as ``with_shingles``: a 100 TB corpus with
+    millions of empty docs must not collapse them onto one identical
+    fingerprint — that bucket would go O(n²) in ``simhash_near_dups``.
+    With ``attach=True`` such docs surface with a null ``simhash``.
     """
     assert bits == 64, "packed-lane simhash is specialized to 64 bits"
     lane_mask = 0x0001000100010001  # bit 0 of each 16-bit lane
@@ -318,14 +318,21 @@ def with_simhash(
         1,
         32768,
     )
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    base = df.select(F.col(id_col), hashes.alias("__h")).filter(F.size("__h") > 0)
-    lanes = F.expr(
-        f"""transform(sequence(0, 15), i ->
-          aggregate(__h, 0L, (acc, h) -> acc + (shiftright(h, i) & {lane_mask}L)))"""
+    ex = df.select(F.col(id_col), F.explode(tokens).alias("__tok")).withColumn(
+        "__h", F.xxhash64("__tok")
     )
-    staged = base.select(
-        F.col(id_col), lanes.alias("__lanes"), F.size("__h").alias("__n")
+    lane_sums = [
+        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(lane_mask))).alias(f"__l{i}")
+        for i in range(16)
+    ]
+    staged = (
+        ex.groupBy(id_col)
+        .agg(*lane_sums, F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__l{i}") for i in range(16)]).alias("__lanes"),
+            "__n",
+        )
     )
 
     def bit(k: int) -> Column:
