@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from ..catalog import DEFAULT_POLICY, REGISTRY, TablePolicy
 from ..operators.apply import apply_insert_as_update, apply_mutate
 from ..operators.dedup import dedup_in_window
+from ..operators.drift import SchemaDriftError, diff_schemas
 from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
 
 #: O9 write fan-in: files per (table, batch) is bounded below by this
@@ -74,6 +75,12 @@ class RunConfig:
                                            # (matomo2clickhouse.py:841-847)
     quarantine: bool = True                # B3: divert invalid rows to the
                                            # reject table instead of failing
+    schema_drift: str = "ignore"           # ignore | report | strict — the
+                                           # freeze_schema analog: strict
+                                           # halts on batch-vs-store drift
+                                           # (README.md:196-206); report
+                                           # surfaces it in RunReport; both
+                                           # cost one footer read per table
 
     def effective_row_budget(self) -> int:
         if self.degraded:
@@ -328,6 +335,28 @@ class ReplicationRunner:
         batch.unpersist()
         return report
 
+    def _check_drift(self, tbl: str, batch_schema, stats: dict) -> None:
+        """F-series freeze_schema guard: compare the batch's apply-frame
+        schema against the stored table's (one footer read, no data
+        scan). ``report`` mode records drift rows in the table stats;
+        ``strict`` halts the run like the reference does when ClickHouse
+        rejects the unknown column (README.md:196-206). Engine-managed
+        columns (the yyyymm partition) are excluded."""
+        if self.cfg.schema_drift == "ignore":
+            return
+        try:
+            stored = self.spark.read.parquet(self.table_path(tbl)).schema
+        except AnalysisException as e:
+            if _missing_path(e):
+                return  # first write defines the schema — nothing to drift from
+            raise
+        drift = diff_schemas(batch_schema, stored, ignore={"yyyymm"})
+        if not drift:
+            return
+        stats["schema_drift"] = drift
+        if self.cfg.schema_drift == "strict":
+            raise SchemaDriftError(f"table {tbl}: schema drift {drift}")
+
     def _apply_table(
         self, tbl: str, policy: TablePolicy, tslice: DataFrame, now_ts
     ) -> dict:
@@ -359,6 +388,7 @@ class ReplicationRunner:
             # maxRecordsPerFile splits oversized ones from above.
             out = apply_insert_as_update(tslice, self._resolve_cols(policy, tslice))
             out = out.withColumn("yyyymm", F.date_format("ts", "yyyyMM"))
+            self._check_drift(tbl, out.schema, stats)
             if cfg.dry_run:
                 stats["rows"] = out.count()
                 return stats
@@ -387,6 +417,8 @@ class ReplicationRunner:
                 shutil.rmtree(path)
             return stats
 
+        # mutate: the fold drops ``op``; everything else lands in state
+        self._check_drift(tbl, tslice.drop("op").schema, stats)
         stats["rows"] = self._apply_mutate_table(tbl, policy, tslice)
         return stats
 

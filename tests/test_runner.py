@@ -633,3 +633,36 @@ def test_compact_small_files_packs_without_changing_rows(spark, tmp_path):
     assert files_in(202404) == april_before  # untouched bytes
     after = spark.read.parquet(path).orderBy("seq").collect()
     assert after == before
+
+
+def test_schema_drift_report_and_strict(spark, tmp_path):
+    """freeze_schema analog: a batch whose schema diverges from the
+    stored table is reported in `report` mode and halts the run in
+    `strict` mode (the reference's "No such column" hard-stop); the
+    unchanged-schema path stays silent."""
+    from mysql2clickhouse_spark.operators.drift import SchemaDriftError
+
+    cfg = RunConfig(target_dir=str(tmp_path / "wh"), schema_drift="report")
+    runner = ReplicationRunner(spark, cfg)
+    runner.run_once(mk_changelog(spark, n=40))
+    # same shape again: no drift key in the stats
+    r = runner.run_once(mk_changelog(spark, n=80))
+    assert all("schema_drift" not in t for t in r.tables.values())
+
+    # evolved source: value retyped to string + a new column
+    rows = [("I", "visits", 1, 500, 9, T0, "9.0", "e", "extra")]
+    evolved = spark.createDataFrame(
+        rows,
+        "op string, table_name string, key bigint, seq bigint, file_seq bigint,"
+        " ts timestamp, value string, event_type string, new_col string",
+    )
+    r = runner.run_once(evolved)
+    drift = dict((c, s) for c, s, *_ in r.tables["visits"]["schema_drift"])
+    assert drift == {"new_col": "new_in_source", "value": "type_changed"}
+
+    strict = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), schema_drift="strict")
+    )
+    evolved2 = evolved.withColumn("seq", F.col("seq") + 1)
+    with pytest.raises(SchemaDriftError):
+        strict.run_once(evolved2)
