@@ -406,6 +406,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the third core web-analytics rollup of
+    the reference's domain (next to sessionization and funnels): users
+    cohorted by their FIRST event's day, then counted distinct on each
+    later active day's offset. Output: (cohort_day, day_offset, n_users).
+
+    Plan at scale: the cohort assignment is a per-user argmin — one
+    shuffle on ``user_id`` with map-side partial ``min`` — and the
+    events join the (user → cohort) frame back on the SAME partitioning
+    (the aggregation's exchange is reused, no second user shuffle).
+    The final distinct-count shuffles once on (cohort, offset). No
+    windows, no global order, every aggregate combines map-side."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 #: range-join demo windows: every 5th hour opens a 90-minute window
 RANGE_HOUR_US = 3_600_000_000
 RANGE_WIN_US = 5_400_000_000  # 1.5 h — deliberately spans 2 hour-buckets
@@ -534,6 +560,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "events_approx_profile": events_approx_profile,
     "events_value_percentiles": events_value_percentiles,
 }
@@ -648,6 +675,15 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
     "q12_ledger_prune": f"""
 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{LEDGER_CUT}'
+""",
+    "events_cohort_retention": """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, e.day) AS INT) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY 1, 2
 """,
     "events_sessionize": f"""
 WITH t AS (

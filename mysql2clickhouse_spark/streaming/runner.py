@@ -910,7 +910,27 @@ class ReplicationRunner:
         }
         if self.cfg.dry_run:
             return stats
+        import math
+
+        # write the compacted window right-sized and sort-clustered: the
+        # dedup fold's shuffle would otherwise fan every month into
+        # shuffle-partition-many small files — the exact debris
+        # compact_small_files exists to clean up. Same layout policy as
+        # that job: range partitioning on (yyyymm, order key) keeps
+        # files contiguous and parquet min/max stats tight (O11).
+        order_cols = [c for c in policy.order_cols if c in deduped.columns] or [
+            c for c in ("seq", version_col) if c in deduped.columns
+        ]
+        nfiles = max(1, math.ceil(n_after / 500_000))
+        staged = deduped.repartitionByRange(
+            nfiles, "yyyymm", *order_cols
+        ).sortWithinPartitions("yyyymm", *order_cols)
         staging = path + "__compact"
-        deduped.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
+        (
+            staged.write.mode("overwrite")
+            .partitionBy("yyyymm")
+            .option("maxRecordsPerFile", 500_000)
+            .parquet(staging)
+        )
         self._swap_partitions(staging, path, months)
         return stats
