@@ -68,10 +68,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (measured 3× slower on the minhash pipeline at sf0.1). At real
     scale file splits ≫ cores, the condition is false, and this is a
     no-op — so the shuffle cost is only ever paid when it's trivially
-    small."""
+    small.
+
+    The parallelism probe is ``inputFiles()`` (a cached file-index
+    listing, ~1 ms) — NOT ``rdd.getNumPartitions()``, which converts
+    the analyzed plan to an RDD lineage and costs ~0.9 s of driver time
+    on every fresh query plan (measured; it was the dominant constant
+    in the near-dup queries' wall time). File count undercounts splits
+    for multi-rowgroup files, but the decision only needs the order of
+    magnitude: ≥ target files means the scan already feeds every core.
+    A non-file-backed frame (in-memory test fixture) lists no files and
+    simply takes the repartition — correct for its size."""
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism * 2
-    if df.rdd.getNumPartitions() < target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width < target:
         return df.repartition(target)
     return df
 
