@@ -666,3 +666,40 @@ def test_schema_drift_report_and_strict(spark, tmp_path):
     evolved2 = evolved.withColumn("seq", F.col("seq") + 1)
     with pytest.raises(SchemaDriftError):
         strict.run_once(evolved2)
+
+
+def test_stale_staging_dirs_do_not_corrupt_next_run(spark, tmp_path):
+    """Crash recovery: a maintenance job that died between its staging
+    write and the partition swap leaves a ``__compact`` /
+    ``__filecompact`` / ``__staging`` dir behind. The next run of any
+    job must overwrite the leftover and land the correct state — no
+    junk rows, no half-swapped partitions."""
+    import os
+
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    runner.run_once(mk_changelog(spark, n=100, files=2))
+    path = runner.table_path("visits")
+    before = spark.read.parquet(path).orderBy("seq").collect()
+
+    # plant stale staging debris with junk content
+    for suffix in ("__compact", "__filecompact", "__staging"):
+        junk = spark.createDataFrame([(999999,)], "seq bigint")
+        junk.write.mode("overwrite").parquet(path + suffix + "/yyyymm=209901")
+
+    # compaction's own semantics: latest version per key survives
+    latest = {}
+    for r in before:
+        if r["key"] not in latest or r["dateid"] > latest[r["key"]]:
+            latest[r["key"]] = r["dateid"]
+    expected = set(latest.values())
+
+    runner.compact_table("visits", [202403], keys=["key"])
+    after = spark.read.parquet(path).orderBy("seq").collect()
+    assert {r["seq"] for r in after} == expected
+    assert not os.path.exists(path + "__compact")
+    # junk from the planted dirs must never surface in the live table
+    runner.compact_small_files("visits", [202403], target_rows_per_file=10_000)
+    assert not os.path.exists(path + "__filecompact")
+    final = spark.read.parquet(path).orderBy("seq").collect()
+    assert {r["seq"] for r in final} == expected
+    assert not any(d.startswith("yyyymm=2099") for d in os.listdir(path))
