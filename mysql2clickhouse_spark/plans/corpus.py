@@ -228,6 +228,40 @@ def q10_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_supplier_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second cross-DB-join profile (Q10's sibling through the OTHER two
+    dimension edges of the star): lineitem joined to part and supplier,
+    rolled up to per-(nation, brand) revenue and realized margin vs the
+    parts' retail base. Exercises the remaining driver tables (part,
+    supplier) under the same plan discipline as Q10: the fact table
+    never shuffles — all three dims broadcast — and both money sums
+    accumulate as DECIMAL(18,4) before one final DOUBLE cast, so the
+    result is bit-identical across engines and summation orders. The
+    margin ratio divides the two exact sums only after the cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    base = (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(base).cast("double").alias("retail_base"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumn(
+            "margin_ratio", F.round(F.col("revenue") / F.col("retail_base"), 4)
+        )
+    )
+
+
 # --- Q11: force-resync row move -------------------------------------------
 
 def q11_force_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +595,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "q13_supplier_part_margin": q13_supplier_part_margin,
     "events_approx_profile": events_approx_profile,
     "events_value_percentiles": events_value_percentiles,
 }
@@ -675,6 +710,27 @@ FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
     "q12_ledger_prune": f"""
 SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{LEDGER_CUT}'
+""",
+    "q13_supplier_part_margin": """
+WITH j AS (
+  SELECT n_name, p_brand,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS rev,
+         CAST(p_retailprice * l_quantity AS DECIMAL(18,4)) AS base
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+),
+a AS (
+  SELECT n_name, p_brand,
+         CAST(SUM(rev) AS DOUBLE) AS revenue,
+         CAST(SUM(base) AS DOUBLE) AS retail_base,
+         count(*) AS n_items
+  FROM j GROUP BY n_name, p_brand
+)
+SELECT n_name, p_brand, revenue, retail_base, n_items,
+       round(revenue / retail_base, 4) AS margin_ratio
+FROM a
 """,
     "events_cohort_retention": """
 WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),

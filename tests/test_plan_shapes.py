@@ -223,3 +223,14 @@ def test_range_join_is_binned_equi_join_not_nested_loop(spark, sf_dir, queries):
     plan = plan_of(spark, queries["events_range_join"](spark, sf_dir))
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q13_broadcasts_every_dim_no_fact_shuffle(spark, sf_dir, queries):
+    """Q13 (part/supplier margin profile): all three dims broadcast —
+    the fact table reaches the aggregation without a single join
+    shuffle (the only Exchange is the groupBy's own)."""
+    plan = plan_of(spark, queries["q13_supplier_part_margin"](spark, sf_dir))
+    # tree nodes print as "BroadcastHashJoin Inner BuildRight (n)" — the
+    # feeding BroadcastExchange count is the stable 3-dim pin
+    assert plan.count("BroadcastExchange (") == 3, plan[:1500]
+    assert "SortMergeJoin" not in plan
