@@ -63,6 +63,35 @@ def corpus(spark, sf_dir: str, k: int):
     return spread(out)
 
 
+def emb_corpus(spark, sf_dir: str, k: int):
+    """Embeddings replicated k× with per-replica SIGN FLIPS (dim j
+    negated when bit j of r·2654435761 is set) — an orthogonal
+    transform: norms and within-replica geometry are preserved, but
+    replicas decorrelate from each other, so duplicate-group sizes stay
+    constant as k grows (the vector analog of the alphabet rotation)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = [e]
+    for r in range(1, k):
+        mask = (r * 2654435761) & 0xFFFFFFFFFFFFFFFF
+        signs = F.array(
+            *[F.lit(-1.0 if (mask >> (j % 63)) & 1 else 1.0) for j in range(64)]
+        )
+        reps.append(
+            e.select(
+                (F.col("vec_id") + REP_OFFSET * r).alias("vec_id"),
+                F.zip_with(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    signs,
+                    lambda x, s: x * s,
+                ).alias("embedding"),
+            )
+        )
+    out = reps[0]
+    for rdf in reps[1:]:
+        out = out.unionByName(rdf)
+    return spread(out)
+
+
 def run(label: str, df) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
@@ -91,8 +120,59 @@ def main() -> None:
             tag, simhash_near_dups(with_simhash(c, "text", attach=False), "doc_id")
         )
         spark.catalog.clearCache()
-    out["minhash_growth"] = round(out["minhash_kx"] / out["minhash_1x"], 2)
-    out["simhash_growth"] = round(out["simhash_kx"] / out["simhash_1x"], 2)
+    from mysql2clickhouse_spark.functions.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+        unit_vec_col,
+        with_lsh_buckets,
+    )
+
+    def emb_cosine_pairs(e):
+        """Same shape as dedup_embedding_cosine, parameterized corpus."""
+        b = with_lsh_buckets(e, dim=64, n_planes=12, n_tables=2).select(
+            "vec_id", "tbl", "bucket"
+        ).persist()
+        b.count()
+        a_, b_ = b.alias("a"), b.alias("b")
+        cands = (
+            a_.join(
+                b_,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+            .distinct()
+        )
+        unit = e.select("vec_id", unit_vec_col(F.col("embedding")).alias("u"))
+        va = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+        vb = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
+        dot = F.aggregate(
+            F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            cands.join(va, "id_a").join(vb, "id_b")
+            .withColumn("sim", F.round(dot, 4))
+            .filter(F.col("sim") >= 0.95)
+        )
+
+    for kk, tag in ((1, "1x"), (k, "kx")):
+        e = emb_corpus(spark, sf_dir, kk)
+        q = e.filter(F.col("vec_id") < 5)
+        c = e.filter(F.col("vec_id") >= 5)
+        if tag == "1x":
+            run("warm", emb_cosine_pairs(e))
+            run("warm", lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=6))
+            spark.catalog.clearCache()
+        out[f"embcos_{tag}"] = run(tag, emb_cosine_pairs(e))
+        spark.catalog.clearCache()
+        out[f"annlsh_{tag}"] = run(tag, lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=6))
+        spark.catalog.clearCache()
+
+    for fam in ("minhash", "simhash", "embcos", "annlsh"):
+        out[f"{fam}_growth"] = round(out[f"{fam}_kx"] / out[f"{fam}_1x"], 2)
     print(json.dumps(out))
 
 
