@@ -697,15 +697,26 @@ class ReplicationRunner:
         if policy.apply_mode in ("append", "insert_as_update"):
             out = snap.withColumn("dateid", F.col("seq").cast("bigint"))
             out = out.withColumn("yyyymm", F.date_format("ts", "yyyyMM"))
-            n = out.count()
-            if not cfg.dry_run:
+            if cfg.dry_run:
+                n = out.count()
+            else:
+                # UNLIKE the per-batch append (budget-bounded, so a fixed
+                # coalesce is safe), the initial snapshot is unbounded —
+                # a coalesce here would funnel a 100 TB load through
+                # WRITE_PARTITIONS tasks. Keep the snapshot's own
+                # parallelism, bound file sizes from above, and let the
+                # count ride on the write (one pass, not count-then-write).
+                from pyspark.sql import Observation
+
+                obs = Observation()
                 (
-                    out.coalesce(WRITE_PARTITIONS)
+                    out.observe(obs, F.count(F.lit(1)).alias("n"))
                     .write.mode("overwrite")
                     .partitionBy("yyyymm")
                     .option("maxRecordsPerFile", 500_000)
                     .parquet(path)
                 )
+                n = int(obs.get["n"])
         else:
             part_src = (
                 policy.partition_col
@@ -901,16 +912,16 @@ class ReplicationRunner:
         # key override for fixture-shaped tables whose stored business key
         # differs from the matomo-shaped registry entry
         deduped = dedup_in_window(in_win, keys or policy.key_cols, version_col=version_col)
+        # metadata-only count: parquet answers count(*) from row-group
+        # stats, no data read
         n_before = in_win.count()
-        n_after = deduped.count()
-        stats = {
-            "partitions": sorted(months),
-            "rows_before": n_before,
-            "rows_removed": n_before - n_after,
-        }
+        stats = {"partitions": sorted(months), "rows_before": n_before}
         if self.cfg.dry_run:
+            stats["rows_removed"] = n_before - deduped.count()
             return stats
         import math
+
+        from pyspark.sql import Observation
 
         # write the compacted window right-sized and sort-clustered: the
         # dedup fold's shuffle would otherwise fan every month into
@@ -918,19 +929,33 @@ class ReplicationRunner:
         # compact_small_files exists to clean up. Same layout policy as
         # that job: range partitioning on (yyyymm, order key) keeps
         # files contiguous and parquet min/max stats tight (O11).
+        # File sizing uses n_before (an upper bound on the surviving
+        # rows) and the exact survivor count rides on the write itself —
+        # a pre-count of ``deduped`` would execute the whole dedup fold
+        # TWICE per maintenance run.
         order_cols = [c for c in policy.order_cols if c in deduped.columns] or [
             c for c in ("seq", version_col) if c in deduped.columns
         ]
-        nfiles = max(1, math.ceil(n_after / 500_000))
-        staged = deduped.repartitionByRange(
-            nfiles, "yyyymm", *order_cols
-        ).sortWithinPartitions("yyyymm", *order_cols)
-        staging = path + "__compact"
-        (
-            staged.write.mode("overwrite")
-            .partitionBy("yyyymm")
-            .option("maxRecordsPerFile", 500_000)
-            .parquet(staging)
-        )
+        nfiles = max(1, math.ceil(n_before / 500_000))
+        # persist the fold: repartitionByRange SAMPLES its child to pick
+        # range bounds, which would otherwise execute the whole dedup
+        # window a second time before the real write pass
+        deduped = deduped.persist()
+        try:
+            staged = deduped.repartitionByRange(
+                nfiles, "yyyymm", *order_cols
+            ).sortWithinPartitions("yyyymm", *order_cols)
+            staging = path + "__compact"
+            obs = Observation()
+            (
+                staged.observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .partitionBy("yyyymm")
+                .option("maxRecordsPerFile", 500_000)
+                .parquet(staging)
+            )
+            stats["rows_removed"] = n_before - int(obs.get["n"])
+        finally:
+            deduped.unpersist()
         self._swap_partitions(staging, path, months)
         return stats
