@@ -1,23 +1,25 @@
-from . import cdc, corpus, curation, extensions, quality, streaming_queries  # noqa: F401
+from . import (  # noqa: F401
+    cdc,
+    corpus,
+    curation,
+    extensions,
+    quality,
+    sql_corpus,
+    streaming_queries,
+)
+
+_MODULES = (corpus, cdc, extensions, curation, quality, streaming_queries, sql_corpus)
 
 
 def all_queries():
     q = {}
-    q.update(corpus.QUERIES)
-    q.update(cdc.QUERIES)
-    q.update(extensions.QUERIES)
-    q.update(curation.QUERIES)
-    q.update(quality.QUERIES)
-    q.update(streaming_queries.QUERIES)
+    for m in _MODULES:
+        q.update(m.QUERIES)
     return q
 
 
 def all_oracles():
     o = {}
-    o.update(corpus.ORACLE)
-    o.update(cdc.ORACLE)
-    o.update(extensions.ORACLE)
-    o.update(curation.ORACLE)
-    o.update(quality.ORACLE)
-    o.update(streaming_queries.ORACLE)
+    for m in _MODULES:
+        o.update(m.ORACLE)
     return o
