@@ -1,0 +1,227 @@
+"""Incremental MinHash+LSH near-dup index — dedup as a MAINTAINED
+store, not a per-run recompute.
+
+``verified_near_dups`` re-shingles and re-signs the whole corpus every
+invocation. That is the right shape for a one-shot audit, but a 100 TB
+ingest pipeline adds a bounded batch per run (exactly like the CDC
+runner's micro-batches) — re-hashing an ever-growing corpus per batch
+is O(corpus) work for O(batch) new data, the same scale-killer the
+runner's mutate path avoids by partition-scoped folds.
+
+This operator persists the two derived tables the pipeline actually
+needs:
+
+- ``sigs/``  — (doc_id, hset, minhash): the integer shingle set and
+  signature per document (text is never re-read after ingest);
+- ``bands/`` — (band_idx, band_hash, doc_id), written
+  ``partitionBy(band_idx)``: the LSH bucket membership table.
+
+Per batch, ``add_batch``:
+
+1. computes hset + signatures for the BATCH only (one scan of the new
+   text);
+2. finds new×old candidates by joining the batch's band rows against
+   the stored band table — a shuffle on (band_idx, band_hash) whose
+   probe side is batch-sized; the store is never re-signed, only
+   joined;
+3. finds new×new candidates with the ordinary in-batch self-join;
+4. estimate-filters and exact-verifies both candidate sets against
+   signatures/hsets fetched FROM THE STORE (shuffle joins keyed on
+   doc_id — batch-bounded row counts on the probe side);
+5. appends the batch's sig and band rows to the store (pure columnar
+   append, no rewrite — same append-only discipline as the runner's
+   versioned tables).
+
+Incremental-vs-batch contract: after any sequence of ``add_batch``
+calls, the union of returned pair sets equals ``verified_near_dups``
+over the full corpus restricted to pairs introduced by each batch —
+banding, estimate margin, and verify are the SAME functions, so the
+candidate nets are identical by construction. ``dedup_incremental``
+(plans/extensions.py) certifies this equivalence as an oracle row, and
+``test_neardup_index.py`` pins multi-batch accumulation.
+
+Reference basis: the reference maintains dedup state per run window
+(_settings.py:230-287) rather than rescanning history; this is that
+discipline applied to the LLM-pipeline extension family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_PERM,
+    DEFAULT_ROWS,
+    estimated_jaccard_col,
+    jaccard_col,
+    minhash_signatures,
+    with_hset,
+)
+from ..session import release_cache, rotate_cache
+
+
+class MinHashIndex:
+    """A persisted MinHash+LSH index over an append-only document store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_perm: int = DEFAULT_NUM_PERM,
+        bands: int = DEFAULT_BANDS,
+        rows: int = DEFAULT_ROWS,
+        seed: int = 42,
+        threshold: float = 0.7,
+        estimate_margin: float = 0.15,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.num_perm, self.bands, self.rows = num_perm, bands, rows
+        self.seed, self.threshold = seed, threshold
+        self.estimate_margin = estimate_margin
+        self.id_col, self.text_col, self.k = id_col, text_col, k
+
+    @property
+    def sigs_path(self) -> str:
+        return os.path.join(self.path, "sigs")
+
+    @property
+    def bands_path(self) -> str:
+        return os.path.join(self.path, "bands")
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.sigs_path)
+
+    def _band_rows(self, sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            self.id_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("minhash", i * self.rows + 1, self.rows)
+                        for i in range(self.bands)
+                    ]
+                )
+            ).alias("band_idx", "band"),
+        ).select("band_idx", F.hash("band").alias("band_hash"), self.id_col)
+
+    def _batch_tables(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, hset, minhash) for the new batch — ONE text scan."""
+        hashed = with_hset(batch, self.text_col, self.k).select(self.id_col, "hset")
+        sigs = minhash_signatures(hashed, self.id_col, self.num_perm, self.seed)
+        # empty-hset docs have no signature rows (policy: they must not
+        # reach the bands) but their hset row is still stored for verify
+        return hashed.join(sigs, self.id_col, "left")
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """Ingest one batch; return its near-dup pairs (id_a, id_b,
+        jaccard) — new×old (id_a in store) and new×new (both in batch).
+        Appends the batch to the store AFTER the pairs materialize, so
+        a replayed batch cannot pair against its own first delivery's
+        rows mid-flight."""
+        release_cache("neardup_index.add_batch")  # BEFORE persist — see session.py
+        new = self._batch_tables(batch).persist()
+        new.count()  # eager barrier: feeds bands, both verify sides, and the append
+        rotate_cache("neardup_index.add_batch", new)
+        new_sigs = new.filter(F.col("minhash").isNotNull()).select(
+            self.id_col, "minhash"
+        )
+        new_bands = self._band_rows(new_sigs)
+
+        # new×old: batch band rows probe the stored bucket table
+        pairs_sets = []
+        if self._exists():
+            old_bands = self.spark.read.parquet(self.bands_path)
+            cross = (
+                new_bands.alias("n")
+                .join(
+                    old_bands.alias("o"),
+                    (F.col("n.band_idx") == F.col("o.band_idx"))
+                    & (F.col("n.band_hash") == F.col("o.band_hash")),
+                )
+                # normalize to id_a < id_b (a stored id is not
+                # necessarily smaller than a batch id); a replayed
+                # doc_id present on both sides must not self-pair
+                .select(
+                    F.least(
+                        F.col(f"o.{self.id_col}"), F.col(f"n.{self.id_col}")
+                    ).alias("id_a"),
+                    F.greatest(
+                        F.col(f"o.{self.id_col}"), F.col(f"n.{self.id_col}")
+                    ).alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+            pairs_sets.append(cross)
+
+        # new×new: ordinary banded self-join inside the batch
+        nb = new_bands
+        self_cands = (
+            nb.alias("a")
+            .join(
+                nb.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}")),
+            )
+            .select(
+                F.col(f"a.{self.id_col}").alias("id_a"),
+                F.col(f"b.{self.id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs_sets.append(self_cands)
+        cands = pairs_sets[0]
+        for p in pairs_sets[1:]:
+            cands = cands.unionByName(p)
+
+        # signature estimate-filter, then exact verify — sides resolve
+        # from store ∪ batch (store rows only ever joined, never re-derived)
+        all_rows = new.select(self.id_col, "hset", "minhash")
+        if self._exists():
+            all_rows = self.spark.read.parquet(self.sigs_path).unionByName(all_rows)
+        sa = all_rows.select(
+            F.col(self.id_col).alias("id_a"),
+            F.col("minhash").alias("sig_a"),
+            F.col("hset").alias("h_a"),
+        )
+        sb = all_rows.select(
+            F.col(self.id_col).alias("id_b"),
+            F.col("minhash").alias("sig_b"),
+            F.col("hset").alias("h_b"),
+        )
+        pairs = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "est",
+                estimated_jaccard_col(F.col("sig_a"), F.col("sig_b"), self.num_perm),
+            )
+            .filter(F.col("est") >= self.threshold - self.estimate_margin)
+            .withColumn("jaccard", F.round(jaccard_col(F.col("h_a"), F.col("h_b")), 4))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # materialize pairs BEFORE the store append (a streaming replay
+        # of this batch must see the pre-append store)
+        out = pairs.localCheckpoint(eager=True)
+
+        new.write.mode("append").parquet(self.sigs_path)
+        self._band_rows(
+            new.filter(F.col("minhash").isNotNull()).select(self.id_col, "minhash")
+        ).write.mode("append").partitionBy("band_idx").parquet(self.bands_path)
+        return out
+
+    def pairs_equal(self, other: DataFrame, mine: DataFrame) -> bool:
+        """Bag equality on (id_a, id_b, jaccard) — certification helper."""
+        a = mine.select("id_a", "id_b", "jaccard")
+        b = other.select("id_a", "id_b", "jaccard")
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

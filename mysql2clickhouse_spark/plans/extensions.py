@@ -151,6 +151,53 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (operators/neardup_index.py):
+    ingest the corpus as batch 1 into a persisted MinHash index, then
+    the planted mutants as batch 2 — batch 2's text is the ONLY text
+    scanned in step 2; the stored corpus participates via its band and
+    signature tables. Certifies, as one oracle row:
+
+    - ``recall_ok``     — the cross-batch pairs recover ≥ the twin bound
+      of the planted (id, id+10^6) pairs;
+    - ``incremental_equals_full`` — the union of per-batch pair sets is
+      BAG-EQUAL to the one-shot ``verified_near_dups`` over the full
+      corpus (same banding/margin/verify ⇒ identical candidate nets —
+      this is the contract that makes the incremental form safe to run
+      in production instead of the recompute).
+    """
+    from ..operators.neardup_index import MinHashIndex
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    idx = MinHashIndex(spark, scratch_dir("m2c_ndidx_") + "/index", threshold=0.7)
+    p0 = idx.add_batch(spread(d))
+    p1 = idx.add_batch(spread(mut))
+    inc = p0.unionByName(p1)
+
+    full = verified_near_dups(_docs_with_mutants(spark, sf_dir), "doc_id", threshold=0.7)
+    equal = idx.pairs_equal(full, inc)
+
+    n_planted = d.count()
+    n_found = p1.filter(
+        (F.col("id_a") < MUT_OFFSET) & (F.col("id_b") == F.col("id_a") + MUT_OFFSET)
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_planted,
+                bool(n_found >= MINHASH_RECALL_BOUND * n_planted),
+                bool(equal),
+            )
+        ],
+        "n_planted bigint, recall_ok boolean, incremental_equals_full boolean",
+    )
+
+
 # --- oracle-checkable recall twins ----------------------------------------
 # The hash-family operators (minhash / simhash / LSH-ANN / IVF-ANN) use
 # Spark-native hash functions (murmur3 / xxhash64) DuckDB cannot
@@ -725,6 +772,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_recall": dedup_minhash_lsh_recall,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_locality": dedup_simhash_locality,
@@ -971,6 +1019,13 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {EMB_DUP_THRESHOLD}
     # operator recovered the planted structure.
     "dedup_minhash_lsh_recall": """
 SELECT count(*) AS n_planted, CAST(true AS BOOLEAN) AS recall_ok FROM documents
+""",
+    # incremental index: planted recall + bag-equality with the one-shot
+    # pipeline, both emitted as data with fixed expected outcomes
+    "dedup_incremental": """
+SELECT count(*) AS n_planted, CAST(true AS BOOLEAN) AS recall_ok,
+       CAST(true AS BOOLEAN) AS incremental_equals_full
+FROM documents
 """,
     # a doc yields a simhash iff it has >= 1 token; a mutant iff its
     # source text is non-NULL (concat propagates NULL) — mirrored here

@@ -1,0 +1,91 @@
+"""Incremental MinHash+LSH index (operators/neardup_index.py).
+
+Contract under test: any batch decomposition of the corpus yields, via
+accumulated ``add_batch`` pair sets, exactly the pairs of the one-shot
+``verified_near_dups`` over the full corpus — plus append-only store
+growth and replay self-pair safety.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.functions.minhash import verified_near_dups
+from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+from mysql2clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+MUT = 1_000_000
+
+
+def _corpus(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+def test_three_batch_accumulation_equals_one_shot(spark, tmp_path):
+    corpus = _corpus(spark).cache()
+    batches = [corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    acc = None
+    for b in batches:
+        p = idx.add_batch(b)
+        acc = p if acc is None else acc.unionByName(p)
+    full = verified_near_dups(corpus, "doc_id", threshold=0.7)
+    assert idx.pairs_equal(full, acc)
+    corpus.unpersist()
+
+
+def test_store_is_append_only(spark, tmp_path):
+    corpus = _corpus(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 0))
+
+    def _files(p):
+        return {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = _files(idx.path)
+    mtimes = {f: os.path.getmtime(f) for f in before}
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 1))
+    after = _files(idx.path)
+    assert before < after, "second batch must add files"
+    assert all(os.path.getmtime(f) == mtimes[f] for f in before), (
+        "existing store files must be untouched bytes"
+    )
+
+
+def test_replayed_batch_never_self_pairs(spark, tmp_path):
+    one = _corpus(spark).filter(F.col("doc_id") == 0)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    assert idx.add_batch(one).count() == 0
+    replay = idx.add_batch(one)  # same doc_id arrives again
+    assert replay.filter(F.col("id_a") == F.col("id_b")).count() == 0
+
+
+def test_cross_batch_pairs_found_from_store_not_rescan(spark, tmp_path):
+    """The planted mutants arrive as a second batch; their pairs must
+    surface purely from the store's band/sig tables."""
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(d)
+    p = idx.add_batch(mut)
+    planted = p.filter(
+        (F.col("id_a") < MUT) & (F.col("id_b") == F.col("id_a") + MUT)
+    ).count()
+    n = d.count()
+    assert planted >= 0.95 * n
