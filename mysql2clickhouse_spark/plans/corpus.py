@@ -331,6 +331,39 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_sessionize`` via Spark's NATIVE ``session_window``
+    aggregation — the same 30-minute-gap islands expressed as one
+    groupBy instead of two window passes + groupBy.
+
+    Boundary parity (probed, pinned by the shared oracle): Spark merges
+    an event at EXACTLY prev+gap into the running session (a new
+    session needs gap > 30 min), identical to the hand-rolled form's
+    ``gap > SESSION_GAP_S`` test. ``session_end`` is the native
+    definition: last event + gap.
+
+    Plan at scale: ONE shuffle on the grouping key, then the
+    sessionization happens INSIDE the aggregation operator
+    (UpdatingSessionsIterator merges sorted runs) — no Window node at
+    all, and partial merging happens map-side. This is also the form
+    that carries directly to Structured Streaming state
+    (``stream_session_windows``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — for every ``purchase`` event, the nearest PRECEDING
     ``view`` event of the same user (or none). Spark has no native
@@ -591,6 +624,7 @@ QUERIES = {
     "q11_force_resync": q11_force_resync,
     "q12_ledger_prune": q12_ledger_prune,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
@@ -762,6 +796,31 @@ s AS (
 SELECT user_id, session_idx, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
        min(event_id) AS first_event_id
+FROM s GROUP BY user_id, session_idx
+""",
+    # native session_window parity: same islands, native bounds
+    # (start = first event, end = last event + gap)
+    "events_session_window": f"""
+WITH t AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+  FROM t
+)
+SELECT user_id, min(ts) AS sess_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS sess_end,
+       count(*) AS n_events
 FROM s GROUP BY user_id, session_idx
 """,
     "events_asof_join": """

@@ -253,9 +253,56 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "1800 seconds"  # Matomo's 30-min visit timeout
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION with native ``session_window`` state —
+    the §2.7 stateful-session concept (Matomo's visit timeout applied
+    in-stream): per key, events within 30 minutes of the previous one
+    merge into a growing session; a session finalizes (append-mode
+    emission) once the watermark passes its end + gap.
+
+    The closer sentinel (trunc(hour, max ts) + 4 h, watermark 2 h)
+    drives the final watermark a full half hour past any real session's
+    end (real end ≤ max ts + 30 min ≤ trunc + 1.5 h < trunc + 2 h), so
+    every real session flushes in availableNow's no-data batch and the
+    result equals the batch gaps-and-islands sessionization — fully
+    oracle-checkable, like ``stream_windowed_counts``.
+
+    State at scale: one open session struct per ACTIVE key within the
+    watermark horizon (merged map-side by the session aggregation), not
+    per event; expired sessions leave the store on emission."""
+    cl_dir = _stage_changelog(spark, sf_dir, n_files=2, closer=True)
+    stream = (
+        spark.readStream.schema(CHANGELOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cl_dir)
+    )
+    sessions = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), F.col("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_latest_state
+    try:
+        sink = _run_to_sink(sessions, os.path.dirname(cl_dir), "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink).filter(F.col("key") >= 0)
+
+
 QUERIES = {
     "stream_latest_state": stream_latest_state,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_session_windows": stream_session_windows,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_enrich_join": stream_enrich_join,
 }
@@ -285,6 +332,31 @@ ORACLE = {
                value, event_type
         FROM ({CHANGELOG_VIEW_SQL}) c
     """,
+    # every real session finalizes (closer advances the watermark past
+    # end + gap), so streaming sessions == batch gaps-and-islands with
+    # the native bounds (start = first event, end = last + gap)
+    "stream_session_windows": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+t AS (
+  SELECT key, seq, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM c
+  WINDOW w AS (PARTITION BY key ORDER BY ts, seq)
+),
+s AS (
+  SELECT key, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY key ORDER BY ts, seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+  FROM t
+)
+SELECT key, min(ts) AS sess_start,
+       max(ts) + INTERVAL 1800 SECOND AS sess_end,
+       count(*) AS n_events
+FROM s GROUP BY key, session_idx
+""",
     # every real window finalizes (closer advances the watermark past
     # them), so streaming append == plain per-hour GROUP BY
     "stream_windowed_counts": f"""

@@ -194,3 +194,28 @@ def test_stateful_latest_state_across_batches(spark, tmp_path):
     got2 = {r.key: (r.seq, r.value, r.deleted) for r in emitted}
     assert got2[2] == (4, 0.0, "D")   # delete is terminal, flagged
     assert got2[1] == (2, 5.0, "")    # stale update lost — state kept seq 2
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pins the gap boundary the oracles mirror: an event at EXACTLY
+    prev + 30 min merges into the running session; one microsecond-class
+    step past it opens a new session (native session_window end = last
+    event + gap)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # gap == 1800 s -> merge
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:01"),  # gap  > 1800 s -> split
+        ],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "1800 seconds").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", "w.start", "w.end", "n")
+    )
+    rows = {r["k"]: r for r in out.groupBy("k").count().collect()}
+    assert rows[1]["count"] == 1 and rows[2]["count"] == 2
+    merged = out.filter(F.col("k") == 1).collect()[0]
+    assert str(merged["end"]) == "2024-01-01 01:00:00"  # last event + gap
