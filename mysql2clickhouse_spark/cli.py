@@ -1,0 +1,171 @@
+"""Operator CLI — the engine's analog of running the reference from
+cron (``python matomo2clickhouse.py``, README deploy steps; settings in
+``/root/reference/_settings.py``). The reference is operated as a
+command, not a library, so a user switching engines needs the same
+surface: one command per entry point, flags in place of ``settings.py``
+constants, machine-readable run reports on stdout.
+
+    python -m mysql2clickhouse_spark run --changelog-dir ... --target-dir ...
+    python -m mysql2clickhouse_spark bootstrap --table t --snapshot-dir ...
+    python -m mysql2clickhouse_spark maintain --target-dir ... --months 202403
+    python -m mysql2clickhouse_spark query q10_regional_revenue --sf-dir ...
+    python -m mysql2clickhouse_spark sql "SELECT ... FROM versioned ..."
+
+Flag ↔ reference-setting map (the names a migrating operator knows):
+``--row-budget`` = replication_batch_size (_settings.py:71-73);
+``--max-files`` = replication_max_number_files_per_session;
+``--max-minutes`` = replication_max_minutes (:82-84); ``--dry-run`` =
+EXECUTE_CLICKHOUSE=False (:53-55); ``--degraded`` = the post-error
+shrunk batch (matomo2clickhouse.py:841-847); ``--old-delete-days`` =
+the F6 horizon (:593); ``--compact-months`` = the end-of-run dedup
+window (entry point C, :756-766).
+
+Everything here delegates to the library (``streaming.runner``,
+``plans``); the CLI owns only argument parsing and JSON reporting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mysql2clickhouse_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="one replication session (entry points A+B+C)")
+    r.add_argument("--changelog-dir", required=True, help="parquet changelog directory")
+    r.add_argument("--target-dir", required=True, help="replication warehouse root")
+    r.add_argument("--row-budget", type=int, default=1_000_000)
+    r.add_argument("--max-files", type=int, default=20)
+    r.add_argument("--max-minutes", type=float, default=50.0)
+    r.add_argument("--old-delete-days", type=int, default=31)
+    r.add_argument("--dry-run", action="store_true")
+    r.add_argument("--degraded", action="store_true",
+                   help="previous run failed: shrink the budget so poison surfaces")
+    r.add_argument("--no-quarantine", action="store_true",
+                   help="fail on invalid rows instead of diverting to rejects")
+    r.add_argument("--schema-drift", choices=["ignore", "report", "strict"],
+                   default="ignore")
+    r.add_argument("--compact-months", type=int, nargs="*", default=None,
+                   help="yyyymm partitions for end-of-run dedup compaction")
+
+    b = sub.add_parser("bootstrap", help="initial load from a source snapshot")
+    b.add_argument("--table", required=True)
+    b.add_argument("--snapshot-dir", required=True, help="parquet snapshot directory")
+    b.add_argument("--as-of-seq", type=int, required=True,
+                   help="changelog position the snapshot reflects")
+    b.add_argument("--target-dir", required=True)
+    b.add_argument("--dry-run", action="store_true")
+
+    m = sub.add_parser("maintain", help="partition-scoped maintenance jobs")
+    m.add_argument("--target-dir", required=True)
+    m.add_argument("--table", required=True)
+    m.add_argument("--months", type=int, nargs="+", required=True)
+    m.add_argument("--job", choices=["dedup", "small-files", "daily-aggregate"],
+                   default="dedup")
+    m.add_argument("--dry-run", action="store_true")
+
+    q = sub.add_parser("query", help="run a named corpus query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--output", default=None, help="write full result as parquet here")
+
+    s = sub.add_parser("sql", help="literal Spark SQL over the registered views")
+    s.add_argument("statement", help="a SQL_CORPUS name or raw SQL text")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str), flush=True)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(f"m2c-cli-{args.cmd}")
+
+    if args.cmd == "run":
+        from .streaming.runner import ReplicationRunner, RunConfig
+
+        cfg = RunConfig(
+            target_dir=args.target_dir,
+            batch_row_budget=args.row_budget,
+            max_files_per_run=args.max_files,
+            old_delete_days=args.old_delete_days,
+            dry_run=args.dry_run,
+            degraded=args.degraded,
+            quarantine=not args.no_quarantine,
+            schema_drift=args.schema_drift,
+        )
+        runner = ReplicationRunner(spark, cfg)
+        changelog = spark.read.parquet(args.changelog_dir)
+        reports = runner.run_session(
+            changelog,
+            max_minutes=args.max_minutes,
+            compact_months=args.compact_months,
+        )
+        for rep in reports:
+            _emit(asdict(rep))
+        return 0
+
+    if args.cmd == "bootstrap":
+        from .streaming.runner import ReplicationRunner, RunConfig
+
+        runner = ReplicationRunner(
+            spark, RunConfig(target_dir=args.target_dir, dry_run=args.dry_run)
+        )
+        snap = spark.read.parquet(args.snapshot_dir)
+        _emit(runner.bootstrap_from_snapshot(args.table, snap, args.as_of_seq))
+        return 0
+
+    if args.cmd == "maintain":
+        from .streaming.runner import ReplicationRunner, RunConfig
+
+        runner = ReplicationRunner(
+            spark, RunConfig(target_dir=args.target_dir, dry_run=args.dry_run)
+        )
+        job = {
+            "dedup": runner.compact_table,
+            "small-files": runner.compact_small_files,
+            "daily-aggregate": runner.refresh_daily_aggregate,
+        }[args.job]
+        _emit({"job": args.job, **job(args.table, args.months)})
+        return 0
+
+    if args.cmd == "query":
+        from .plans import all_queries
+
+        queries = all_queries()
+        if args.name not in queries:
+            _emit({"error": f"unknown query '{args.name}'",
+                   "known": sorted(queries)})
+            return 2
+        df = queries[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            _emit({"query": args.name, "output": args.output})
+        else:
+            for row in df.limit(args.limit).collect():
+                _emit(row.asDict())
+        return 0
+
+    # sql
+    from .plans.sql_corpus import SQL_CORPUS, register_corpus_views
+
+    register_corpus_views(spark, args.sf_dir)
+    text = SQL_CORPUS.get(args.statement, args.statement)
+    for row in spark.sql(text).limit(args.limit).collect():
+        _emit(row.asDict())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -624,7 +624,11 @@ class ReplicationRunner:
 
         deadline = _time.monotonic() + 60.0 * max(0.0, max_minutes - grace_minutes)
         reports: list[RunReport] = []
-        while _time.monotonic() < deadline:
+        while True:
+            # at least ONE micro-batch per session, even when the grace
+            # swallows the whole wall budget (the reference's loop also
+            # tests the clock only BETWEEN batches) — a cron session
+            # must never no-op silently because of a short budget
             r = self.run_once(changelog)
             reports.append(r)
             # EOF = the resume point didn't advance, read off the report
@@ -639,6 +643,8 @@ class ReplicationRunner:
             # Dry runs never advance the ledger, so one probe batch is
             # the whole session.
             if r.dry_run or r.end_seq == r.start_seq:
+                break
+            if _time.monotonic() >= deadline:
                 break
         if max_minutes > 10 and compact_months:
             targets = compact_tables or {
@@ -909,9 +915,12 @@ class ReplicationRunner:
             return {"partitions": [], "rows_before": 0, "rows_removed": 0}
         path = self.table_path(tbl)
         in_win = self.spark.read.parquet(path).filter(F.col("yyyymm").isin(months))
-        # key override for fixture-shaped tables whose stored business key
-        # differs from the matomo-shaped registry entry
-        deduped = dedup_in_window(in_win, keys or policy.key_cols, version_col=version_col)
+        # explicit override wins; otherwise resolve the policy's
+        # (matomo-shaped) key names against the stored frame exactly like
+        # the apply path does — generic-contract stores carry ``key``
+        deduped = dedup_in_window(
+            in_win, keys or self._resolve_cols(policy, in_win), version_col=version_col
+        )
         # metadata-only count: parquet answers count(*) from row-group
         # stats, no data read
         n_before = in_win.count()

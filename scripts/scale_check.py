@@ -171,7 +171,29 @@ def main() -> None:
         out[f"annlsh_{tag}"] = run(tag, lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=6))
         spark.catalog.clearCache()
 
-    for fam in ("minhash", "simhash", "embcos", "annlsh"):
+    # incremental index: a FIXED-size batch added against a 1× vs k×
+    # store. The claim under test is O(batch) work per run: batch text
+    # hashing is constant, and the store participates only through an
+    # ints-only band/sig columnar scan (broadcast-probed, never
+    # re-shingled) — so wall growth must stay far under k even though
+    # the store is k× larger.
+    import tempfile
+
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    batch = corpus(spark, sf_dir, 1)  # the same fixed batch both times
+    for kk, tag in ((1, "1x"), (k, "kx")):
+        store = corpus(spark, sf_dir, kk)
+        idx = MinHashIndex(spark, tempfile.mkdtemp(prefix="m2c_scale_idx_"))
+        idx.add_batch(store).count()  # build the store (not timed)
+        if tag == "1x":
+            pass  # shapes already warm from the minhash section
+        t0 = time.perf_counter()
+        idx.add_batch(batch).count()
+        out[f"incidx_{tag}"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+
+    for fam in ("minhash", "simhash", "embcos", "annlsh", "incidx"):
         out[f"{fam}_growth"] = round(out[f"{fam}_kx"] / out[f"{fam}_1x"], 2)
     print(json.dumps(out))
 

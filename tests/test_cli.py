@@ -1,0 +1,93 @@
+"""Operator CLI (cli.py): each subcommand drives the library end-to-end
+in-process (same session as the fixture — subprocess would pay a full
+JVM start per test for no extra coverage)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from mysql2clickhouse_spark.cli import main
+
+SCHEMA = (
+    "op string, table_name string, key bigint, seq bigint, file_seq bigint,"
+    " ts timestamp, value double, event_type string"
+)
+T0 = dt.datetime(2024, 3, 1)
+
+
+def _stage_changelog(spark, path: str, n=100, files=2):
+    rows = []
+    for i in range(n):
+        key = i % 10
+        op = "I" if i % 5 in (0, 1) else ("U" if i % 5 in (2, 3) else "D")
+        tbl = "visits" if key % 2 == 0 else "events_state"
+        rows.append(
+            (op, tbl, key, i, i // (n // files), T0 + dt.timedelta(minutes=i), float(i), "e")
+        )
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+
+
+def test_cli_run_and_resume(spark, tmp_path, capsys):
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    _stage_changelog(spark, cl)
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "1"])
+    assert rc == 0
+    reports = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert reports[0]["rows_applied"] > 0
+    assert os.path.isdir(os.path.join(wh, "tables", "visits"))
+    # second session over the same changelog: caught up, applies nothing
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "1"])
+    assert rc == 0
+    reports2 = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert reports2[0]["rows_applied"] == 0
+
+
+def test_cli_dry_run_writes_nothing(spark, tmp_path, capsys):
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    _stage_changelog(spark, cl)
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh, "--dry-run",
+               "--max-minutes", "1"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert rep["dry_run"] and rep["rows_applied"] > 0
+    assert not os.path.exists(os.path.join(wh, "tables"))
+
+
+def test_cli_query_known_and_unknown(spark, capsys):
+    rc = main(["query", "q9_union_minima", "--limit", "5"])
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert {r["tbl"] for r in rows} == {"orders", "lineitem", "customer"}
+    rc = main(["query", "no_such_query"])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert "unknown query" in err["error"]
+
+
+def test_cli_sql_name_and_raw(spark, capsys):
+    rc = main(["sql", "q9_union_minima"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.splitlines()) == 3
+    rc = main(["sql", "SELECT count(*) AS n FROM versioned"])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert row["n"] > 0
+
+
+def test_cli_maintain_dedup(spark, tmp_path, capsys):
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    _stage_changelog(spark, cl)
+    main(["run", "--changelog-dir", cl, "--target-dir", wh, "--max-minutes", "1"])
+    capsys.readouterr()
+    rc = main(["maintain", "--target-dir", wh, "--table", "visits",
+               "--months", "202403", "--job", "dedup"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert stats["job"] == "dedup" and stats["rows_before"] > 0
