@@ -334,6 +334,174 @@ def ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., PAMI 2011): split
+    the (unit-normalized) vector into ``m`` contiguous subvectors of
+    ``dim/m`` dims; per subspace, L2 k-means with ``ksub`` centroids on
+    the same bounded deterministic sample discipline as
+    ``train_ivf_centroids`` — the trainer sees ≤ ``sample_size`` rows at
+    any corpus size. Returns (m, ksub, dim//m).
+    """
+    assert dim % m == 0, "dim must split evenly into m subvectors"
+    dsub = dim // m
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.pmod(F.hash("id"), F.lit(9973)), F.col("id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.v for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        Xb = X[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(Xb))
+        C = Xb[rng.choice(len(Xb), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Xb[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        if k < ksub:  # degenerate tiny corpus: pad by repetition
+            C = np.vstack([C, np.repeat(C[:1], ksub - k, axis=0)])
+        books[j] = C
+    return books
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode each (unit-normalized) vector as ``m`` centroid ids — the
+    4-byte-per-m representation that replaces the float vector in the
+    search store (dim×4 bytes → m bytes: 32× at dim=64, m=8). One numpy
+    pass per Arrow batch; per block, argmin L2 via the
+    ``||c||² - 2·x·c`` expansion (one GEMM, no pairwise diff tensor)."""
+    m, ksub, dsub = codebooks.shape
+    cn = (codebooks**2).sum(axis=2)  # (m, ksub) centroid norms
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xb = X[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = np.argmin(cn[j][None, :] - 2.0 * (Xb @ codebooks[j].T), axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(*df.columns, encode(F.col(vec_col)).alias(out_col))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN with ADC (asymmetric distance computation) + exact refine
+    — the third canonical scale path beside LSH and IVF. The corpus is
+    represented ONLY by its ``m`` codes; each query precomputes a lookup
+    table LUT[j][c] = q_subj · codebook[j][c], so the approximate
+    similarity of a corpus row is ``Σ_j LUT[j][codes[j]]`` — m array
+    lookups + adds per (query, row), no vector math on the corpus side
+    at all. The ADC top ``k×refine`` candidates are then reranked with
+    the exact dot product (the standard refine step that buys back the
+    quantization error); returns (qid, cid, sim, rk) with EXACT sims.
+
+    At 100 TB: the scan side carries m ints per row instead of dim
+    floats (32× less IO at dim=64/m=8), the LUT rides in the broadcast
+    query row, the ADC score is a pure JVM fold over 8 elements, and
+    only |queries| × k × refine rows ever touch a real vector again.
+    """
+    books = train_pq_codebooks(
+        corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    cb = with_pq_codes(
+        corpus.select(
+            F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+        ),
+        books,
+        vec_col="c_vec",
+    )
+
+    flat = books.reshape(m * ksub, -1)  # (m*ksub, dsub)
+    dsub = dim // m
+
+    @pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        Q = np.vstack(vecs.to_numpy()).astype(np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        tables = np.empty((len(Q), m * ksub), dtype=np.float64)
+        for j in range(m):
+            Qb = Q[:, j * dsub : (j + 1) * dsub]
+            tables[:, j * ksub : (j + 1) * ksub] = Qb @ books[j].T
+        return pd.Series(list(tables))
+
+    qb = queries.select(
+        F.col(id_col).alias("qid"),
+        unit_vec_col(F.col(vec_col)).alias("q_vec"),
+    ).select("qid", "q_vec", lut(F.col("q_vec")).alias("lut"))
+
+    # ADC score: fold over the m codes, each a LUT lookup — JVM-side,
+    # 8 element_at + adds per (query, row)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col("lut"), (j * ksub + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid").asc())
+    shortlist = (
+        cb.select("cid", "codes")
+        .crossJoin(F.broadcast(qb.select("qid", "lut")))
+        .withColumn("adc", adc)
+        .withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= k * refine)
+        .select("qid", "cid")
+    )
+    # exact refine of the shortlist only
+    c_vecs = corpus.select(
+        F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        shortlist.join(c_vecs, "cid")
+        .join(F.broadcast(qb.select("qid", "q_vec")), "qid")
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
+        .select("qid", "cid", "sim")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= k)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
 def ivf_topk_partitioned(
     corpus: DataFrame,
     queries: DataFrame,

@@ -219,6 +219,7 @@ MINHASH_RECALL_BOUND = 0.95
 SIMHASH_LOCALITY_BOUND = 0.95
 ANN_LSH_MIN_HITS = 1
 ANN_IVF_MIN_HITS = 3
+ANN_PQ_MIN_HITS = 3   # measured per-query hits@10: 7-9 (sf0.001), 5-7 (sf0.01)
 
 
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,6 +595,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(c, q, dim=EMB_DIM, k=TOPK, n_list=32, nprobe=8)
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC + exact refine) — the third
+    canonical scale path (Jégou et al. 2011): corpus rows carry m=8
+    byte codes instead of 64 floats (32× less scan IO), queries score
+    them with per-query lookup tables (8 array reads per pair, zero
+    vector math corpus-side), and only the ADC shortlist is reranked
+    exactly. Rows-only driver check (k-means codebooks are
+    seed-dependent); ``ann_pq_recall`` is the oracle twin."""
+    from ..functions.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return pq_topk(c, q, dim=EMB_DIM, k=TOPK)
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall twin of ``ann_pq_topk``: at least ANN_PQ_MIN_HITS of the
+    exact top-10 recovered per query."""
+    return _ann_recall_twin(
+        spark, sf_dir, ann_pq_topk(spark, sf_dir), ANN_PQ_MIN_HITS
+    )
+
+
 def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the inverted lists persisted ``partitionBy("list_id")``
     and probed via a PARTITION-PRUNED read — the index-as-a-table layout
@@ -793,6 +818,8 @@ QUERIES = {
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_recall": ann_pq_recall,
     "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
@@ -1045,6 +1072,10 @@ SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,
     "ann_ivf_recall": f"""
+SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    "ann_pq_recall": f"""
 SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,

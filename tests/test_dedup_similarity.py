@@ -184,3 +184,39 @@ def test_ivf_lists_partition_the_corpus(spark, sf_dir):
     assert assigned.select("vec_id").distinct().count() == n
     n_lists_used = assigned.select("list_id").distinct().count()
     assert 2 <= n_lists_used <= 8
+
+
+def test_pq_ann_recall_and_code_compactness(spark, sf_dir):
+    from mysql2clickhouse_spark.functions.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+        with_pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(c, q, k=10)
+    approx = pq_topk(c, q, dim=64, k=10)
+    e = {(r.qid, r.cid) for r in exact.collect()}
+    a = {(r.qid, r.cid) for r in approx.collect()}
+    # ADC + 5x refine on random vectors: substantial overlap, real pairs
+    assert len(a & e) >= 0.5 * len(e)
+    assert all(p[1] >= 5 for p in a)
+    # sims on overlapping pairs are the EXACT dot (refine step), so they
+    # must agree with brute force bit-for-bit
+    es = {(r.qid, r.cid): r.sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.qid, r.cid) in es:
+            assert r.sim == es[(r.qid, r.cid)]
+
+    # codes: m ids in [0, ksub), deterministic across invocations
+    books = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    coded = with_pq_codes(emb.select("vec_id", "embedding"), books)
+    rows = coded.select("vec_id", "codes").collect()
+    assert all(len(r.codes) == 8 and all(0 <= x < 16 for x in r.codes) for r in rows)
+    books2 = train_pq_codebooks(emb, dim=64, m=8, ksub=16)
+    import numpy as np
+
+    assert np.array_equal(books, books2)
