@@ -408,6 +408,44 @@ def with_pq_codes(
     return df.select(*df.columns, encode(F.col(vec_col)).alias(out_col))
 
 
+def _pq_query_luts(
+    queries: DataFrame, books: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(qid, q_vec, lut): per query, the flattened m×ksub table of
+    subvector·centroid dots — ADC reduces every corpus-row score to m
+    lookups into this array."""
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        Q = np.vstack(vecs.to_numpy()).astype(np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        tables = np.empty((len(Q), m * ksub), dtype=np.float64)
+        for j in range(m):
+            Qb = Q[:, j * dsub : (j + 1) * dsub]
+            tables[:, j * ksub : (j + 1) * ksub] = Qb @ books[j].T
+        return pd.Series(list(tables))
+
+    return queries.select(
+        F.col(id_col).alias("qid"),
+        unit_vec_col(F.col(vec_col)).alias("q_vec"),
+    ).select("qid", "q_vec", lut(F.col("q_vec")).alias("lut"))
+
+
+def _adc_score_col(m: int, ksub: int) -> Column:
+    """ADC score: fold over the m ``codes``, each a ``lut`` lookup —
+    JVM-side, m element_at + adds per (query, row)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col("lut"), (j * ksub + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -446,35 +484,8 @@ def pq_topk(
         vec_col="c_vec",
     )
 
-    flat = books.reshape(m * ksub, -1)  # (m*ksub, dsub)
-    dsub = dim // m
-
-    @pandas_udf("array<double>")
-    def lut(vecs: pd.Series) -> pd.Series:
-        Q = np.vstack(vecs.to_numpy()).astype(np.float64)
-        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        tables = np.empty((len(Q), m * ksub), dtype=np.float64)
-        for j in range(m):
-            Qb = Q[:, j * dsub : (j + 1) * dsub]
-            tables[:, j * ksub : (j + 1) * ksub] = Qb @ books[j].T
-        return pd.Series(list(tables))
-
-    qb = queries.select(
-        F.col(id_col).alias("qid"),
-        unit_vec_col(F.col(vec_col)).alias("q_vec"),
-    ).select("qid", "q_vec", lut(F.col("q_vec")).alias("lut"))
-
-    # ADC score: fold over the m codes, each a LUT lookup — JVM-side,
-    # 8 element_at + adds per (query, row)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(F.col("lut"), (j * ksub + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    qb = _pq_query_luts(queries, books, id_col, vec_col)
+    adc = _adc_score_col(books.shape[0], books.shape[1])
     w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid").asc())
     shortlist = (
         cb.select("cid", "codes")
@@ -485,6 +496,81 @@ def pq_topk(
         .select("qid", "cid")
     )
     # exact refine of the shortlist only
+    c_vecs = corpus.select(
+        F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        shortlist.join(c_vecs, "cid")
+        .join(F.broadcast(qb.select("qid", "q_vec")), "qid")
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
+        .select("qid", "cid", "sim")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= k)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_list: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF+PQ — the faiss production layout (``IVFx,PQy``): the coarse
+    quantizer prunes WHICH rows are scored (nprobe/n_list of the
+    corpus), PQ codes decide HOW CHEAPLY (m byte codes + LUT lookups
+    instead of a dim-float dot). The searched store carries
+    (cid, list_id, codes) — two ints and m bytes per row; real vectors
+    are touched only by the k×refine exact rerank.
+
+    Codes quantize the raw unit vectors, not per-list residuals
+    (faiss's ``by_residual=false`` mode): one codebook set serves every
+    list, which keeps the encode pass a single GEMM and the LUT
+    per-query constant — the residual variant buys accuracy at the cost
+    of an LUT per (query, probed list), the wrong trade below ~2^20
+    rows per list. Returns (qid, cid, sim, rk) with EXACT sims.
+    """
+    C = train_ivf_centroids(
+        corpus, dim, n_list, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    books = train_pq_codebooks(
+        corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    cb = with_pq_codes(
+        with_ivf_lists(
+            corpus.select(
+                F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
+            ),
+            C,
+            nprobe=1,
+            vec_col="c_vec",
+        ),
+        books,
+        vec_col="c_vec",
+    ).select("cid", "list_id", "codes")
+
+    qb = _pq_query_luts(queries, books, id_col, vec_col)
+    q_lists = with_ivf_lists(qb, C, nprobe=nprobe, vec_col="q_vec")
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid").asc())
+    shortlist = (
+        cb.join(F.broadcast(q_lists.select("qid", "lut", "list_id")), "list_id")
+        .withColumn("adc", _adc_score_col(m, ksub))
+        .withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= k * refine)
+        .select("qid", "cid")
+    )
     c_vecs = corpus.select(
         F.col(id_col).alias("cid"), unit_vec_col(F.col(vec_col)).alias("c_vec")
     )

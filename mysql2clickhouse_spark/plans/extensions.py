@@ -219,7 +219,8 @@ MINHASH_RECALL_BOUND = 0.95
 SIMHASH_LOCALITY_BOUND = 0.95
 ANN_LSH_MIN_HITS = 1
 ANN_IVF_MIN_HITS = 3
-ANN_PQ_MIN_HITS = 3   # measured per-query hits@10: 7-9 (sf0.001), 5-7 (sf0.01)
+ANN_PQ_MIN_HITS = 3     # measured per-query hits@10: 7-9 (sf0.001), 5-7 (sf0.01)
+ANN_IVFPQ_MIN_HITS = 2  # measured per-query hits@10: 4-8 (sf0.001), 3-7 (sf0.01)
 
 
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,6 +620,28 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (faiss's production ``IVFx,PQy`` layout):
+    coarse lists prune WHICH rows are scored, PQ codes make each score
+    m lookups — the searched store is (cid, list_id, 8 codes), no
+    floats. Rows-only driver check; ``ann_ivfpq_recall`` is the twin."""
+    from ..functions.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return ivfpq_topk(c, q, dim=EMB_DIM, k=TOPK)
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall twin of ``ann_ivfpq_topk``: at least ANN_IVFPQ_MIN_HITS of
+    the exact top-10 recovered per query (the compounded nprobe + code
+    quantization loss sits above this bound at both driver scales)."""
+    return _ann_recall_twin(
+        spark, sf_dir, ann_ivfpq_topk(spark, sf_dir), ANN_IVFPQ_MIN_HITS
+    )
+
+
 def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the inverted lists persisted ``partitionBy("list_id")``
     and probed via a PARTITION-PRUNED read — the index-as-a-table layout
@@ -820,6 +843,8 @@ QUERIES = {
     "ann_ivf_recall": ann_ivf_recall,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_recall": ann_pq_recall,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_recall": ann_ivfpq_recall,
     "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
@@ -1076,6 +1101,10 @@ SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,
     "ann_pq_recall": f"""
+SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    "ann_ivfpq_recall": f"""
 SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 """,

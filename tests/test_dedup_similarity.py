@@ -220,3 +220,25 @@ def test_pq_ann_recall_and_code_compactness(spark, sf_dir):
     import numpy as np
 
     assert np.array_equal(books, books2)
+
+
+def test_ivfpq_ann_recall_and_store_shape(spark, sf_dir):
+    from mysql2clickhouse_spark.functions.similarity import cosine_topk, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = {(r.qid, r.cid): r.sim for r in cosine_topk(c, q, k=10).collect()}
+    approx = ivfpq_topk(c, q, dim=64, k=10).collect()
+    a = {(r.qid, r.cid) for r in approx}
+    assert len(a & set(exact)) >= 0.2 * len(exact)
+    # exact refine: overlapping sims agree with brute force bit-for-bit
+    for r in approx:
+        if (r.qid, r.cid) in exact:
+            assert r.sim == exact[(r.qid, r.cid)]
+    # full top-k per query, correct ranks
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.qid, []).append(r.rk)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
