@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fail on invalid rows instead of diverting to rejects")
     r.add_argument("--schema-drift", choices=["ignore", "report", "strict"],
                    default="ignore")
+    r.add_argument("--table-concurrency", type=int, default=1,
+                   help="per-table applies as concurrent Spark jobs (1 = serial)")
     r.add_argument("--compact-months", type=int, nargs="*", default=None,
                    help="yyyymm partitions for end-of-run dedup compaction")
 
@@ -104,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
             degraded=args.degraded,
             quarantine=not args.no_quarantine,
             schema_drift=args.schema_drift,
+            table_concurrency=args.table_concurrency,
         )
         runner = ReplicationRunner(spark, cfg)
         changelog = spark.read.parquet(args.changelog_dir)

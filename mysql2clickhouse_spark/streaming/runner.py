@@ -81,6 +81,14 @@ class RunConfig:
                                            # (README.md:196-206); report
                                            # surfaces it in RunReport; both
                                            # cost one footer read per table
+    table_concurrency: int = 1             # per-table applies submitted as
+                                           # concurrent Spark jobs (threads;
+                                           # executors are shared, so batch
+                                           # wall = max per-table, not sum).
+                                           # Tables are independent stores —
+                                           # B2 ordering is per-table — so
+                                           # this never reorders effects.
+                                           # 1 = the reference's serial loop
 
     def effective_row_budget(self) -> int:
         if self.degraded:
@@ -321,12 +329,31 @@ class ReplicationRunner:
         # the batch's own clock, used by the per-table F6 guard
         now_ts = batch.agg(F.max("ts")).collect()[0][0]
 
-        for tbl in [r["table_name"] for r in batch.select("table_name").distinct().collect()]:
+        tables = [r["table_name"] for r in batch.select("table_name").distinct().collect()]
+
+        def _one(tbl: str) -> tuple[str, dict]:
             policy = REGISTRY.get(tbl, DEFAULT_POLICY)
             tslice = batch.filter(F.col("table_name") == tbl).drop("table_name")
-            report.tables[tbl] = self._apply_table(tbl, policy, tslice, now_ts)
-            report.rows_applied += report.tables[tbl]["rows"]
-            report.rows_rejected_old_delete += report.tables[tbl]["rejected_old_deletes"]
+            return tbl, self._apply_table(tbl, policy, tslice, now_ts)
+
+        if cfg.table_concurrency > 1 and len(tables) > 1:
+            # concurrent Spark jobs: each table's apply is its own job
+            # DAG against the shared cached batch; threads only block on
+            # JVM calls, the scheduler interleaves tasks across the same
+            # executors. Errors (incl. strict-mode drift) propagate on
+            # result collection, exactly like the serial loop.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(cfg.table_concurrency, len(tables))
+            ) as pool:
+                results = list(pool.map(_one, tables))
+        else:
+            results = [_one(t) for t in tables]
+        for tbl, stats in results:
+            report.tables[tbl] = stats
+            report.rows_applied += stats["rows"]
+            report.rows_rejected_old_delete += stats["rejected_old_deletes"]
 
         # ledger covers the FULL consumed slice (incl. F6-rejected rows —
         # they are consumed positions even though not applied), so the
