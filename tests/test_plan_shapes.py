@@ -234,3 +234,14 @@ def test_q13_broadcasts_every_dim_no_fact_shuffle(spark, sf_dir, queries):
     # feeding BroadcastExchange count is the stable 3-dim pin
     assert plan.count("BroadcastExchange (") == 3, plan[:1500]
     assert "SortMergeJoin" not in plan
+
+
+def test_session_window_is_single_shuffle_no_window_node(spark, sf_dir, queries):
+    plan = plan_of(spark, queries["events_session_window"](spark, sf_dir))
+    # native session_window: partial agg + MergingSessions inside the
+    # aggregation operator — ONE Exchange on the grouping key and no
+    # Window operator at all (the gaps-and-islands form needs a Window)
+    assert plan.count("Exchange (") == 1
+    assert "MergingSessions" in plan
+    assert "Window" not in plan.replace("session_window", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
