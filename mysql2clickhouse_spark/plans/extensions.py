@@ -529,6 +529,51 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_N_MERGES = 16
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over ``documents``
+    (functions/bpe.py): ONE corpus scan builds the word-frequency
+    table; each of the 16 merge iterations runs against that
+    vocabulary-sized table only. Emits the corpus-level certification
+    row the oracle can check:
+
+    - ``n_docs`` / ``n_words`` — DuckDB recomputes both from the text;
+    - ``n_merges`` — fixed at BPE_N_MERGES (the corpus has far more
+      than 16 mergeable pairs at every driver scale);
+    - ``compression_ok`` — the tokenized corpus satisfies
+      words ≤ subwords < chars+markers (each word ≥ 1 token; 16 merges
+      provably shrank something).
+
+    The merge SEQUENCE itself is pinned exactly against a pure-Python
+    Sennrich reference in ``test_bpe.py`` (count-max + lexicographic
+    tie-break + greedy left-to-right in-word application)."""
+    from ..functions.bpe import tokenize_counts, train_bpe, word_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges, vocab = train_bpe(d, n_merges=BPE_N_MERGES)
+    tok = tokenize_counts(d, vocab)
+    base = word_counts(d).agg(
+        F.sum(F.col("n") * (F.length("word") + 1)).alias("chars_plus_markers"),
+        F.sum("n").alias("total_words"),
+    )
+    agg = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_subwords").alias("n_subwords"),
+    )
+    return agg.crossJoin(F.broadcast(base)).select(
+        "n_docs",
+        "n_words",
+        F.lit(len(merges)).cast("bigint").alias("n_merges"),
+        (
+            (F.col("total_words") <= F.col("n_subwords"))
+            & (F.col("n_subwords") < F.col("chars_plus_markers"))
+        ).alias("compression_ok"),
+    )
+
+
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate corpus profile per (actual, guessed) language — the
     confusion table of the heuristic language-ID."""
@@ -832,6 +877,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
     "text_stats": text_stats,
+    "text_bpe_train": text_bpe_train,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_lang_profile": text_lang_profile,
     "corpus_curation": corpus_curation,
@@ -994,6 +1040,15 @@ SELECT doc_id,
        CAST(32 AS INT) AS out_w,
        CAST(16 AS INT) AS out_h,
        CAST(512 AS BIGINT) AS n_bytes
+FROM documents
+""",
+    # n_docs / n_words recomputed from the text; merge count and the
+    # compression bounds are fixed expected outcomes (twin pattern)
+    "text_bpe_train": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST({_TOKENS_SQL} AS BIGINT)) AS BIGINT) AS n_words,
+       CAST({BPE_N_MERGES} AS BIGINT) AS n_merges,
+       CAST(true AS BOOLEAN) AS compression_ok
 FROM documents
 """,
     "text_lang_profile": f"""
