@@ -53,6 +53,124 @@ SQL_CORPUS: dict[str, str] = {
 }
 
 
+#: analytics extensions (events family) as SPARK-dialect SQL. These
+#: cannot share text with their DuckDB oracles (epoch_us vs unix_micros,
+#: list vs collect_list, quantile_cont vs percentile), so each gets a
+#: native spelling here; ``sql_corpus_parity`` certifies them bag-equal
+#: to the DataFrame plans, and the parity ORACLE recomputes their row
+#: counts from the corresponding DuckDB oracle text (itself value-hash
+#: green against the same plans).
+SQL_CORPUS_SPARK: dict[str, str] = {
+    "events_sessionize": """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(unix_micros(ts)) OVER w IS NULL
+                OR unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM t
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       min(event_id) AS first_event_id
+FROM s GROUP BY user_id, session_idx
+""",
+    "events_session_window": """
+SELECT user_id, session_window.start AS sess_start,
+       session_window.end AS sess_end, count(1) AS n_events
+FROM events GROUP BY session_window(ts, '1800 seconds'), user_id
+""",
+    "events_asof_join": """
+WITH sides AS (
+  SELECT user_id, event_id, unix_micros(ts) AS us,
+         CAST(event_type = 'purchase' AS INT) AS is_p
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+carried AS (
+  SELECT user_id, event_id, us, is_p,
+         last(CASE WHEN is_p = 0 THEN event_id END) IGNORE NULLS OVER w AS view_event_id,
+         us - last(CASE WHEN is_p = 0 THEN us END) IGNORE NULLS OVER w AS view_gap_us
+  FROM sides
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_event_id, us AS purchase_ts_us,
+       view_event_id, view_gap_us
+FROM carried WHERE is_p = 1
+""",
+    "events_funnel": """
+WITH a AS (
+  SELECT user_id,
+         collect_list(CASE WHEN event_type = 'signup' THEN unix_micros(ts) END) AS s,
+         collect_list(CASE WHEN event_type = 'view' THEN unix_micros(ts) END) AS v,
+         collect_list(CASE WHEN event_type = 'purchase' THEN unix_micros(ts) END) AS p
+  FROM events GROUP BY user_id
+),
+g AS (SELECT user_id, array_min(s) AS t1, v, p FROM a),
+h AS (
+  SELECT user_id, t1,
+         array_min(filter(v, x -> x > t1 AND x <= t1 + 14400000000)) AS t2, p
+  FROM g
+)
+SELECT user_id, t1 AS t_signup_us, t2 AS t_view_us,
+       array_min(filter(p, x -> x > t2 AND x <= t2 + 14400000000)) AS t_purchase_us,
+       CASE WHEN array_min(filter(p, x -> x > t2 AND x <= t2 + 14400000000)) IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS reached
+FROM h
+""",
+    "events_cohort_retention": """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT cohort_day, datediff(day, cohort_day) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY cohort_day, datediff(day, cohort_day)
+""",
+    "events_range_join": """
+WITH ev AS (SELECT unix_micros(ts) AS us FROM events),
+hours AS (SELECT DISTINCT CAST(floor(us / 3600000000) AS BIGINT) AS h FROM ev),
+wins AS (SELECT h * 3600000000 AS win_start_us,
+                h * 3600000000 + 5400000000 AS win_end_us
+         FROM hours WHERE h % 5 = 0),
+wexp AS (SELECT win_start_us, win_end_us,
+                explode(sequence(CAST(floor(win_start_us / 3600000000) AS BIGINT),
+                                 CAST(floor(win_end_us / 3600000000) AS BIGINT))) AS bucket
+         FROM wins),
+eb AS (SELECT us, CAST(floor(us / 3600000000) AS BIGINT) AS bucket FROM ev)
+SELECT win_start_us, count(1) AS n_events
+FROM eb JOIN wexp USING (bucket)
+WHERE us >= win_start_us AND us < win_end_us
+GROUP BY win_start_us
+""",
+    "events_approx_profile": """
+WITH exact AS (SELECT count(DISTINCT user_id) AS n_users_exact,
+                      percentile(value, 0.5) AS p50_raw,
+                      min(value) AS lo, max(value) AS hi FROM events),
+ap AS (SELECT approx_count_distinct(user_id, 0.05) AS n_users_hll,
+              percentile_approx(value, 0.5, 1000) AS p50_sketch FROM events)
+SELECT n_users_exact, round(p50_raw, 4) AS p50_exact,
+       (abs(n_users_hll - n_users_exact) <= 0.10 * n_users_exact) AS hll_ok,
+       (abs(p50_sketch - p50_raw) <= 0.05 * (hi - lo)) AS p50_sketch_ok
+FROM exact CROSS JOIN ap
+""",
+    "events_value_percentiles": """
+SELECT event_type, count(1) AS n,
+       round(percentile(value, 0.5), 4) AS p50,
+       round(percentile(value, 0.9), 4) AS p90,
+       round(percentile(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""",
+}
+
+
 def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
     """Base tables + the ``versioned`` fact adapter as temp views, so
     corpus statements (and ad-hoc user SQL) resolve by name."""
@@ -65,7 +183,7 @@ def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
 def run_sql(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Execute one corpus statement as literal ``spark.sql`` text."""
     register_corpus_views(spark, sf_dir)
-    return spark.sql(SQL_CORPUS[name])
+    return spark.sql({**SQL_CORPUS, **SQL_CORPUS_SPARK}[name])
 
 
 def sql_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +205,7 @@ def sql_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_corpus_views(spark, sf_dir)
     tagged = []
-    for name, sql in SQL_CORPUS.items():
+    for name, sql in {**SQL_CORPUS, **SQL_CORPUS_SPARK}.items():
         for frame, w in ((spark.sql(sql), 1), (corpus.QUERIES[name](spark, sf_dir), -1)):
             row_h = F.md5(F.to_json(F.struct(*frame.columns)))
             header = F.md5(F.lit(",".join(c.lower() for c in frame.columns)))
@@ -125,14 +243,19 @@ QUERIES = {
     "sql_corpus_parity": sql_corpus_parity,
 }
 
-# the oracle re-derives each statement's cardinality from the SAME text
-# (DuckDB side), so n_rows is data-dependent, not a pinned constant —
-# and row_identical must be TRUE for every statement.
+# the oracle re-derives each statement's cardinality in DuckDB — from
+# the SAME text for the dual-dialect set, and from the query's own
+# DuckDB oracle (value-hash green against the identical DataFrame plan,
+# hence count-identical) for the Spark-dialect events set. n_rows is
+# data-dependent, not a pinned constant; row_identical must be TRUE.
 ORACLE = {
     "sql_corpus_parity": "\nUNION ALL\n".join(
         f"SELECT '{name}' AS query,"
         f" CAST((SELECT count(*) FROM ({sql}) __t) AS BIGINT) AS n_rows,"
         f" TRUE AS row_identical"
-        for name, sql in SQL_CORPUS.items()
+        for name, sql in {
+            **SQL_CORPUS,
+            **{n: corpus.ORACLE[n] for n in SQL_CORPUS_SPARK},
+        }.items()
     ),
 }

@@ -14,6 +14,7 @@ import pytest
 from mysql2clickhouse_spark.plans import corpus
 from mysql2clickhouse_spark.plans.sql_corpus import (
     SQL_CORPUS,
+    SQL_CORPUS_SPARK,
     run_sql,
     sql_corpus_parity,
 )
@@ -21,16 +22,21 @@ from mysql2clickhouse_spark.plans.sql_corpus import (
 SF = "/root/testdata/sf0.001"
 
 
-def test_sql_corpus_covers_every_qstar_plan():
+def test_sql_corpus_covers_every_qstar_and_events_plan():
     qstar = {n for n in corpus.QUERIES if n.startswith("q")}
     assert qstar == set(SQL_CORPUS), (
         "every q* DataFrame plan needs a literal-SQL twin (and vice versa)"
     )
+    events = {n for n in corpus.QUERIES if n.startswith("events_")}
+    assert events == set(SQL_CORPUS_SPARK), (
+        "every events_* plan needs a Spark-dialect SQL twin (and vice versa)"
+    )
+    assert not set(SQL_CORPUS) & set(SQL_CORPUS_SPARK)
 
 
 def test_sql_corpus_parity_all_identical(spark):
     out = sql_corpus_parity(spark, SF).collect()
-    assert len(out) == len(SQL_CORPUS)
+    assert len(out) == len(SQL_CORPUS) + len(SQL_CORPUS_SPARK)
     bad = [r["query"] for r in out if not r["row_identical"]]
     assert not bad, f"SQL form diverges from DataFrame form: {bad}"
     # non-degenerate: the statements actually return data
