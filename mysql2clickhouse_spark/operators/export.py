@@ -1,0 +1,122 @@
+"""Training-shard export — the TERMINAL stage of the curation pipeline:
+gate → dedup → write right-sized shards + a manifest a downstream
+trainer can consume incrementally and verify.
+
+A 100 TB curation job does not end at a DataFrame; it ends at a
+directory of size-bounded files plus a manifest (per-shard row counts,
+token totals, id ranges, content digests) that lets the training side
+(a) schedule shards independently, (b) resume partially-consumed
+epochs, and (c) detect truncated/corrupted shards without re-reading
+the corpus. This module provides that layout on plain parquet:
+
+- shards are ``repartitionByRange(doc_id)`` + sorted, so each file
+  covers a CONTIGUOUS id range (manifest ranges are non-overlapping —
+  a reader can binary-search its slice) and parquet min/max stats stay
+  tight;
+- ``maxRecordsPerFile`` bounds shard size from above; the range
+  partition count bounds file count from below (same O9 discipline as
+  the runner's ``compact_small_files``);
+- the manifest is derived by ONE read-back scan of the written files
+  (``input_file_name()`` groupBy) — counts, token sums, id ranges, and
+  an order-insensitive id digest per shard;
+- everything reuses the gate/dedup semantics of ``corpus_curation``
+  (plans/extensions.py), so the kept-set is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import langid_col, quality_score_cols
+
+
+def curated_docs(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gate + exact-dedup (keep min id per content hash), KEEPING the
+    text — the exportable curated set. Same semantics as
+    ``corpus_curation`` (one scan, gate before the only shuffle)."""
+    q = quality_score_cols(F.col(text_col))
+    feat = docs.select(
+        id_col,
+        text_col,
+        F.md5(F.lower(F.col(text_col))).alias("content_hash"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        langid_col(F.col(text_col)).alias("lang_guess"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
+    )
+    kept = feat.groupBy("content_hash").agg(
+        F.min_by(
+            F.struct(id_col, text_col, "n_tokens", "quality_score", "lang_guess"),
+            F.col(id_col),
+        ).alias("__row")
+    )
+    return kept.select(
+        F.col(f"__row.{id_col}").alias(id_col),
+        F.col(f"__row.{text_col}").alias(text_col),
+        "content_hash",
+        F.col("__row.n_tokens").alias("n_tokens"),
+        F.col("__row.quality_score").alias("quality_score"),
+        F.col("__row.lang_guess").alias("lang_guess"),
+    )
+
+
+def export_shards(
+    spark: SparkSession,
+    curated: DataFrame,
+    out_dir: str,
+    rows_per_file: int = 500_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write ``curated`` as contiguous-id shards under ``out_dir/data``
+    and a per-shard manifest under ``out_dir/manifest``. Returns the
+    manifest DataFrame (shard, n_rows, n_tokens, min_id, max_id,
+    ids_md5).
+
+    The shard count derives from an upper row bound carried by ONE
+    count of the curated frame (bounded work — the frame is the gated
+    output, already smaller than the corpus); file sizes are enforced
+    by ``maxRecordsPerFile`` regardless."""
+    import math
+
+    n = curated.count()
+    nfiles = max(1, math.ceil(n / rows_per_file))
+    data_dir = os.path.join(out_dir, "data")
+    (
+        curated.repartitionByRange(nfiles, id_col)
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(data_dir)
+    )
+    manifest = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("shard"),
+            F.col(id_col),
+            F.col("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.col(id_col))))
+            ).alias("ids_md5"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest")
+    )
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))

@@ -321,8 +321,78 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-shard export --------------------------------------------------
+
+EXPORT_ROWS_PER_FILE = 200  # small on purpose: forces a multi-shard layout
+
+
+def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal curation stage (operators/export.py): gate → dedup →
+    contiguous-id shards + manifest. Emits the certification row:
+
+    - ``n_kept`` / ``total_tokens`` — DuckDB recomputes both from the
+      same gate semantics as ``corpus_curation``;
+    - ``manifest_consistent`` — manifest row/token sums equal the data,
+      shard id ranges are NON-OVERLAPPING (contiguous layout holds),
+      every shard respects the size bound, and every per-shard id
+      digest matches a recomputation from the data read-back.
+    """
+    from ..operators.export import curated_docs, export_shards
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    curated = curated_docs(d)
+    out = scratch_dir("m2c_shards_")
+    manifest = export_shards(
+        spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
+    )
+
+    data = spark.read.parquet(out + "/data")
+    recomputed = (
+        data.select(F.input_file_name().alias("shard"), "doc_id", "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("r_rows"),
+            F.sum("n_tokens").cast("bigint").alias("r_tokens"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+            ).alias("r_md5"),
+        )
+    )
+    w = Window.orderBy("min_id")
+    joined = manifest.join(recomputed, "shard", "inner").withColumn(
+        "next_min", F.lead("min_id").over(w)
+    )
+    checks = joined.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n_rows").cast("bigint").alias("m_rows"),
+        F.sum("n_tokens").cast("bigint").alias("m_tokens"),
+        F.min(
+            (F.col("n_rows") == F.col("r_rows"))
+            & (F.col("n_tokens") == F.col("r_tokens"))
+            & (F.col("ids_md5") == F.col("r_md5"))
+            & (F.col("n_rows") <= F.lit(EXPORT_ROWS_PER_FILE))
+            & (F.col("next_min").isNull() | (F.col("max_id") < F.col("next_min")))
+        ).alias("shards_ok"),
+    )
+    totals = curated.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return totals.crossJoin(F.broadcast(checks)).select(
+        "n_kept",
+        "total_tokens",
+        (
+            F.col("shards_ok")
+            & (F.col("m_rows") == F.col("n_kept"))
+            & (F.col("m_tokens") == F.col("total_tokens"))
+        ).alias("manifest_consistent"),
+    )
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
+    "corpus_export_shards": corpus_export_shards,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -353,7 +423,35 @@ def _gram_sql(toks: str, n: int) -> str:
     )
 
 
+from .extensions import _NTHE_SQL, _TOKENS_SQL  # noqa: E402 — shared gate SQL
+
 ORACLE = {
+    # the kept-set and its token total are the corpus_curation gate
+    # semantics; layout checks are fixed expected outcomes (twin pattern)
+    "corpus_export_shards": f"""
+WITH feat AS (
+    SELECT doc_id,
+           md5(lower(text)) AS content_hash,
+           CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+           round(least(1.0, CAST({_TOKENS_SQL} AS DOUBLE) / 64.0) * 0.5
+                 + least(1.0, CASE WHEN {_TOKENS_SQL} > 0
+                         THEN {_NTHE_SQL} / {_TOKENS_SQL} ELSE 0.0 END * 10.0) * 0.5, 4)
+               AS quality_score
+    FROM documents
+),
+gated AS (
+    SELECT * FROM feat WHERE n_tokens >= 8 AND quality_score >= 0.3
+),
+kept AS (
+    SELECT content_hash, n_tokens,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM gated
+)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(true AS BOOLEAN) AS manifest_consistent
+FROM kept WHERE rn = 1
+""",
     # min-reachable-label closure reproduces the CC result exactly
     "dedup_cluster_cc": f"""
 WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
