@@ -190,8 +190,69 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the C4 boilerplate rule (``corpus_boilerplate_ngrams``
+    only detects): remove every token covered by a corpus-repeated
+    5-gram occurrence and rebuild each document from its surviving
+    tokens, in order. Output per doc: (n_tokens, n_kept, n_removed,
+    cleaned_md5) — the digest stands in for the rewritten text so the
+    driver row stays narrow while still pinning every byte.
+
+    Plan at scale: gram rows aggregate once for the corpus-wide
+    document-frequency table (dedup per doc BEFORE the shuffle is
+    inherited from the detector); hits expand to covered positions
+    (bounded fan-out: ×5); the rebuild is one groupBy(doc) whose
+    collect_list carries only SURVIVING tokens. Three shuffles total —
+    inherent to a corpus-frequency-driven rewrite."""
+    d = _docs(spark, sf_dir)
+    toks = tokens_col(F.coalesce(F.col("text"), F.lit("")))
+    tok_rows = d.select("doc_id", F.posexplode(toks).alias("p0", "token"))
+    gram_rows = d.select(
+        "doc_id",
+        F.posexplode(token_ngrams_col(toks, BOILERPLATE_NGRAM)).alias("g0", "gram"),
+    )
+    bp = (
+        gram_rows.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select("gram")
+    )
+    covered = (
+        gram_rows.join(bp, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("g0"), F.col("g0") + F.lit(BOILERPLATE_NGRAM - 1))
+            ).alias("p0"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(covered, ["doc_id", "p0"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p0", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    base = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+    )
+
+
 QUERIES = {
     "text_quality_gopher": text_quality_gopher,
+    "text_strip_boilerplate": text_strip_boilerplate,
     "text_repetition_top2gram": text_repetition_top2gram,
     "text_pii_redact": text_pii_redact,
     "corpus_vocab": corpus_vocab,
@@ -301,6 +362,47 @@ SELECT t.doc_id, count(*) AS n_tokens,
        round(avg(l.neg_log2_p), 4) AS logppl
 FROM tok t JOIN lm l USING (token)
 GROUP BY t.doc_id
+""",
+    # same gram definition and coverage arithmetic, 1-based; the doc
+    # rebuild is string_agg ORDER BY position, digested like the engine
+    "text_strip_boilerplate": f"""
+WITH t AS (SELECT doc_id, {_TOKS.replace("text", "coalesce(text, '')")} AS toks
+           FROM documents),
+gi AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(toks) - {BOILERPLATE_NGRAM - 1}, 0) + 1),
+             i -> {{'g1': i,
+                    'gram': array_to_string(toks[i:i+{BOILERPLATE_NGRAM - 1}], ' ')}})) AS u
+  FROM t
+),
+g AS (SELECT doc_id, u.g1 AS g1, u.gram AS gram FROM gi),
+bp AS (SELECT gram FROM g GROUP BY gram
+       HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}),
+cov AS (SELECT DISTINCT doc_id, g1 + o.d AS p1
+        FROM g JOIN bp USING (gram)
+        CROSS JOIN unnest(range(0, {BOILERPLATE_NGRAM})) AS o(d)),
+tp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                i -> {{'p1': i, 'tok': toks[i]}})) AS u
+  FROM t
+),
+tok AS (SELECT doc_id, u.p1 AS p1, u.tok AS tok FROM tp),
+kept AS (
+  SELECT tok.doc_id, tok.p1, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p1 = cov.p1
+  WHERE cov.p1 IS NULL
+),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p1) AS cleaned
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(cleaned, '')) AS cleaned_md5
+FROM t LEFT JOIN reb USING (doc_id)
 """,
     "corpus_boilerplate_ngrams": f"""
 WITH t AS (
