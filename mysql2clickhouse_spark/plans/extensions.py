@@ -717,6 +717,109 @@ def ann_ivf_partitioned_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 3
+
+
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH (k=3, cosine) over the embedding
+    corpus — the building block of graph-based dedup/diversity passes.
+    Baseline form: broadcast one side of the all-pairs product, per-node
+    window top-k; sims exact, fully oracle-checked. The scale path is
+    ``ann_knn_graph_lsh``."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("src"), unit_vec_col(F.col("embedding")).alias("ua"))
+    b = emb.select(F.col("vec_id").alias("dst"), unit_vec_col(F.col("embedding")).alias("ub"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("sim", dot)
+        .select("src", "dst", "sim")
+    )
+    w = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
+def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed kNN graph (scale path): candidates from the
+    multi-table hyperplane self-join (both directions), exact rerank
+    inside candidates, per-node top-k. At 100 TB this replaces the n²
+    product with bucket-sized candidate sets — the same plan family as
+    ``dedup_embedding_cosine``, pointed at graph construction. Rows-only
+    driver check; ``ann_knn_graph_recall`` is the twin."""
+    emb = _emb(spark, sf_dir)
+    b = with_lsh_buckets(
+        emb.select("vec_id", "embedding"), dim=EMB_DIM, n_planes=6, n_tables=8
+    ).select("vec_id", "tbl", "bucket")
+    cands = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    ua = emb.select(F.col("vec_id").alias("src"), unit_vec_col(F.col("embedding")).alias("ua"))
+    ub = emb.select(F.col("vec_id").alias("dst"), unit_vec_col(F.col("embedding")).alias("ub"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = cands.join(ua, "src").join(ub, "dst").withColumn("sim", dot)
+    w = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        scored.select("src", "dst", "sim")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
+KNN_GRAPH_RECALL_BOUND = 0.25  # measured mean edge recall: see twin docstring
+
+
+def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall twin of ``ann_knn_graph_lsh``: mean per-node edge overlap
+    with the exact graph must clear KNN_GRAPH_RECALL_BOUND, and every
+    corpus node must appear in the approximate graph. One row:
+    (n_nodes, coverage_ok, recall_ok)."""
+    exact = ann_knn_graph(spark, sf_dir).select("src", "dst")
+    approx = ann_knn_graph_lsh(spark, sf_dir).select("src", "dst")
+    hits = (
+        approx.join(exact, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("src"))
+    per_node = nodes.join(hits, "src", "left").select(
+        "src", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+    )
+    n_approx_nodes = approx.select("src").distinct().count()
+    return per_node.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.lit(n_approx_nodes) == F.count(F.lit(1))).alias("coverage_ok"),
+        (F.avg(F.col("n_hit") / F.lit(float(KNN_K))) >= KNN_GRAPH_RECALL_BOUND).alias(
+            "recall_ok"
+        ),
+    )
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm (sequential fold => engine-deterministic) +
     label, rounded at 4dp."""
@@ -724,6 +827,51 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _emb(spark, sf_dir).select(
         "vec_id", "label", F.round(_norm(F.col("embedding")), 4).alias("l2_norm")
+    )
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION standardization (x - mean_d) / std_d — the feature
+    preprocessing pass before clustering/quantization when dimensions
+    carry different scales. Two stages: (1) dimension stats via
+    posexplode + groupBy(dim) — 64 groups, partial agg map-side, so the
+    shuffle carries 64 rows per input partition regardless of corpus
+    size; (2) stats broadcast back and applied as a per-row zip_with.
+    Population std (sqrt(E[x²]-E[x]²)); a constant dimension
+    standardizes to 0 (std clamped to 1). Output certifies per-vector
+    digests: (vec_id, z_sum, z_md5)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.avg("x").alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), F.lit(0.0)
+            )
+        ).alias("sd"),
+    )
+    # collect UNORDERED, then array_sort on the leading dim field — a
+    # collect_list after orderBy has no order guarantee through the agg
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mu", "sd"))).alias("st")
+    )
+    z = F.zip_with(
+        F.col("v"),
+        F.col("st"),
+        lambda x, s: (x - s["mu"])
+        / F.when(s["sd"] > 0, s["sd"]).otherwise(F.lit(1.0)),
+    )
+    # integer digest: round(z·10⁴) as BIGINT — double→string formatting
+    # is NOT portable across engines (Spark "1.0E-4" vs DuckDB "0.0001")
+    z_int = F.transform(z, lambda t: F.round(t * 10000, 0).cast("bigint"))
+    return emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        F.aggregate(z_int, F.lit(0).cast("bigint"), lambda a, t: a + t).alias("z_sum"),
+        F.md5(F.array_join(F.transform(z_int, lambda t: t.cast("string")), ",")).alias(
+            "z_md5"
+        ),
     )
 
 
@@ -891,9 +1039,13 @@ QUERIES = {
     "ann_pq_recall": ann_pq_recall,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_recall": ann_ivfpq_recall,
+    "ann_knn_graph": ann_knn_graph,
+    "ann_knn_graph_lsh": ann_knn_graph_lsh,
+    "ann_knn_graph_recall": ann_knn_graph_recall,
     "ann_ivf_partitioned": ann_ivf_partitioned,
     "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
+    "embedding_standardize": embedding_standardize,
     "embedding_quantize": embedding_quantize,
     "multimodal_features": multimodal_features,
 }
@@ -1080,6 +1232,29 @@ c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
 SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
 FROM q, c WHERE list_cosine_similarity(qe, ce) > {SIM_THRESHOLD}
 """,
+    # same per-dimension population stats, same z arithmetic, same
+    # integer digest (double→string is not cross-engine portable)
+    "embedding_standardize": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+             i -> {'dim': i, 'x': v[i]})) AS u FROM e),
+s AS (SELECT u.dim AS dim, avg(u.x) AS mu,
+             sqrt(greatest(avg(u.x * u.x) - avg(u.x) * avg(u.x), 0.0)) AS sd
+      FROM d GROUP BY u.dim),
+st AS (SELECT list_sort(list({'dim': dim, 'mu': mu, 'sd': sd})) AS st FROM s),
+z AS (
+  SELECT vec_id,
+         list_transform(range(1, len(v) + 1),
+             i -> CAST(round((v[i] - st[i].mu)
+                        / (CASE WHEN st[i].sd > 0 THEN st[i].sd ELSE 1.0 END)
+                        * 10000, 0) AS BIGINT)) AS zi
+  FROM e CROSS JOIN st
+)
+SELECT vec_id, CAST(list_sum(zi) AS BIGINT) AS z_sum,
+       md5(array_to_string(list_transform(zi, t -> CAST(t AS VARCHAR)), ',')) AS z_md5
+FROM z
+""",
     "embedding_norms": """
 SELECT vec_id, label,
        round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4)
@@ -1162,6 +1337,21 @@ FROM embeddings WHERE vec_id < {N_QUERIES}
     "ann_ivfpq_recall": f"""
 SELECT vec_id AS qid, CAST(true AS BOOLEAN) AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+    "ann_knn_graph": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+      FROM s)
+SELECT src, dst, round(sim, 4) AS sim, rk FROM r WHERE rk <= {KNN_K}
+""",
+    "ann_knn_graph_recall": """
+SELECT count(*) AS n_nodes, CAST(true AS BOOLEAN) AS coverage_ok,
+       CAST(true AS BOOLEAN) AS recall_ok
+FROM embeddings
 """,
     # the partitioned (index-as-table) IVF must be row-identical to the
     # in-memory IVF: full top-k result set, zero mismatches
