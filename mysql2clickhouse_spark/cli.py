@@ -81,6 +81,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("statement", help="a SQL_CORPUS name or raw SQL text")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--limit", type=int, default=20)
+
+    nd = sub.add_parser("neardup", help="incremental near-dup index: ingest one batch")
+    nd.add_argument("--index-dir", required=True, help="persistent index root")
+    nd.add_argument("--batch-dir", required=True,
+                    help="parquet batch with (doc_id, text)")
+    nd.add_argument("--threshold", type=float, default=0.7)
+    nd.add_argument("--pairs-out", default=None,
+                    help="write the batch's near-dup pairs here (parquet)")
+
+    ex = sub.add_parser("export", help="curate and write training shards + manifest")
+    ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
+    ex.add_argument("--out-dir", required=True)
+    ex.add_argument("--min-tokens", type=int, default=8)
+    ex.add_argument("--min-quality", type=float, default=0.3)
+    ex.add_argument("--rows-per-file", type=int, default=500_000)
     return p
 
 
@@ -160,11 +175,46 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(row.asDict())
         return 0
 
+    if args.cmd == "neardup":
+        from .operators.neardup_index import MinHashIndex
+
+        idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
+        pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
+        out = {"n_pairs": pairs.count()}
+        if args.pairs_out:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+            out["pairs_out"] = args.pairs_out
+        _emit(out)
+        return 0
+
+    if args.cmd == "export":
+        from .operators.export import curated_docs, export_shards
+
+        docs = spark.read.parquet(args.docs_dir)
+        curated = curated_docs(
+            docs, min_tokens=args.min_tokens, min_quality=args.min_quality
+        )
+        manifest = export_shards(
+            spark, curated, args.out_dir, rows_per_file=args.rows_per_file
+        )
+        stats = manifest.agg(
+            {"n_rows": "sum", "n_tokens": "sum", "shard": "count"}
+        ).collect()[0]
+        _emit(
+            {
+                "out_dir": args.out_dir,
+                "n_shards": stats["count(shard)"],
+                "n_docs": stats["sum(n_rows)"],
+                "n_tokens": stats["sum(n_tokens)"],
+            }
+        )
+        return 0
+
     # sql
-    from .plans.sql_corpus import SQL_CORPUS, register_corpus_views
+    from .plans.sql_corpus import SQL_CORPUS, SQL_CORPUS_SPARK, register_corpus_views
 
     register_corpus_views(spark, args.sf_dir)
-    text = SQL_CORPUS.get(args.statement, args.statement)
+    text = {**SQL_CORPUS, **SQL_CORPUS_SPARK}.get(args.statement, args.statement)
     for row in spark.sql(text).limit(args.limit).collect():
         _emit(row.asDict())
     return 0

@@ -91,3 +91,44 @@ def test_cli_maintain_dedup(spark, tmp_path, capsys):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.splitlines()[0])
     assert stats["job"] == "dedup" and stats["rows_before"] > 0
+
+
+def test_cli_neardup_incremental(spark, tmp_path, capsys):
+    from mysql2clickhouse_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    import pyspark.sql.functions as F
+
+    d.write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    rc = main(["neardup", "--index-dir", str(tmp_path / "idx"),
+               "--batch-dir", str(tmp_path / "b1")])
+    assert rc == 0
+    first = json.loads(capsys.readouterr().out.splitlines()[-1])
+    rc = main(["neardup", "--index-dir", str(tmp_path / "idx"),
+               "--batch-dir", str(tmp_path / "b2"),
+               "--pairs-out", str(tmp_path / "pairs")])
+    assert rc == 0
+    second = json.loads(capsys.readouterr().out.splitlines()[-1])
+    # the mutant batch pairs against the stored corpus
+    assert second["n_pairs"] >= 0.95 * 500 > first["n_pairs"]
+    assert spark.read.parquet(str(tmp_path / "pairs")).count() == second["n_pairs"]
+
+
+def test_cli_export_shards(spark, tmp_path, capsys):
+    from mysql2clickhouse_spark.sources.tables import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    rc = main(["export", "--docs-dir", str(tmp_path / "docs"),
+               "--out-dir", str(tmp_path / "out"), "--rows-per-file", "50"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["n_docs"] > 0 and rep["n_shards"] >= rep["n_docs"] // 50
+    assert os.path.isdir(os.path.join(str(tmp_path / "out"), "manifest"))
