@@ -190,6 +190,75 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 parameters (Robertson/Spärck Jones defaults) and a fixed,
+#: deterministic query term set drawn from the corpus vocabulary
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "merge", "join", "stream", "window")
+BM25_TOPK = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus — the canonical lexical search
+    scorer, as an INVERTED-INDEX join: only postings of the query terms
+    ever leave the scan (the per-(doc, term) tf table is filtered to
+    |query| terms BEFORE its shuffle), document length and corpus
+    statistics ride in 1-row broadcasts, and the final top-k is an
+    orderBy+limit (TakeOrdered — partial per-partition top-k, no global
+    sort). idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Ranking ties break on the ROUNDED score then doc_id, so rank order
+    is identical across engines regardless of last-ulp float drift.
+    Output: (doc_id, n_terms_hit, score, rk)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_col(F.coalesce(F.col("text"), F.lit("")))).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(list(BM25_QUERY)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("term_score"), 4).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
 def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTE the C4 boilerplate rule (``corpus_boilerplate_ngrams``
     only detects): remove every token covered by a corpus-repeated
@@ -252,6 +321,7 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_quality_gopher": text_quality_gopher,
+    "text_bm25_topk": text_bm25_topk,
     "text_strip_boilerplate": text_strip_boilerplate,
     "text_repetition_top2gram": text_repetition_top2gram,
     "text_pii_redact": text_pii_redact,
@@ -362,6 +432,37 @@ SELECT t.doc_id, count(*) AS n_tokens,
        round(avg(l.neg_log2_p), 4) AS logppl
 FROM tok t JOIN lm l USING (token)
 GROUP BY t.doc_id
+""",
+    # identical BM25 formula; rank on the ROUNDED score so float drift
+    # in the last ulp can never reorder the top-k across engines
+    "text_bm25_topk": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS.replace("text", "coalesce(text, '')")}) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token IN ('data', 'merge', 'join', 'stream', 'window')
+       GROUP BY doc_id, token),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS n_terms_hit,
+         round(sum(
+             ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf JOIN dft USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top AS (SELECT doc_id, n_terms_hit, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK})
+SELECT doc_id, n_terms_hit, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+FROM top
 """,
     # same gram definition and coverage arithmetic, 1-based; the doc
     # rebuild is string_agg ORDER BY position, digested like the engine
