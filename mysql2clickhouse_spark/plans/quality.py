@@ -190,6 +190,68 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_N_QUERY_DOCS = 10
+
+
+def text_tfidf_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document TF-IDF cosine similarity via the INVERTED
+    INDEX — lexical near-doc search (the sparse counterpart of the
+    embedding ANN family): for each of the first 10 docs, the single
+    most similar OTHER doc.
+
+    Shape at scale: weights w(d,t) = tf·ln(N/df) and per-doc norms are
+    two aggregations over the token table; the pair space is the
+    POSTING-LIST join (query-doc postings ⋈ corpus postings on token),
+    so only docs sharing a term are ever paired — never n². Common-term
+    fan-out is the classic hazard; production systems prune high-df
+    terms, and ln(N/df) already zeroes ubiquitous ones. Ranking ties
+    break on the ROUNDED sim then doc_id (cross-engine stable).
+    Output: (src, dst, sim, rk=1)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_col(F.coalesce(F.col("text"), F.lit("")))).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    qa = w.filter(F.col("doc_id") < TFIDF_N_QUERY_DOCS).select(
+        F.col("doc_id").alias("src"), "token", F.col("w").alias("wa")
+    )
+    cb = w.select(F.col("doc_id").alias("dst"), "token", F.col("w").alias("wb"))
+    dots = (
+        qa.join(cb, "token")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("src"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nb"))
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        dots.join(na, "src")
+        .join(nb, "dst")
+        .withColumn("sim", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+        .select("src", "dst", "sim")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+    )
+
+
 #: BM25 parameters (Robertson/Spärck Jones defaults) and a fixed,
 #: deterministic query term set drawn from the corpus vocabulary
 BM25_K1 = 1.2
@@ -322,6 +384,7 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_quality_gopher": text_quality_gopher,
     "text_bm25_topk": text_bm25_topk,
+    "text_tfidf_docsim": text_tfidf_docsim,
     "text_strip_boilerplate": text_strip_boilerplate,
     "text_repetition_top2gram": text_repetition_top2gram,
     "text_pii_redact": text_pii_redact,
@@ -432,6 +495,38 @@ SELECT t.doc_id, count(*) AS n_tokens,
        round(avg(l.neg_log2_p), 4) AS logppl
 FROM tok t JOIN lm l USING (token)
 GROUP BY t.doc_id
+""",
+    # identical TF-IDF weighting and posting-list pairing; rank on the
+    # ROUNDED sim (then dst) so float drift can't flip the argmax
+    "text_tfidf_docsim": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS.replace("text", "coalesce(text, '')")}) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+w AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dft.df) AS w
+  FROM tf JOIN dft USING (token) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b USING (token)
+  WHERE a.doc_id < {TFIDF_N_QUERY_DOCS} AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+s AS (
+  SELECT src, dst, round(dot / (na.nrm * nb.nrm), 4) AS sim
+  FROM dots JOIN norms na ON dots.src = na.doc_id
+            JOIN norms nb ON dots.dst = nb.doc_id
+),
+r AS (SELECT src, dst, sim,
+             row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+      FROM s)
+SELECT src, dst, sim, rk FROM r WHERE rk = 1
 """,
     # identical BM25 formula; rank on the ROUNDED score so float drift
     # in the last ulp can never reorder the top-k across engines
