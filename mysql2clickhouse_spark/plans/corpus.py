@@ -331,6 +331,59 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_profile(df: DataFrame) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan: per column, row
+    count, null count, exact distinct count, and typed min/max —
+    numerics in ``min_num/max_num`` (DOUBLE), everything else cast to
+    string in ``min_str/max_str`` (double→string formatting is not
+    cross-engine portable, so numeric extremes never ride the string
+    channel). All aggregates pack into a single wide aggregation and
+    unpivot per-row afterwards — one pass, no shuffle beyond the one
+    global agg (count_distinct rewrites to expand+agg internally; for a
+    100 TB profile swap in approx_count_distinct per column).
+
+    This is the stats-collection pass a warehouse runs after load (the
+    target DB does it inside the storage engine); the reference sizes
+    tables with hand SQL (_settings.py:143-162) — this generalizes it.
+    """
+    num_types = ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
+    exprs, fields = [], []
+    for c, t in df.dtypes:
+        is_num = any(t.startswith(n) for n in num_types)
+        exprs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__z_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+            (F.min(F.col(c)).cast("double") if is_num else F.lit(None).cast("double")).alias(f"__mn_{c}"),
+            (F.max(F.col(c)).cast("double") if is_num else F.lit(None).cast("double")).alias(f"__mx_{c}"),
+            (F.lit(None).cast("string") if is_num else F.min(F.col(c)).cast("string")).alias(f"__sn_{c}"),
+            (F.lit(None).cast("string") if is_num else F.max(F.col(c)).cast("string")).alias(f"__sx_{c}"),
+        ]
+        fields.append(c)
+    wide = df.agg(*exprs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                F.col(f"__z_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_num"),
+                F.col(f"__mx_{c}").alias("max_num"),
+                F.col(f"__sn_{c}").alias("min_str"),
+                F.col(f"__sx_{c}").alias("max_str"),
+            )
+            for c in fields
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile of the ``orders`` table."""
+    return table_profile(load_table(spark, sf_dir, "orders"))
+
+
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events_sessionize`` via Spark's NATIVE ``session_window``
     aggregation — the same 30-minute-gap islands expressed as one
@@ -625,6 +678,7 @@ QUERIES = {
     "q12_ledger_prune": q12_ledger_prune,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
+    "table_profile_orders": table_profile_orders,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
@@ -798,6 +852,25 @@ SELECT user_id, session_idx, count(*) AS n_events,
        min(event_id) AS first_event_id
 FROM s GROUP BY user_id, session_idx
 """,
+    # one UNION ALL branch per column, same typed min/max channels
+    "table_profile_orders": "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       {f'CAST(min({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS min_num,
+       {f'CAST(max({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS max_num,
+       {f'CAST(min({c}) AS VARCHAR)' if not num else 'CAST(NULL AS VARCHAR)'} AS min_str,
+       {f'CAST(max({c}) AS VARCHAR)' if not num else 'CAST(NULL AS VARCHAR)'} AS max_str
+FROM orders"""
+        for c, num in (
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", True),
+            ("o_orderdate", False),
+            ("o_orderpriority", False),
+        )
+    ),
     # native session_window parity: same islands, native bounds
     # (start = first event, end = last event + gap)
     "events_session_window": f"""
