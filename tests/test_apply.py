@@ -169,3 +169,20 @@ def test_normalize_values_set_and_binary(spark):
     # pure projection: no shuffle, no Python in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_table_profile_null_and_type_channels(spark):
+    from mysql2clickhouse_spark.plans.corpus import table_profile
+
+    df = spark.createDataFrame(
+        [(1, None, "b"), (2, 2.5, None), (2, 7.5, "a")],
+        "k bigint, v double, s string",
+    )
+    prof = {r["column"]: r for r in table_profile(df).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 2          # distinct excludes dups
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["v"]["min_num"] == 2.5 and prof["v"]["max_num"] == 7.5
+    assert prof["v"]["min_str"] is None          # numeric -> num channel only
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None          # string -> str channel only
