@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from dataclasses import asdict
 
@@ -71,15 +72,20 @@ def build_parser() -> argparse.ArgumentParser:
                    default="dedup")
     m.add_argument("--dry-run", action="store_true")
 
+    # data dir resolves from $SPARK_GRAFT_SF_DIR (the bench.py
+    # convention) so deployments never silently target the machine-local
+    # test fixtures; the fixture path is only the sandbox fallback
+    sf_default = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
     q = sub.add_parser("query", help="run a named corpus query")
     q.add_argument("name")
-    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--sf-dir", default=sf_default)
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--output", default=None, help="write full result as parquet here")
 
     s = sub.add_parser("sql", help="literal Spark SQL over the registered views")
     s.add_argument("statement", help="a SQL_CORPUS name or raw SQL text")
-    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--sf-dir", default=sf_default)
     s.add_argument("--limit", type=int, default=20)
 
     nd = sub.add_parser("neardup", help="incremental near-dup index: ingest one batch")

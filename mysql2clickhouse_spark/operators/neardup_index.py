@@ -125,7 +125,18 @@ class MinHashIndex:
         jaccard) — new×old (id_a in store) and new×new (both in batch).
         Appends the batch to the store AFTER the pairs materialize, so
         a replayed batch cannot pair against its own first delivery's
-        rows mid-flight."""
+        rows mid-flight.
+
+        Idempotent under at-least-once redelivery: doc_ids already in
+        the store (and duplicate deliveries inside the batch itself) are
+        dropped up front, so a replayed batch appends nothing, pairs
+        nothing, and later batches never join against duplicated sig or
+        band rows — the incremental==full bag-equality contract holds
+        across redeliveries, not just clean runs."""
+        batch = batch.dropDuplicates([self.id_col])
+        if self._exists():
+            stored_ids = self.spark.read.parquet(self.sigs_path).select(self.id_col)
+            batch = batch.join(stored_ids, self.id_col, "left_anti")
         release_cache("neardup_index.add_batch")  # BEFORE persist — see session.py
         new = self._batch_tables(batch).persist()
         new.count()  # eager barrier: feeds bands, both verify sides, and the append
@@ -214,10 +225,17 @@ class MinHashIndex:
         # of this batch must see the pre-append store)
         out = pairs.localCheckpoint(eager=True)
 
-        new.write.mode("append").parquet(self.sigs_path)
+        # ORDER MATTERS: ``new``'s plan anti-joins against the sigs
+        # store, so every derivation of ``new`` must execute while the
+        # store is still in its pre-append state — a cache miss after
+        # the sigs append would re-run the anti-join against a store
+        # that now contains this very batch and silently drop it (zero
+        # band rows written; cross-batch pairs lost). Bands first, sigs
+        # last, nothing derived from ``new`` after that.
         self._band_rows(
             new.filter(F.col("minhash").isNotNull()).select(self.id_col, "minhash")
         ).write.mode("append").partitionBy("band_idx").parquet(self.bands_path)
+        new.write.mode("append").parquet(self.sigs_path)
         return out
 
     def pairs_equal(self, other: DataFrame, mine: DataFrame) -> bool:

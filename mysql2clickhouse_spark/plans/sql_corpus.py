@@ -207,7 +207,14 @@ def sql_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = []
     for name, sql in {**SQL_CORPUS, **SQL_CORPUS_SPARK}.items():
         for frame, w in ((spark.sql(sql), 1), (corpus.QUERIES[name](spark, sf_dir), -1)):
-            row_h = F.md5(F.to_json(F.struct(*frame.columns)))
+            # keep null-valued fields in the JSON: with the default
+            # (nulls omitted) two rows differing only in WHICH column is
+            # null would hash identically and evade the parity net
+            row_h = F.md5(
+                F.to_json(
+                    F.struct(*frame.columns), {"ignoreNullFields": "false"}
+                )
+            )
             header = F.md5(F.lit(",".join(c.lower() for c in frame.columns)))
             tagged.append(
                 frame.select(

@@ -73,6 +73,28 @@ def test_replayed_batch_never_self_pairs(spark, tmp_path):
     assert replay.filter(F.col("id_a") == F.col("id_b")).count() == 0
 
 
+def test_replayed_batch_is_store_noop(spark, tmp_path):
+    """At-least-once redelivery: a replayed batch must append NOTHING
+    to the store (no duplicate sig/band rows) and emit no pairs, and
+    later batches must still reproduce the one-shot pair set exactly."""
+    corpus = _corpus(spark).cache()
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    p0 = idx.add_batch(b0)
+    n_sigs = spark.read.parquet(idx.sigs_path).count()
+    n_bands = spark.read.parquet(idx.bands_path).count()
+    replay = idx.add_batch(b0)  # redelivery of the whole batch
+    assert replay.isEmpty()
+    assert spark.read.parquet(idx.sigs_path).count() == n_sigs
+    assert spark.read.parquet(idx.bands_path).count() == n_bands
+    p1 = idx.add_batch(b1)
+    assert p1.count() == p1.distinct().count(), "no duplicated pair rows"
+    full = verified_near_dups(corpus, "doc_id", threshold=0.7)
+    assert idx.pairs_equal(full, p0.unionByName(replay).unionByName(p1))
+    corpus.unpersist()
+
+
 def test_cross_batch_pairs_found_from_store_not_rescan(spark, tmp_path):
     """The planted mutants arrive as a second batch; their pairs must
     surface purely from the store's band/sig tables."""
