@@ -4,13 +4,14 @@
 stream joined through the dimension chain, broadcast dims, decimal-exact
 aggregation) on sf0.001.
 
-``queries()`` / ``oracle_sql()`` — every implemented operator from
-SURVEY.md §2 plus the LLM-pipeline extensions, each as a
-(spark, sf_dir) -> DataFrame callable with a DuckDB-runnable ANSI-SQL
-oracle where the semantics are SQL-expressible. Hash-family ops
-(minhash/simhash/LSH-ANN) are rows-only by design — their hash functions
-are Spark-native (murmur3/xxhash64); their semantics are
-invariant-tested in tests/.
+``queries()`` / ``oracle_sql()`` — the CURATED registry: exactly 50
+entries (the driver records at most ~50 rows per round — r02 held the
+first 50 of 97), one per SURVEY §2 family member / extension family,
+and EVERY entry has a DuckDB oracle (zero rows-only rows). Same-family
+certification twins and plan variants are folded into tagged suite rows
+(``plans/suites.py`` documents the member → suite map); everything
+un-folded stays registered in ``queries_extended()`` and is run by
+``scripts/check_parity.py`` and ``tests/test_oracle_parity.py``.
 """
 
 from __future__ import annotations
@@ -19,7 +20,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mysql2clickhouse_spark.plans import all_oracles, all_queries
+from mysql2clickhouse_spark.plans import (
+    all_oracles,
+    all_oracles_extended,
+    all_queries,
+    all_queries_extended,
+)
 from mysql2clickhouse_spark.plans.corpus import q10_regional_revenue
 
 
@@ -34,3 +40,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return all_oracles()
+
+
+def queries_extended() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registered query including un-folded suite members and
+    plan variants — the full mirror surface (not part of the driver
+    contract; run by scripts/check_parity.py)."""
+    return all_queries_extended()
+
+
+def oracle_sql_extended() -> dict[str, str]:
+    return all_oracles_extended()

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from mysql2clickhouse_spark.plans import all_queries  # noqa: E402
+from mysql2clickhouse_spark.plans import all_queries_extended  # noqa: E402
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
 #: headline set — one per operator family (SURVEY §2); the rest of the
@@ -77,7 +77,7 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    queries = all_queries()
+    queries = all_queries_extended()
     # Per-query codegen warm-up at the smallest SF: whole-stage codegen
     # compiles each query's generated classes once per PLAN SHAPE (the
     # codegen cache keys on generated source, which is identical across

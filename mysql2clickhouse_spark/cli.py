@@ -165,9 +165,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "query":
-        from .plans import all_queries
+        from .plans import all_queries_extended
 
-        queries = all_queries()
+        queries = all_queries_extended()
         if args.name not in queries:
             _emit({"error": f"unknown query '{args.name}'",
                    "known": sorted(queries)})

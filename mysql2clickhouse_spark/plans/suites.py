@@ -1,0 +1,269 @@
+"""Certification SUITES — several same-family queries folded into one
+driver-checkable row set each.
+
+Why this module exists: the correctness driver records at most ~50
+registry entries per round (CORRECTNESS_r02.json held exactly the first
+50 of 97), so near-duplicate entries crowd whole operator families out
+of the hard signal. Each suite here unions the member queries' outputs
+under a ``method``/``mode``/``step`` tag into ONE registry entry whose
+DuckDB oracle is the same union of the members' oracles — every member
+stays individually value-hash-checked (its rows carry its tag), but the
+family costs one registry slot instead of N.
+
+Member → suite map (the un-folded originals remain registered in the
+EXTENDED registry, run by scripts/check_parity.py and pytest):
+
+- ``q45_retention``      = q4_retention_probe + q5_retention_count
+- ``cdc_apply_suite``    = cdc_apply_append (P4) + cdc_apply_mutate (P7/P9)
+- ``cdc_insupd_suite``   = cdc_apply_ins_upd (P5/P6) + cdc_latest_state (Q1)
+- ``dedup_cert_suite``   = dedup_minhash_lsh_recall + dedup_simhash_locality
+                           + dedup_simhash_pairs_exact + semdedup_recall
+- ``ann_recall_suite``   = ann_{lsh,ivf,pq,ivfpq}_recall
+                           + ann_knn_graph_recall + ann_ivf_partitioned_equiv
+- ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
+
+The folds are pure column renames/casts over the member outputs — no
+member plan changes — so a suite row going red localizes to exactly one
+member by its tag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cdc, corpus, extensions, quality
+from .cdc import (
+    cdc_apply_append,
+    cdc_apply_ins_upd,
+    cdc_apply_mutate,
+    cdc_latest_state,
+)
+from .corpus import q4_retention_probe, q5_retention_count
+from .extensions import (
+    ann_ivf_partitioned_equiv,
+    ann_ivf_recall,
+    ann_ivfpq_recall,
+    ann_knn_graph_recall,
+    ann_lsh_recall,
+    ann_pq_recall,
+    dedup_minhash_lsh_recall,
+    dedup_simhash_locality,
+    dedup_simhash_pairs_exact,
+    semdedup_recall,
+)
+from .quality import text_bm25_topk, text_tfidf_docsim
+
+
+def q45_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 probe + Q5 count as two tagged 1-row results (the reference
+    runs them as one retention transaction, _settings.py:174-223)."""
+    probe = q4_retention_probe(spark, sf_dir).select(
+        F.lit("q4_probe").alias("step"), F.col("id_max").cast("bigint").alias("value")
+    )
+    cnt = q5_retention_count(spark, sf_dir).select(
+        F.lit("q5_count").alias("step"), F.col("del_count").cast("bigint").alias("value")
+    )
+    return probe.unionByName(cnt)
+
+
+_APPLY_COLS = ("key", "seq", "file_seq", "ts", "value", "event_type")
+
+
+def cdc_apply_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (insert-only append) + P7/P9 (merge-mode replay, deletes
+    terminal) over the same changelog, tagged by apply mode."""
+    a = cdc_apply_append(spark, sf_dir).select(
+        F.lit("append").alias("mode"), *_APPLY_COLS
+    )
+    m = cdc_apply_mutate(spark, sf_dir).select(
+        F.lit("mutate").alias("mode"), *_APPLY_COLS
+    )
+    return a.unionByName(m)
+
+
+_INSUPD_COLS = ("key", "dateid", "ts", "value", "event_type")
+
+
+def cdc_insupd_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 (INS-UPD version store) + Q1 over it (latest row per key),
+    tagged 'versions' / 'latest'."""
+    v = cdc_apply_ins_upd(spark, sf_dir).select(
+        F.lit("versions").alias("mode"), *_INSUPD_COLS
+    )
+    latest = cdc_latest_state(spark, sf_dir).select(
+        F.lit("latest").alias("mode"), *_INSUPD_COLS
+    )
+    return v.unionByName(latest)
+
+
+def dedup_cert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-family dedup certification twins as (method, n, ok)
+    rows: MinHash+LSH planted recall, SimHash locality, SimHash
+    banding==brute-force exactness, SemDeDup planted-copy drop."""
+    rows = [
+        dedup_minhash_lsh_recall(spark, sf_dir).select(
+            F.lit("minhash_lsh").alias("method"),
+            F.col("n_planted").cast("bigint").alias("n"),
+            F.col("recall_ok").alias("ok"),
+        ),
+        dedup_simhash_locality(spark, sf_dir).select(
+            F.lit("simhash_locality").alias("method"),
+            F.col("n_pairs").cast("bigint").alias("n"),
+            F.col("locality_ok").alias("ok"),
+        ),
+        dedup_simhash_pairs_exact(spark, sf_dir).select(
+            F.lit("simhash_banding").alias("method"),
+            F.col("n_docs").cast("bigint").alias("n"),
+            F.col("banding_exact").alias("ok"),
+        ),
+        semdedup_recall(spark, sf_dir).select(
+            F.lit("semdedup").alias("method"),
+            F.col("n_vectors").cast("bigint").alias("n"),
+            F.col("planted_all_dropped").alias("ok"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every approximate-ANN certification twin as (method, n, ok)
+    rows: per-query recall for LSH/IVF/PQ/IVF+PQ top-k, kNN-graph
+    coverage+recall, and partitioned-IVF == in-memory-IVF identity."""
+    per_query = [
+        ("lsh", ann_lsh_recall),
+        ("ivf", ann_ivf_recall),
+        ("pq", ann_pq_recall),
+        ("ivfpq", ann_ivfpq_recall),
+    ]
+    rows = [
+        fn(spark, sf_dir).select(
+            F.lit(tag).alias("method"),
+            F.col("qid").cast("bigint").alias("n"),
+            F.col("recall_ok").alias("ok"),
+        )
+        for tag, fn in per_query
+    ]
+    rows.append(
+        ann_knn_graph_recall(spark, sf_dir).select(
+            F.lit("knn_graph").alias("method"),
+            F.col("n_nodes").cast("bigint").alias("n"),
+            (F.col("coverage_ok") & F.col("recall_ok")).alias("ok"),
+        )
+    )
+    rows.append(
+        ann_ivf_partitioned_equiv(spark, sf_dir).select(
+            F.lit("ivf_partitioned").alias("method"),
+            F.col("n_rows").cast("bigint").alias("n"),
+            (F.col("n_mismatch") == 0).alias("ok"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranked retrieval: BM25 top-k (k1=doc_id, k2=n_terms_hit)
+    + TF-IDF doc-to-doc argmax (k1=src, k2=dst), tagged by scorer."""
+    bm = text_bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("method"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("n_terms_hit").cast("bigint").alias("k2"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+    tf = text_tfidf_docsim(spark, sf_dir).select(
+        F.lit("tfidf").alias("method"),
+        F.col("src").cast("bigint").alias("k1"),
+        F.col("dst").cast("bigint").alias("k2"),
+        F.col("sim").cast("double").alias("score"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+    return bm.unionByName(tf)
+
+
+QUERIES = {
+    "q45_retention": q45_retention,
+    "cdc_apply_suite": cdc_apply_suite,
+    "cdc_insupd_suite": cdc_insupd_suite,
+    "dedup_cert_suite": dedup_cert_suite,
+    "ann_recall_suite": ann_recall_suite,
+    "text_ranking_suite": text_ranking_suite,
+}
+
+# Each suite oracle is the UNION of its members' oracles (imported, not
+# restated, so member and suite can never drift), wrapped with the same
+# tag + casts as the Spark side.
+ORACLE = {
+    "q45_retention": f"""
+SELECT 'q4_probe' AS step, CAST(id_max AS BIGINT) AS value
+FROM ({corpus.ORACLE["q4_retention_probe"]}) __q4
+UNION ALL
+SELECT 'q5_count' AS step, CAST(del_count AS BIGINT) AS value
+FROM ({corpus.ORACLE["q5_retention_count"]}) __q5
+""",
+    "cdc_apply_suite": f"""
+SELECT 'append' AS mode, key, seq, file_seq, ts, value, event_type
+FROM ({cdc.ORACLE["cdc_apply_append"]}) __a
+UNION ALL
+SELECT 'mutate' AS mode, key, seq, file_seq, ts, value, event_type
+FROM ({cdc.ORACLE["cdc_apply_mutate"]}) __m
+""",
+    "cdc_insupd_suite": f"""
+SELECT 'versions' AS mode, key, dateid, ts, value, event_type
+FROM ({cdc.ORACLE["cdc_apply_ins_upd"]}) __v
+UNION ALL
+SELECT 'latest' AS mode, key, dateid, ts, value, event_type
+FROM ({cdc.ORACLE["cdc_latest_state"]}) __l
+""",
+    "dedup_cert_suite": f"""
+SELECT 'minhash_lsh' AS method, CAST(n_planted AS BIGINT) AS n, recall_ok AS ok
+FROM ({extensions.ORACLE["dedup_minhash_lsh_recall"]}) __mh
+UNION ALL
+SELECT 'simhash_locality' AS method, CAST(n_pairs AS BIGINT) AS n, locality_ok AS ok
+FROM ({extensions.ORACLE["dedup_simhash_locality"]}) __sl
+UNION ALL
+SELECT 'simhash_banding' AS method, CAST(n_docs AS BIGINT) AS n, banding_exact AS ok
+FROM ({extensions.ORACLE["dedup_simhash_pairs_exact"]}) __sb
+UNION ALL
+SELECT 'semdedup' AS method, CAST(n_vectors AS BIGINT) AS n, planted_all_dropped AS ok
+FROM ({extensions.ORACLE["semdedup_recall"]}) __sd
+""",
+    "ann_recall_suite": f"""
+SELECT 'lsh' AS method, CAST(qid AS BIGINT) AS n, recall_ok AS ok
+FROM ({extensions.ORACLE["ann_lsh_recall"]}) __l
+UNION ALL
+SELECT 'ivf' AS method, CAST(qid AS BIGINT) AS n, recall_ok AS ok
+FROM ({extensions.ORACLE["ann_ivf_recall"]}) __i
+UNION ALL
+SELECT 'pq' AS method, CAST(qid AS BIGINT) AS n, recall_ok AS ok
+FROM ({extensions.ORACLE["ann_pq_recall"]}) __p
+UNION ALL
+SELECT 'ivfpq' AS method, CAST(qid AS BIGINT) AS n, recall_ok AS ok
+FROM ({extensions.ORACLE["ann_ivfpq_recall"]}) __ip
+UNION ALL
+SELECT 'knn_graph' AS method, CAST(n_nodes AS BIGINT) AS n,
+       (coverage_ok AND recall_ok) AS ok
+FROM ({extensions.ORACLE["ann_knn_graph_recall"]}) __kg
+UNION ALL
+SELECT 'ivf_partitioned' AS method, CAST(n_rows AS BIGINT) AS n,
+       (n_mismatch = 0) AS ok
+FROM ({extensions.ORACLE["ann_ivf_partitioned_equiv"]}) __pe
+""",
+    "text_ranking_suite": f"""
+SELECT 'bm25' AS method, CAST(doc_id AS BIGINT) AS k1,
+       CAST(n_terms_hit AS BIGINT) AS k2, CAST(score AS DOUBLE) AS score,
+       CAST(rk AS INT) AS rk
+FROM ({quality.ORACLE["text_bm25_topk"]}) __bm
+UNION ALL
+SELECT 'tfidf' AS method, CAST(src AS BIGINT) AS k1,
+       CAST(dst AS BIGINT) AS k2, CAST(sim AS DOUBLE) AS score,
+       CAST(rk AS INT) AS rk
+FROM ({quality.ORACLE["text_tfidf_docsim"]}) __tf
+""",
+}

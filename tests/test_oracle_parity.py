@@ -7,10 +7,18 @@ import pytest
 
 from oracle_utils import compare, duckdb_conn
 
-from mysql2clickhouse_spark.plans import all_oracles, all_queries
+from mysql2clickhouse_spark.plans import (
+    CORE_QUERY_KEYS,
+    all_oracles,
+    all_oracles_extended,
+    all_queries,
+    all_queries_extended,
+)
 
-QUERIES = all_queries()
-ORACLES = all_oracles()
+# the EXTENDED set: the curated driver registry plus every un-folded
+# variant/twin — demotion from the driver surface never loses coverage
+QUERIES = all_queries_extended()
+ORACLES = all_oracles_extended()
 
 
 @pytest.fixture(scope="module")
@@ -43,3 +51,18 @@ def test_every_query_has_callable_and_contract():
     assert len(QUERIES) >= 30
     for name in ORACLES:
         assert name in QUERIES, f"oracle {name} lacks a query"
+
+
+def test_driver_registry_is_curated_and_fully_oracled():
+    """The driver records ~50 registry rows per round: the curated
+    surface must fit, keep its declared priority order, and leave NO
+    rows-only entries (every driver row is value-hash-checkable)."""
+    core_q, core_o = all_queries(), all_oracles()
+    assert len(core_q) <= 50
+    assert tuple(core_q) == CORE_QUERY_KEYS
+    assert set(core_q) == set(core_o), (
+        "driver registry entries without an oracle: "
+        f"{sorted(set(core_q) - set(core_o))}"
+    )
+    # every curated entry also exists in the extended set
+    assert set(core_q) <= set(QUERIES)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from mysql2clickhouse_spark.plans import all_queries
+from mysql2clickhouse_spark.plans import all_queries_extended
 
 
 def plan_of(spark, df) -> str:
@@ -22,7 +22,7 @@ def plan_of(spark, df) -> str:
 
 @pytest.fixture(scope="module")
 def queries():
-    return all_queries()
+    return all_queries_extended()
 
 
 def test_q10_broadcasts_every_dimension(spark, sf_dir, queries):
@@ -147,6 +147,25 @@ def test_quality_and_pii_queries_stay_jvm_side_no_shuffle(spark, sf_dir, queries
         plan = plan_of(spark, queries[name](spark, sf_dir))
         assert "Exchange" not in plan, name
         assert "Python" not in plan, name
+
+
+def test_tfidf_df_join_survives_without_broadcast(spark, sf_dir, queries):
+    """The TF-IDF document-frequency table is O(vocabulary) — it must
+    NOT be pinned to a broadcast by hint. With auto-broadcast disabled
+    (the 100 TB stats regime) the tf⋈df join has to lower to a shuffle
+    join on token; only the explicitly-hinted 1-row n_docs aggregate
+    may still broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, queries["text_tfidf_docsim"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+    # the only hinted broadcast is the 1-row n_docs aggregate, which
+    # lowers to a nested-loop cross join — no equi-join build side
+    # (i.e. no vocabulary-sized table) may be broadcast
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
 
 
 def test_top2gram_is_two_narrow_shuffles(spark, sf_dir, queries):
