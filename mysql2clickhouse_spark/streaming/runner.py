@@ -39,7 +39,6 @@ partitions. Appends never read existing data.
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.errors import AnalysisException
@@ -47,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import DEFAULT_POLICY, REGISTRY, TablePolicy
+from ..fs import fs_for
 from ..operators.apply import apply_insert_as_update, apply_mutate
 from ..operators.dedup import dedup_in_window
 from ..operators.drift import SchemaDriftError, diff_schemas
@@ -56,6 +56,11 @@ from ..operators.filters import filter_pos_range, split_old_deletes, split_poiso
 #: coalesce (the reference's "too many parts" guidance, README.md:189-194)
 #: and above by maxRecordsPerFile — no pre-count of the slice needed
 WRITE_PARTITIONS = 8
+
+#: commit-point manifest a journaled partition/whole-dir swap writes
+#: into its staging dir before mutating the live table (crash => the
+#: next job entry rolls the swap forward from this file)
+SWAP_COMMIT_MARKER = "_SWAP_COMMIT"
 
 LEDGER_SCHEMA = (
     "dateid bigint, created_at timestamp, table_name string, sql_type string,"
@@ -126,6 +131,10 @@ class ReplicationRunner:
     def __init__(self, spark: SparkSession, config: RunConfig):
         self.spark = spark
         self.cfg = config
+        # every direct store mutation (partition swap, staged promote,
+        # empty-store repair) goes through this seam — POSIX for bare
+        # paths, Hadoop FileSystem for hdfs://s3a://... target dirs
+        self.fs = fs_for(spark, config.target_dir)
 
     # --- storage paths -----------------------------------------------------
     def table_path(self, name: str) -> str:
@@ -294,14 +303,14 @@ class ReplicationRunner:
                 if n:
                     # part file names carry the write's job UUID, so a
                     # plain move into the live dir cannot collide
-                    os.makedirs(rejects, exist_ok=True)
-                    for fn in os.listdir(staging):
+                    self.fs.makedirs(rejects)
+                    for fn in self.fs.listdir(staging):
                         if fn.endswith(".parquet"):
-                            os.rename(
+                            self.fs.rename(
                                 os.path.join(staging, fn),
                                 os.path.join(rejects, fn),
                             )
-                shutil.rmtree(staging, ignore_errors=True)
+                self.fs.rmtree(staging)
                 report.rows_quarantined = n
         else:
             ok = changelog
@@ -433,7 +442,7 @@ class ReplicationRunner:
             stats["rows"] = int(obs.get["n"])
             path = self.table_path(tbl)
             if stats["rows"] == 0 and not any(
-                d.startswith("yyyymm=") for d in os.listdir(path)
+                d.startswith("yyyymm=") for d in self.fs.listdir(path)
             ):
                 # a zero-row FIRST write left a dir holding only
                 # _SUCCESS — unreadable (UNABLE_TO_INFER_SCHEMA) for
@@ -441,7 +450,7 @@ class ReplicationRunner:
                 # simply doesn't exist yet. A zero-row append to an
                 # existing table keeps its yyyymm dirs and is left
                 # alone.
-                shutil.rmtree(path)
+                self.fs.rmtree(path)
             return stats
 
         # mutate: the fold drops ``op``; everything else lands in state
@@ -478,6 +487,9 @@ class ReplicationRunner:
         cfg = self.cfg
         keys = self._resolve_cols(policy, tslice)
         path = self.table_path(tbl)
+        # roll forward any committed-but-interrupted swap BEFORE the
+        # state read — the recompute must see the converged table
+        self._recover_staging(path + "__staging", path)
         part_src = (
             policy.partition_col
             if policy.partition_col and policy.partition_col in tslice.columns
@@ -505,9 +517,7 @@ class ReplicationRunner:
                 (new_state if n else new_state.repartition(1)).write.mode(
                     "overwrite"
                 ).parquet(staging)
-                if os.path.exists(path):
-                    shutil.rmtree(path)
-                os.rename(staging, path)
+                self._swap_whole(staging, path)
             return n
 
         slice_p = tslice.withColumn(
@@ -554,13 +564,13 @@ class ReplicationRunner:
         if not cfg.dry_run:
             staging = path + "__staging"
             new_state.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
-            if os.path.isdir(path) and not any(
-                d.startswith("yyyymm=") for d in os.listdir(path)
+            if self.fs.is_dir(path) and not any(
+                d.startswith("yyyymm=") for d in self.fs.listdir(path)
             ):
                 # previous batch emptied the store (flat empty-marker
                 # layout) — clear it so partition dirs can move back in
-                shutil.rmtree(path)
-                os.makedirs(path)
+                self.fs.rmtree(path)
+                self.fs.makedirs(path)
             self._swap_partitions(staging, path, affected)
             self._ensure_readable(path, new_state)
         return n
@@ -571,29 +581,101 @@ class ReplicationRunner:
         ``spark.read.parquet`` can't infer a schema. Replace such a
         store with one schema-bearing empty file (built from the schema,
         not the frame — the frame may read from this very path)."""
-        if os.path.isdir(path) and not any(
-            d.startswith("yyyymm=") for d in os.listdir(path)
+        if self.fs.is_dir(path) and not any(
+            d.startswith("yyyymm=") for d in self.fs.listdir(path)
         ):
             empty = self.spark.createDataFrame([], typed_frame.schema)
             empty.repartition(1).write.mode("overwrite").parquet(path)
 
-    @staticmethod
-    def _swap_partitions(staging: str, path: str, months: list[int]) -> None:
+    def _swap_partitions(self, staging: str, path: str, months: list[int]) -> None:
         """Swap only the listed ``yyyymm`` partition directories from a
-        staging write into the live table — the object-store-safe
-        equivalent of dynamic partition overwrite. A listed partition
-        absent from staging (every row deleted / deduped away) is
-        removed from the live table."""
-        for m in months:
+        staging write into the live table (the dynamic-partition-
+        overwrite analog). A listed partition absent from staging
+        (every row deleted / deduped away) is removed from the live
+        table.
+
+        JOURNALED commit: a ``_SWAP_COMMIT`` manifest (which staged
+        months to promote, which live months to delete) lands in the
+        staging dir BEFORE any live mutation — that write is the commit
+        point. The promote loop is idempotent (a month whose staged dir
+        is gone was already promoted), so an interruption anywhere
+        mid-swap is rolled FORWARD by ``_recover_staging`` at the next
+        job entry: no crash window can lose a partition — the worst
+        case is a transiently stale reader. Individual renames are
+        atomic on POSIX/HDFS and copy+delete on S3-like stores (the
+        ``fs.py`` seam documents this; a table format on top buys
+        atomic multi-partition visibility)."""
+        import json
+
+        promote = [
+            m for m in months
+            if self.fs.exists(os.path.join(staging, f"yyyymm={m}"))
+        ]
+        delete = [m for m in months if m not in promote]
+        self.fs.write_text(
+            os.path.join(staging, SWAP_COMMIT_MARKER),
+            json.dumps({"promote": promote, "delete": delete}),
+        )
+        self._complete_swap(staging, path)
+
+    def _complete_swap(self, staging: str, path: str) -> None:
+        """Execute (or re-execute) a committed swap from its manifest.
+        Idempotent: promoted months skip (their staged dir is gone),
+        delete months re-delete harmlessly."""
+        import json
+
+        manifest = json.loads(
+            self.fs.read_text(os.path.join(staging, SWAP_COMMIT_MARKER))
+        )
+        if manifest.get("whole"):
+            self._complete_whole_swap(staging, path)
+            return
+        for m in manifest["delete"]:
+            dst = os.path.join(path, f"yyyymm={m}")
+            if self.fs.exists(dst):
+                self.fs.rmtree(dst)
+        for m in manifest["promote"]:
             src = os.path.join(staging, f"yyyymm={m}")
             dst = os.path.join(path, f"yyyymm={m}")
-            if os.path.exists(src):
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                os.rename(src, dst)
-            elif os.path.exists(dst):
-                shutil.rmtree(dst)
-        shutil.rmtree(staging, ignore_errors=True)
+            if self.fs.exists(src):
+                if self.fs.exists(dst):
+                    self.fs.rmtree(dst)
+                self.fs.rename(src, dst)
+            # src absent => this month was already promoted pre-crash
+        self.fs.rmtree(staging)
+
+    def _swap_whole(self, staging: str, path: str) -> None:
+        """Whole-directory replace (unpartitioned small-dim stores),
+        same journaled roll-forward contract as ``_swap_partitions``."""
+        self.fs.write_text(
+            os.path.join(staging, SWAP_COMMIT_MARKER), '{"whole": true}'
+        )
+        self._complete_whole_swap(staging, path)
+
+    def _complete_whole_swap(self, staging: str, path: str) -> None:
+        if self.fs.exists(staging):
+            if self.fs.exists(path):
+                self.fs.rmtree(path)
+            self.fs.rename(staging, path)
+        # the marker traveled inside the renamed dir; spark ignores
+        # underscore-prefixed files, but remove it for cleanliness
+        marker = os.path.join(path, SWAP_COMMIT_MARKER)
+        if self.fs.exists(marker):
+            self.fs.rmtree(marker)
+
+    def _recover_staging(self, staging: str, path: str) -> None:
+        """Crash recovery, called at every swap-job entry BEFORE reading
+        live state: a staging dir carrying a ``_SWAP_COMMIT`` manifest
+        is a committed-but-interrupted swap — roll it forward so the
+        recompute sees the converged table. Staging debris WITHOUT a
+        marker died before its commit point and is left for the next
+        staging write to overwrite."""
+        if self.fs.exists(os.path.join(staging, SWAP_COMMIT_MARKER)):
+            self._complete_swap(staging, path)
+        # whole-dir swaps can also die between rename and marker removal
+        marker = os.path.join(path, SWAP_COMMIT_MARKER)
+        if self.fs.exists(marker):
+            self.fs.rmtree(marker)
 
     def _write_ledger(self, batch: DataFrame) -> None:
         """S5 — one ledger row per (table, file) slice; dateid := the
@@ -678,7 +760,7 @@ class ReplicationRunner:
                 name: None
                 for name, pol in REGISTRY.items()
                 if pol.apply_mode == "insert_as_update"
-                and os.path.exists(self.table_path(name))
+                and self.fs.exists(self.table_path(name))
             }
             for tbl, keys in targets.items():
                 self.compact_table(tbl, compact_months, keys=keys)
@@ -820,12 +902,19 @@ class ReplicationRunner:
         import math
 
         path = self.table_path(tbl)
+        self._recover_staging(path + "__filecompact", path)
         policy = REGISTRY.get(tbl, DEFAULT_POLICY)
 
         def _count_files() -> int:
             return sum(
-                len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
-                for d in os.listdir(path)
+                len(
+                    [
+                        f
+                        for f in self.fs.listdir(os.path.join(path, d))
+                        if f.endswith(".parquet")
+                    ]
+                )
+                for d in self.fs.listdir(path)
                 if d.startswith("yyyymm=")
                 and int(d.split("=", 1)[1]) in months
             )
@@ -893,6 +982,7 @@ class ReplicationRunner:
         """
         path = self.table_path(tbl)
         agg_path = path + "__daily"
+        self._recover_staging(agg_path + "__staging", agg_path)
         cur = self.spark.read.parquet(path).filter(F.col("yyyymm").isin(months))
         agg = cur.groupBy("yyyymm", F.to_date("ts").alias("day")).agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -904,7 +994,7 @@ class ReplicationRunner:
             return stats
         staging = agg_path + "__staging"
         agg.write.mode("overwrite").partitionBy("yyyymm").parquet(staging)
-        os.makedirs(agg_path, exist_ok=True)
+        self.fs.makedirs(agg_path)
         self._swap_partitions(staging, agg_path, months)
         return stats
 
@@ -929,8 +1019,8 @@ class ReplicationRunner:
         list: the read is partition-pruned (``yyyymm IN (...)`` lands in
         PartitionFilters, so out-of-window files are never opened), the
         deduped result is staged, and only the affected partition
-        directories are swapped in — the object-store-safe equivalent of
-        dynamic partition overwrite, same commit pattern as the mutate
+        directories are swapped in (``_swap_partitions`` documents the
+        per-store commit semantics), same commit pattern as the mutate
         path. ``months`` are ints because parquet partition-type
         inference reads ``yyyymm=202403`` back as an integer column.
 
@@ -941,6 +1031,7 @@ class ReplicationRunner:
             # mutate tables hold latest-state only — nothing to compact
             return {"partitions": [], "rows_before": 0, "rows_removed": 0}
         path = self.table_path(tbl)
+        self._recover_staging(path + "__compact", path)
         in_win = self.spark.read.parquet(path).filter(F.col("yyyymm").isin(months))
         # explicit override wins; otherwise resolve the policy's
         # (matomo-shaped) key names against the stored frame exactly like
