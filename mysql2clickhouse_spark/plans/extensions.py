@@ -407,7 +407,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semantic dedup (SemDeDup) --------------------------------------------
 
-SEMDEDUP_N_CLUSTERS = 32
+#: k tracks corpus size: per-cluster pair volume is (n/k)², so k is
+#: derived as ~n / TARGET_CLUSTER_ROWS (the paper's regime — 50k
+#: clusters over its web corpus ≈ a few thousand rows per cluster).
+SEMDEDUP_TARGET_CLUSTER_ROWS = 256
+SEMDEDUP_MIN_CLUSTERS = 8
+#: cap sized to keep the DRIVER-side k-means tractable (sample 32·k
+#: rows ⇒ ≤ 128k×dim doubles, one GEMM per iter); at k=4096 and
+#: target 256 this covers a ~1M-vector corpus per job — larger corpora
+#: shard the semdedup pass by partition before clustering.
+SEMDEDUP_MAX_CLUSTERS = 4096
+
+
+def _semdedup_k(n_rows: int) -> int:
+    return max(
+        SEMDEDUP_MIN_CLUSTERS,
+        min(SEMDEDUP_MAX_CLUSTERS, n_rows // SEMDEDUP_TARGET_CLUSTER_ROWS + 1),
+    )
 
 
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,14 +440,20 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the cluster pass is the IVF assignment (one GEMM per Arrow
     batch, no shuffle); the within-cluster pair join shuffles on
-    ``cluster_id`` once, and per-cluster pair volume is (n/k)² — size
-    SEMDEDUP_N_CLUSTERS ∝ corpus so cluster populations stay bounded
-    (the paper runs 50k clusters on its web corpus)."""
+    ``cluster_id`` once, and per-cluster pair volume is (n/k)² — k is
+    DERIVED from the corpus row count (``_semdedup_k``: ~n/256, the
+    paper's bounded-cluster-population regime) so populations stay
+    constant as the corpus grows; the quantizer's training sample
+    scales 32·k alongside. The 1-row count that sizes k is bounded
+    control-plane work."""
     from ..functions.similarity import train_ivf_centroids, with_ivf_lists
     from ..session import release_cache, rotate_cache
 
     emb = _emb_with_mutants(spark, sf_dir)
-    C = train_ivf_centroids(emb, EMB_DIM, SEMDEDUP_N_CLUSTERS, id_col="vec_id")
+    k = _semdedup_k(emb.count())
+    C = train_ivf_centroids(
+        emb, EMB_DIM, k, sample_size=max(4096, 32 * k), id_col="vec_id"
+    )
     release_cache("ext.semdedup.assigned")  # BEFORE persist — see session.py
     assigned = (
         with_ivf_lists(

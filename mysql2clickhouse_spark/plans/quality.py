@@ -191,6 +191,10 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TFIDF_N_QUERY_DOCS = 10
+#: df pruning bounds — fixture-neutral defaults (prune nothing) so the
+#: DuckDB oracle needs no mirror; production: min_df 2-5, max_df ~0.5
+TFIDF_MIN_DF = 1
+TFIDF_MAX_DF_FRAC = 1.0
 
 
 def text_tfidf_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,9 +218,29 @@ def text_tfidf_docsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
-    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # document-frequency pruning: ubiquitous terms (df > max_df_frac·N)
+    # carry ~zero idf signal but dominate the posting-join fan-out, and
+    # hapax terms (df < min_df) never produce a pair. The defaults are
+    # fixture-neutral (no rows pruned → oracle-identical); production
+    # web-scale settings are min_df≈2-5, max_df_frac≈0.5.
+    df_t = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= TFIDF_MIN_DF)
+            & (F.col("df") <= F.lit(TFIDF_MAX_DF_FRAC) * F.col("n_docs"))
+        )
+        .select("token", "df")
+    )
+    # deliberately NO broadcast hint on df_t: the document-frequency
+    # table is O(vocabulary) — far past broadcast limits on web-scale
+    # text. While its runtime stats are small, AQE still picks a
+    # broadcast join; past the threshold this degrades gracefully to a
+    # shuffle join on token — the correct 100 TB plan
+    # (test_plan_shapes.test_tfidf_df_join_survives_without_broadcast).
     w = (
-        tf.join(F.broadcast(df_t), "token")
+        tf.join(df_t, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
