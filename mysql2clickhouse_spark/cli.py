@@ -77,6 +77,19 @@ def build_parser() -> argparse.ArgumentParser:
     # test fixtures; the fixture path is only the sandbox fallback
     sf_default = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
+    pg = sub.add_parser("purge", help="physically remove consumed changelog files (Q6)")
+    pg.add_argument("--changelog-dir", required=True)
+    pg.add_argument("--target-dir", required=True, help="holds the guarding ledger")
+    pg.add_argument("--keep-days", type=int, default=180,
+                    help="LEAVE_BINARY_LOGS_IN_DAYS analog (_settings.py:87-90)")
+    pg.add_argument("--dry-run", action="store_true")
+
+    lc = sub.add_parser("ledger-compact", help="rewrite the ledger to one file")
+    lc.add_argument("--target-dir", required=True)
+    lc.add_argument("--keep-after", default=None,
+                    help="optional created_at cutoff (Q12 prune), e.g. 2024-01-01")
+    lc.add_argument("--dry-run", action="store_true")
+
     q = sub.add_parser("query", help="run a named corpus query")
     q.add_argument("name")
     q.add_argument("--sf-dir", default=sf_default)
@@ -162,6 +175,26 @@ def main(argv: list[str] | None = None) -> int:
             "daily-aggregate": runner.refresh_daily_aggregate,
         }[args.job]
         _emit({"job": args.job, **job(args.table, args.months)})
+        return 0
+
+    if args.cmd == "purge":
+        from .streaming.runner import ReplicationRunner, RunConfig
+
+        runner = ReplicationRunner(
+            spark, RunConfig(target_dir=args.target_dir, dry_run=args.dry_run)
+        )
+        _emit({"job": "purge",
+               **runner.purge_changelog(args.changelog_dir, keep_days=args.keep_days)})
+        return 0
+
+    if args.cmd == "ledger-compact":
+        from .streaming.runner import ReplicationRunner, RunConfig
+
+        runner = ReplicationRunner(
+            spark, RunConfig(target_dir=args.target_dir, dry_run=args.dry_run)
+        )
+        _emit({"job": "ledger-compact",
+               **runner.compact_ledger(keep_created_after=args.keep_after)})
         return 0
 
     if args.cmd == "query":

@@ -874,6 +874,105 @@ class ReplicationRunner:
             seed.coalesce(1).write.mode("append").parquet(self.ledger_path)
         return {"table": tbl, "rows": n, "as_of_seq": as_of_seq}
 
+    # --- maintenance: binlog purge execution (Q6) --------------------------
+    def purge_changelog(self, changelog_dir: str, keep_days: int = 180) -> dict:
+        """Q6 EXECUTED — physically remove consumed changelog files, the
+        engine analog of the reference's ``PURGE BINARY LOGS TO ...``
+        (matomo2clickhouse.py:382-398): a changelog file may be dropped
+        only when it is wholly older than the retention horizon AND the
+        ledger shows replication progressed past the horizon — never
+        purge what isn't applied (``purge_eligible_files`` is the
+        guard, ``cdc_binlog_purge`` its oracle-checked twin).
+
+        Physical mapping is layout-agnostic and CONSERVATIVE: rows map
+        to their parquet files via ``input_file_name()``, and a file is
+        deleted only if EVERY row in it carries an eligible file_seq —
+        a ``partitionBy(file_seq)`` ingest layout purges exactly; a
+        mixed layout keeps straddling files (reported, never split).
+        Both collects are bounded by the physical file count
+        (control-plane, not data). Dry-run reports without deleting.
+        """
+        from urllib.parse import unquote, urlparse
+
+        from ..fs import fs_for
+        from ..operators.retention import purge_eligible_files
+
+        cl = self.spark.read.parquet(changelog_dir)
+        eligible = purge_eligible_files(cl, self.read_ledger(), keep_days=keep_days)
+        elig = sorted(r["file_seq"] for r in eligible.collect())
+        stats = {
+            "eligible_file_seqs": elig,
+            "files_removed": 0,
+            "files_kept_mixed": 0,
+            "dry_run": self.cfg.dry_run,
+        }
+        if not elig:
+            return stats
+        per_file = (
+            cl.select(F.input_file_name().alias("path"), "file_seq")
+            .groupBy("path")
+            .agg(
+                F.min(F.col("file_seq").isin(elig).cast("int")).alias("all_elig"),
+                F.max(F.col("file_seq").isin(elig).cast("int")).alias("any_elig"),
+            )
+            .collect()
+        )
+        fs = fs_for(self.spark, changelog_dir)
+        for r in per_file:
+            if not r["any_elig"]:
+                continue
+            if not r["all_elig"]:
+                stats["files_kept_mixed"] += 1
+                continue
+            path = r["path"]
+            if path.startswith("file:"):
+                path = unquote(urlparse(path).path)
+            if not self.cfg.dry_run:
+                fs.rmtree(path)
+                # local-FS checksum sibling (.part-*.crc) goes with it
+                d, base = os.path.split(path)
+                crc = os.path.join(d, f".{base}.crc")
+                if fs.exists(crc):
+                    fs.rmtree(crc)
+                # a fully-drained file_seq= partition dir is removed
+                # outright (the partitioned-ingest layout's clean purge)
+                if os.path.basename(d).startswith("file_seq=") and not any(
+                    f.endswith(".parquet") for f in fs.listdir(d)
+                ):
+                    fs.rmtree(d)
+            stats["files_removed"] += 1
+        return stats
+
+    # --- maintenance: ledger compaction (S5 upkeep) -------------------------
+    def compact_ledger(self, keep_created_after=None) -> dict:
+        """Every run appends one parquet file to the ledger
+        (``_write_ledger``), so a long-lived cron deployment accumulates
+        thousands of small files on the resume path's read. Rewrite the
+        ledger to ONE file — optionally pruning rows older than
+        ``keep_created_after`` first (Q12, README.md:131-134) — via the
+        journaled whole-dir swap. ``resume_seq`` is invariant: pruning
+        keeps recent rows, and the argmax-dateid row is by definition
+        the newest."""
+        self._recover_staging(self.ledger_path + "__staging", self.ledger_path)
+        led = self.read_ledger()
+        if keep_created_after is not None:
+            from ..operators.retention import ledger_prune
+
+            led = ledger_prune(led, keep_created_after)
+        n = led.count()
+        stats = {"rows": n, "dry_run": self.cfg.dry_run}
+        if self.cfg.dry_run:
+            return stats
+        staging = self.ledger_path + "__staging"
+        # an empty frame writes 0 part files => unreadable store; force
+        # one schema-bearing file (same policy as the small-dim path)
+        led.repartition(1).write.mode("overwrite").parquet(staging)
+        self._swap_whole(staging, self.ledger_path)
+        stats["files_after"] = len(
+            [f for f in self.fs.listdir(self.ledger_path) if f.endswith(".parquet")]
+        )
+        return stats
+
     # --- maintenance: small-file compaction (O9) ---------------------------
     def compact_small_files(
         self,

@@ -132,3 +132,36 @@ def test_cli_export_shards(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert rep["n_docs"] > 0 and rep["n_shards"] >= rep["n_docs"] // 50
     assert os.path.isdir(os.path.join(str(tmp_path / "out"), "manifest"))
+
+
+def test_cli_purge_and_ledger_compact(spark, tmp_path, capsys):
+    import datetime as _dt
+
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    rows = []
+    for i in range(200):
+        rows.append(
+            ("I", "visits", i % 10, i, i // 50,
+             T0 + _dt.timedelta(hours=5 * i), float(i), "e")
+        )
+    (
+        spark.createDataFrame(rows, SCHEMA)
+        .write.mode("overwrite").partitionBy("file_seq").parquet(cl)
+    )
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "1", "--max-files", "10"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["purge", "--changelog-dir", cl, "--target-dir", wh,
+               "--keep-days", "10"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["job"] == "purge" and rep["files_removed"] > 0
+    assert not os.path.isdir(os.path.join(cl, "file_seq=0"))
+
+    rc = main(["ledger-compact", "--target-dir", wh])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["job"] == "ledger-compact" and rep["files_after"] == 1

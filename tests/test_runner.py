@@ -725,3 +725,119 @@ def test_concurrent_table_apply_equals_serial(spark, tmp_path):
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     # resume points advance identically
     assert serial.resume_seq() == conc.resume_seq()
+
+
+def test_purge_changelog_removes_only_consumed_eligible_files(spark, tmp_path):
+    """Q6 executed: with a file_seq-partitioned changelog, eligible
+    partitions' files are physically gone, ineligible ones are untouched
+    bytes, resume still works, and dry-run deletes nothing."""
+    import os
+
+    cl_dir = str(tmp_path / "cl")
+    # 4 binlog files spanning ~45 days => with keep_days=10 the oldest
+    # files age out; the newest file is always guarded (progress <)
+    rows = []
+    for i in range(200):
+        key = i % 10
+        op = "I" if i % 5 in (0, 1) else ("U" if i % 5 in (2, 3) else "D")
+        tbl = "visits" if key % 2 == 0 else "events_state"
+        rows.append(
+            (op, tbl, key, i, i // 50, T0 + dt.timedelta(hours=5 * i), float(i), "e")
+        )
+    (
+        spark.createDataFrame(rows, SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("file_seq")
+        .parquet(cl_dir)
+    )
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), max_files_per_run=10)
+    )
+    cl = spark.read.parquet(cl_dir)
+    runner.run_once(cl)  # consume everything => ledger progress at max ts
+    resume_before = runner.resume_seq()
+
+    def files_of(fseq):
+        d = os.path.join(cl_dir, f"file_seq={fseq}")
+        return _partition_manifest(d) if os.path.isdir(d) else []
+
+    keep_manifest = {f: files_of(f) for f in (2, 3)}
+
+    dry = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), dry_run=True)
+    )
+    st = dry.purge_changelog(cl_dir, keep_days=10)
+    assert st["eligible_file_seqs"] == [0, 1]
+    assert st["files_removed"] > 0  # reported ...
+    assert files_of(0) and files_of(1)  # ... but nothing deleted
+
+    st = runner.purge_changelog(cl_dir, keep_days=10)
+    assert st["eligible_file_seqs"] == [0, 1]
+    assert st["files_removed"] > 0 and st["files_kept_mixed"] == 0
+    assert not files_of(0) and not files_of(1)  # eligible: physically gone
+    for f in (2, 3):  # ineligible: untouched bytes
+        assert files_of(f) == keep_manifest[f]
+    # the purged store still reads and the resume point is unchanged
+    assert spark.read.parquet(cl_dir).count() == 100
+    assert runner.resume_seq() == resume_before
+
+
+def test_purge_changelog_keeps_mixed_files_intact(spark, tmp_path):
+    """Unpartitioned (single-file) changelog: a physical file holding
+    both eligible and ineligible file_seqs must be kept, not split."""
+    cl_dir = str(tmp_path / "cl")
+    rows = []
+    for i in range(200):
+        rows.append(
+            ("I", "visits", i % 10, i, i // 50, T0 + dt.timedelta(hours=5 * i), float(i), "e")
+        )
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(cl_dir)
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), max_files_per_run=10)
+    )
+    runner.run_once(spark.read.parquet(cl_dir))
+    st = runner.purge_changelog(cl_dir, keep_days=10)
+    assert st["eligible_file_seqs"] == [0, 1]
+    assert st["files_removed"] == 0 and st["files_kept_mixed"] == 1
+    assert spark.read.parquet(cl_dir).count() == 200  # nothing lost
+
+
+def test_compact_ledger_folds_files_and_keeps_resume(spark, tmp_path):
+    """N runs append N ledger files; compaction folds them to ONE with
+    resume_seq invariant; the Q12 prune option drops old rows."""
+    import os
+
+    runner = ReplicationRunner(
+        spark,
+        RunConfig(target_dir=str(tmp_path / "wh"), max_files_per_run=1),
+    )
+    cl = mk_changelog(spark, n=200, files=4)
+    for _ in range(4):
+        runner.run_once(cl)  # one file per run => 4 ledger appends
+
+    def ledger_files():
+        return [
+            f for f in os.listdir(runner.ledger_path) if f.endswith(".parquet")
+        ]
+
+    assert len(ledger_files()) == 4
+    resume_before = runner.resume_seq()
+    rows_before = runner.read_ledger().count()
+
+    dry = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), dry_run=True)
+    )
+    dry.compact_ledger()
+    assert len(ledger_files()) == 4  # dry-run rewrote nothing
+
+    st = runner.compact_ledger()
+    assert st["rows"] == rows_before and st["files_after"] == 1
+    assert len(ledger_files()) == 1
+    assert runner.resume_seq() == resume_before
+    assert runner.read_ledger().count() == rows_before
+
+    # prune: drop everything created before an impossible future cutoff
+    # EXCEPT nothing — then a real cutoff that keeps only the newest rows
+    st = runner.compact_ledger(keep_created_after="2024-03-01 02:00:00")
+    assert st["rows"] < rows_before
+    assert runner.resume_seq() == resume_before  # argmax row is newest
