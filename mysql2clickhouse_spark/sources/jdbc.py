@@ -28,6 +28,70 @@ from pyspark.sql import DataFrame, SparkSession
 DEFAULT_WRITE_BATCH = 2000   # replication_batch_sql (_settings.py:75-77)
 DEFAULT_WRITE_PARTITIONS = 8  # pacing analog of ~1 INSERT/sec guidance
 
+#: Per-URL-scheme option presets — the operational knowledge a migrating
+#: operator otherwise rediscovers the hard way. Explicit call options
+#: always override the preset. Sources: MySQL Connector/J and
+#: clickhouse-jdbc public docs; the reference's tuning constants.
+#:
+#: ClickHouse notes: ``isolationLevel NONE`` because ClickHouse has no
+#: transactions (Spark's default READ_UNCOMMITTED fails the connection
+#: handshake); first-write table creation needs an engine clause, hence
+#: ``createTableOptions``; nullable Spark columns require Nullable(T)
+#: target columns — the driver surfaces the mismatch as a write error,
+#: it cannot be papered over client-side.
+#:
+#: MySQL notes: ``useCursorFetch`` + ``fetchsize`` stream large result
+#: sets instead of buffering them driver-side (the S3 snapshot read);
+#: ``zeroDateTimeBehavior`` maps the infamous 0000-00-00 to NULL;
+#: ``tinyInt1isBit=false`` keeps tinyint(1) an integer, matching how
+#: the reference's binlog decoder reads it.
+DIALECTS: dict[str, dict] = {
+    "mysql": {
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "read": {
+            "useCursorFetch": "true",
+            "fetchsize": "10000",
+            "zeroDateTimeBehavior": "convertToNull",
+            "tinyInt1isBit": "false",
+        },
+        "write": {},
+    },
+    "clickhouse": {
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "read": {"fetchsize": "10000"},
+        "write": {
+            "isolationLevel": "NONE",
+            "createTableOptions": "ENGINE = MergeTree() ORDER BY tuple()",
+        },
+    },
+    "derby": {  # the in-sandbox stand-in (Spark bundles Derby)
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "read": {},
+        "write": {},
+    },
+}
+
+
+def dialect_for(url: str) -> dict:
+    """Resolve the option preset from a ``jdbc:<scheme>:`` URL; unknown
+    schemes get an empty preset (plain JDBC, caller supplies driver)."""
+    scheme = ""
+    if url.startswith("jdbc:"):
+        scheme = url.split(":", 2)[1].lower()
+    return DIALECTS.get(scheme, {"driver": None, "read": {}, "write": {}})
+
+
+def _merged(url: str, side: str, options: dict) -> dict:
+    """Preset options for ``side`` ('read'|'write') with the caller's
+    explicit options layered on top (explicit wins), plus the driver
+    class when the preset knows it and the caller didn't set one."""
+    d = dialect_for(url)
+    out = dict(d.get(side, {}))
+    if d.get("driver") and "driver" not in options:
+        out["driver"] = d["driver"]
+    out.update(options)
+    return out
+
 
 def jdbc_read(
     spark: SparkSession,
@@ -51,7 +115,7 @@ def jdbc_read(
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
-    for k, v in options.items():
+    for k, v in _merged(url, "read", options).items():
         reader = reader.option(k, v)
     return reader
 
@@ -77,6 +141,6 @@ def jdbc_write(
         .option("dbtable", table)
         .option("batchsize", str(batch_size))
     )
-    for k, v in options.items():
+    for k, v in _merged(url, "write", options).items():
         writer = writer.option(k, v)
     return writer
