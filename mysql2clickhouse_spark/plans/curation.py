@@ -26,7 +26,13 @@ from pyspark.sql.window import Window
 
 from ..functions.graph import cluster_summary, connected_components
 from ..functions.minhash import jaccard_col, with_shingles
-from ..functions.text import token_count_col, token_ngrams_col, tokens_col
+from ..functions.text import (
+    langid_col,
+    quality_score_cols,
+    token_count_col,
+    token_ngrams_col,
+    tokens_col,
+)
 from ..sources.tables import load_table, spread
 
 #: near-dup cluster corpus: two mutation generations plant 3-node chains
@@ -131,6 +137,92 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("rep_id"), F.lit(1).cast("bigint").alias("n_members"))
     )
     return clusters.unionByName(singles)
+
+
+# --- curation pipeline with near-dup canonicalization ----------------------
+
+#: the gate corpus_curation uses — imported, not restated, so the two
+#: pipelines can't drift
+from .extensions import CURATE_MIN_QUALITY, CURATE_MIN_TOKENS  # noqa: E402
+
+
+def corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_curation`` extended past exact dedup with the NEAR-dup
+    canonicalization stage — the full keep-list pipeline a training-data
+    job runs: feature pass → quality gate → near-dup edge mining over
+    the gated survivors → connected components → keep the min-id doc
+    per cluster, carrying its features and cluster size.
+
+    Exercised on the 3-generation mutant corpus (``_cc_corpus``): each
+    surviving chain must collapse to ONE canonical doc whose
+    ``cluster_size`` counts the gated generations; gated-out docs take
+    no part in clustering (an edge through a dropped doc must not merge
+    its neighbors — mirrored exactly in the oracle's closure).
+
+    The edge miner is the deterministic generation-offset Jaccard of
+    ``dedup_cluster_cc`` (oracle-checkable); production swaps in
+    ``verified_near_dups`` pairs unchanged. Scale shape: gate before
+    everything (one codegen scan), equi-join edge mining (no all-pairs),
+    O(log d) CC rounds, one rollup agg, one broadcast anti-join for
+    singletons."""
+    from ..session import release_cache, rotate_cache
+
+    q = quality_score_cols(F.col("text"))
+    gated = (
+        _cc_corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            q["n_tokens"].alias("n_tokens"),
+            q["quality_score"].alias("quality_score"),
+            langid_col(F.col("text")).alias("lang_guess"),
+        )
+        .filter(
+            (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+            & (F.col("quality_score") >= CURATE_MIN_QUALITY)
+        )
+    )
+    release_cache("curation.neardup_gated")  # BEFORE persist — see session.py
+    gated = gated.persist()
+    gated.count()  # eager: shingle pass + features + singleton pass
+    rotate_cache("curation.neardup_gated", gated)
+
+    sh = with_shingles(gated.select("doc_id", "text"), "text", k=5).select(
+        "doc_id", "shingles"
+    )
+    edges = None
+    for off in (CC_OFF_1, CC_OFF_2 - CC_OFF_1, CC_OFF_2):
+        a, b = sh.alias("a"), sh.alias("b")
+        e = (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + off)
+            .withColumn("j", jaccard_col(F.col("a.shingles"), F.col("b.shingles")))
+            .filter(F.col("j") >= CC_EDGE_THRESHOLD)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+        edges = e if edges is None else edges.unionByName(e)
+
+    comp = connected_components(edges, "id_a", "id_b")
+    clusters = cluster_summary(comp)  # (rep_id, n_members)
+    singles = (
+        gated.select("doc_id")
+        .join(
+            F.broadcast(comp.select(F.col("node").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+        .select(F.col("doc_id").alias("rep_id"), F.lit(1).cast("bigint").alias("n_members"))
+    )
+    keep = clusters.unionByName(singles)
+    feats = gated.select(
+        F.col("doc_id").alias("rep_id"), "n_tokens", "quality_score", "lang_guess"
+    )
+    return keep.join(feats, "rep_id").select(
+        F.col("rep_id").alias("doc_id"),
+        F.col("n_members").alias("cluster_size"),
+        "n_tokens",
+        "quality_score",
+        "lang_guess",
+    )
 
 
 # --- test-set decontamination ----------------------------------------------
@@ -392,6 +484,7 @@ def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
+    "corpus_curation_neardup": corpus_curation_neardup,
     "corpus_export_shards": corpus_export_shards,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack_sequences": corpus_pack_sequences,
@@ -453,6 +546,72 @@ SELECT CAST(count(*) AS BIGINT) AS n_kept,
 FROM kept WHERE rn = 1
 """,
     # min-reachable-label closure reproduces the CC result exactly
+    # gate first (same rounded score + lang rules as corpus_curation),
+    # THEN mine generation edges among survivors only, close the graph
+    # with the recursive CTE, and emit the canonical doc per cluster
+    "corpus_curation_neardup": f"""
+WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+gated AS (
+  SELECT doc_id, text,
+         CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens,
+         round(least(1.0, CAST({_TOKENS_SQL} AS DOUBLE) / 64.0) * 0.5
+               + least(1.0, CASE WHEN {_TOKENS_SQL} > 0
+                       THEN {_NTHE_SQL} / {_TOKENS_SQL} ELSE 0.0 END * 10.0) * 0.5, 4)
+             AS quality_score,
+         CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+              WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+              WHEN contains(' ' || text || ' ', ' que ') THEN 'es'
+              ELSE 'unk' END AS lang_guess
+  FROM corpus
+),
+surv AS (
+  SELECT * FROM gated
+  WHERE n_tokens >= {CURATE_MIN_TOKENS} AND quality_score >= {CURATE_MIN_QUALITY}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(length(lower(text)) - 4, 1) + 1),
+             i -> substring(lower(text), i, 5))) AS shingles
+  FROM surv
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles))) AS j
+  FROM sh a JOIN sh b
+    ON b.doc_id - a.doc_id IN ({CC_OFF_1}, {CC_OFF_2 - CC_OFF_1}, {CC_OFF_2})
+),
+edges AS (SELECT id_a, id_b FROM cand WHERE j >= {CC_EDGE_THRESHOLD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+clusters AS (
+  SELECT component AS rep_id, count(*) AS n_members FROM comp GROUP BY component
+),
+singles AS (
+  SELECT g.doc_id AS rep_id, CAST(1 AS BIGINT) AS n_members
+  FROM surv g WHERE g.doc_id NOT IN (SELECT node FROM nodes)
+),
+keep AS (
+  SELECT rep_id, n_members FROM clusters
+  UNION ALL
+  SELECT rep_id, n_members FROM singles
+)
+SELECT k.rep_id AS doc_id, CAST(k.n_members AS BIGINT) AS cluster_size,
+       g.n_tokens, g.quality_score, g.lang_guess
+FROM keep k JOIN surv g ON g.doc_id = k.rep_id
+""",
     "dedup_cluster_cc": f"""
 WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
 sh AS (
