@@ -262,6 +262,13 @@ class ReplicationRunner:
     # --- one run -----------------------------------------------------------
     def run_once(self, changelog: DataFrame) -> RunReport:
         cfg = self.cfg
+        if not cfg.dry_run:
+            # a compact_ledger swap interrupted mid-promote must roll
+            # forward BEFORE this run reads its resume point: resuming
+            # off a half-swapped (or transiently missing) ledger would
+            # replay history, and the later recovery would clobber the
+            # ledger rows this run appends
+            self._recover_staging(self.ledger_path + "__staging", self.ledger_path)
         start_seq = self.resume_seq()
         report = RunReport(start_seq, start_seq, dry_run=cfg.dry_run)
 

@@ -147,3 +147,42 @@ def test_runner_end_to_end_through_hadoopfs_file_uri(spark, tmp_path):
     runner.compact_table("visits", [202403], keys=["key"])
     vis = spark.read.parquet(runner.table_path("visits"))
     assert vis.groupBy("key").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_interrupted_ledger_compaction_recovers_before_next_run(spark, tmp_path):
+    """A compact_ledger swap killed between rmtree(live) and the rename
+    leaves the whole ledger staged. The NEXT run_once must roll it
+    forward before resuming — otherwise it would resume from an empty
+    ledger and a later recovery would clobber its appended rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    T0 = dt.datetime(2024, 3, 1)
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"), max_files_per_run=1)
+    )
+    rows = [
+        ("I", "visits", i % 10, i, i // 50, T0 + dt.timedelta(minutes=i), float(i), "e")
+        for i in range(100)
+    ]
+    cl = spark.createDataFrame(rows, SCHEMA)
+    runner.run_once(cl)  # file 0
+    resume = runner.resume_seq()
+    assert resume == 49
+
+    # interrupt the compaction exactly between rmtree(live) and rename:
+    # rename is the FIRST fs.rename of the whole-dir swap
+    failing = _FailNthRename(fail_on=1)
+    runner.fs = failing
+    with pytest.raises(OSError, match="injected"):
+        runner.compact_ledger()
+    assert not os.path.isdir(runner.ledger_path)  # live ledger is gone...
+    assert os.path.isdir(runner.ledger_path + "__staging")  # ...but staged
+
+    # next cron run: recovery happens inside run_once, resume point is
+    # intact, and the run consumes the NEXT file instead of replaying
+    runner.fs = LocalFS()
+    r = runner.run_once(cl)
+    assert r.start_seq == resume and r.end_seq == 99
+    assert runner.resume_seq() == 99
