@@ -58,7 +58,11 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     explode in ``minhash_signatures`` then drops such docs entirely, so
     a 100 TB corpus with millions of empty docs cannot collapse them
     into one O(n²) LSH hot bucket."""
-    t = F.lower(F.col(text_col))
+    # lower(text) materializes as a column FIRST: captured directly in
+    # the transform lambda it would re-evaluate per shingle position —
+    # O(len²) chars per doc (measured 2× on this pass at sf0.1)
+    tmp = "__m2c_lc_text"
+    t = F.col(tmp)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     shingles = F.array_distinct(
         F.filter(
@@ -66,7 +70,11 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
             lambda s: s.isNotNull() & (F.length(s) > 0),
         )
     )
-    return df.withColumn("shingles", F.coalesce(shingles, F.array()))
+    return (
+        df.withColumn(tmp, F.lower(F.col(text_col)))
+        .withColumn("shingles", F.coalesce(shingles, F.array()))
+        .drop(tmp)
+    )
 
 
 def with_hashed_shingles(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
@@ -96,7 +104,10 @@ def with_hset(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
 
     Same empty-doc policy as ``with_shingles``: null/empty text yields
     an EMPTY set, so empty docs can never share an LSH bucket."""
-    t = F.lower(F.col(text_col))
+    # same attribute-materialization as with_shingles: a lambda-captured
+    # lower(text) re-evaluates per shingle position (O(len²) per doc)
+    tmp = "__m2c_lc_text"
+    t = F.col(tmp)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n),
@@ -107,7 +118,11 @@ def with_hset(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     hset = F.when(F.length(t) > 0, F.array_distinct(hashes)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return df.withColumn("hset", F.coalesce(hset, F.array().cast("array<bigint>")))
+    return (
+        df.withColumn(tmp, F.lower(F.col(text_col)))
+        .withColumn("hset", F.coalesce(hset, F.array().cast("array<bigint>")))
+        .drop(tmp)
+    )
 
 
 def minhash_signatures(

@@ -104,12 +104,28 @@ def token_ngrams_col(tokens: Column, n: int) -> Column:
     """All ``n``-token shingles of a token array, joined with single
     spaces — the decontamination / fuzzy-match unit (GPT-3 used 13-gram
     overlap; we default to 8 at the call sites). Fewer than ``n`` tokens
-    yields an EMPTY array (such docs can't leak an n-gram)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(
+    yields an EMPTY array (such docs can't leak an n-gram).
+
+    Built as ``n - 1`` zip_with passes against shifted slices, NOT a
+    per-position ``slice`` inside a transform lambda: lambda-captured
+    expressions re-evaluate per element, so with an expression-valued
+    ``tokens`` (the common ``tokens_col(text)`` call shape) the old
+    spelling re-tokenized the document once PER GRAM — measured 11×
+    slower for 2-grams at sf0.1. zip_with arguments evaluate once; the
+    lambdas below touch only their element variables. zip_with pads the
+    shorter side with null and ``concat`` null-propagates, so the
+    trailing ``n - 1`` partial windows drop in the final filter."""
+    g = tokens
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            # length = size(tokens): "rest of the array" without risking
+            # the Int overflow of start + INT_MAX inside slice
+            F.slice(tokens, j + 1, F.greatest(F.size(tokens), F.lit(1))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    g = F.filter(g, lambda x: x.isNotNull())
+    return F.when(F.size(tokens) >= n, g).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -912,14 +912,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mn, mx = F.array_min(v), F.array_max(v)
     scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
-    codes = F.transform(
-        v, lambda x: F.floor((x - mn) / scale + F.lit(0.5)).cast("int")
+    # the per-row scalars ride into the element lambdas via a repeated
+    # struct so they are evaluated once per row — captured directly they
+    # re-evaluate their O(dim) folds per element (the unit_vec_col
+    # lesson: O(dim²) per row, and CollapseProject defeats attribute
+    # hoisting)
+    srep = F.array_repeat(F.struct(mn.alias("mn"), scale.alias("scale")), F.size(v))
+    codes = F.zip_with(
+        v, srep, lambda x, s: F.floor((x - s["mn"]) / s["scale"] + F.lit(0.5)).cast("int")
     )
-    err = F.array_max(
-        F.zip_with(
-            codes, v, lambda c, x: F.abs((c.cast("double") * scale + mn) - x)
-        )
+    dequant = F.zip_with(
+        codes, srep, lambda c, s: c.cast("double") * s["scale"] + s["mn"]
     )
+    err = F.array_max(F.zip_with(dequant, v, lambda d, x: F.abs(d - x)))
     return _emb(spark, sf_dir).select(
         "vec_id",
         F.round(mn, 4).alias("qmin"),
