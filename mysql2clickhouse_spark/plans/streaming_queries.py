@@ -299,15 +299,91 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(F.col("key") >= 0)
 
 
+def stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the INCREMENTAL near-dup index — the
+    curation×streaming composition a 100 TB pipeline actually runs: the
+    document corpus (∪ planted mutants, doc_id + 10^6) lands as 3
+    parquet files, a file stream feeds them one micro-batch each, and
+    ``foreachBatch`` runs ``MinHashIndex.add_batch`` — batch-scoped
+    signing, store-joined candidates, append-only store growth — with
+    each batch's pairs appended to a sink.
+
+    Certification row (the hash-family twin pattern):
+    (n_planted, recall_ok, stream_equals_oneshot) — the accumulated
+    sink pair set must BAG-EQUAL the one-shot ``verified_near_dups``
+    over the whole corpus (same banding/verify arithmetic, so the
+    equality is exact, not statistical), and the planted-mutant recall
+    must clear MINHASH_RECALL_BOUND. Both land as data with fixed
+    expected outcomes, so the driver value-hash certifies the streaming
+    ingest path end-to-end."""
+    import tempfile
+
+    from ..functions.minhash import verified_near_dups
+    from ..operators.neardup_index import MinHashIndex
+    from .extensions import MINHASH_RECALL_BOUND, MUT_OFFSET
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    base = scratch_dir("m2c_stream_nd_")
+    docs_dir = os.path.join(base, "docs")
+    corpus.repartition(3, "doc_id").write.mode("overwrite").parquet(docs_dir)
+
+    idx = MinHashIndex(spark, os.path.join(base, "idx"), threshold=0.7)
+    sink = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda batch, _id: idx.add_batch(batch)
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    acc = spark.read.parquet(sink).select("id_a", "id_b", "jaccard")
+    oneshot = verified_near_dups(corpus, "doc_id", threshold=0.7).select(
+        "id_a", "id_b", "jaccard"
+    )
+    equal = acc.exceptAll(oneshot).isEmpty() and oneshot.exceptAll(acc).isEmpty()
+    n_planted = d.count()
+    n_found = acc.filter(
+        (F.col("id_a") < MUT_OFFSET) & (F.col("id_b") == F.col("id_a") + MUT_OFFSET)
+    ).count()
+    return spark.createDataFrame(
+        [(n_planted, bool(n_found >= MINHASH_RECALL_BOUND * n_planted), bool(equal))],
+        "n_planted bigint, recall_ok boolean, stream_equals_oneshot boolean",
+    )
+
+
 QUERIES = {
     "stream_latest_state": stream_latest_state,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_enrich_join": stream_enrich_join,
+    "stream_neardup_index": stream_neardup_index,
 }
 
 ORACLE = {
+    # streaming incremental ingest == one-shot recompute, planted recall
+    # clears the bound: fixed expected outcomes (hash-family twin)
+    "stream_neardup_index": """
+        SELECT count(*) AS n_planted, CAST(TRUE AS BOOLEAN) AS recall_ok,
+               CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
+        FROM documents
+    """,
     # final stateful state == global argmax by seq per key; the deleted
     # flag marks keys whose latest event is a DELETE (terminal marker)
     "stream_latest_state": f"""
