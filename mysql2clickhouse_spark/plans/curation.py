@@ -518,6 +518,23 @@ def _gram_sql(toks: str, n: int) -> str:
 
 from .extensions import _NTHE_SQL, _TOKENS_SQL  # noqa: E402 — shared gate SQL
 
+
+def _cc_cand_sql(src: str) -> str:
+    """Generation-offset candidate pairs with exact Jaccard, as THREE
+    equi-join branches: the single-join spelling with
+    ``b.doc_id - a.doc_id IN (...)`` forces DuckDB into a nested-loop
+    join (measured 70 s vs 2 s at sf0.01 — 36×, identical rows)."""
+    branch = """
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles))) AS j
+  FROM {src} a JOIN {src} b ON b.doc_id = a.doc_id + {off}"""
+    return "\n  UNION ALL\n".join(
+        branch.format(src=src, off=off)
+        for off in (CC_OFF_1, CC_OFF_2 - CC_OFF_1, CC_OFF_2)
+    )
+
 ORACLE = {
     # the kept-set and its token total are the corpus_curation gate
     # semantics; layout checks are fixed expected outcomes (twin pattern)
@@ -576,12 +593,7 @@ sh AS (
   FROM surv
 ),
 cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         / (len(a.shingles) + len(b.shingles)
-            - len(list_intersect(a.shingles, b.shingles))) AS j
-  FROM sh a JOIN sh b
-    ON b.doc_id - a.doc_id IN ({CC_OFF_1}, {CC_OFF_2 - CC_OFF_1}, {CC_OFF_2})
+{_cc_cand_sql("sh")}
 ),
 edges AS (SELECT id_a, id_b FROM cand WHERE j >= {CC_EDGE_THRESHOLD}),
 sym AS (
@@ -622,12 +634,7 @@ sh AS (
   FROM corpus
 ),
 cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         / (len(a.shingles) + len(b.shingles)
-            - len(list_intersect(a.shingles, b.shingles))) AS j
-  FROM sh a JOIN sh b
-    ON b.doc_id - a.doc_id IN ({CC_OFF_1}, {CC_OFF_2 - CC_OFF_1}, {CC_OFF_2})
+{_cc_cand_sql("sh")}
 ),
 edges AS (SELECT id_a, id_b FROM cand WHERE j >= {CC_EDGE_THRESHOLD}),
 sym AS (
