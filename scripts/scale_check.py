@@ -200,7 +200,84 @@ def main() -> None:
         out[f"incidx_{tag}"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
 
-    for fam in ("minhash", "simhash", "embcos", "annlsh", "incidx"):
+    # text/quality family: TF-IDF doc-sim (posting-list join — probe side
+    # is the fixed 10 query docs, so work should grow ~k with the corpus
+    # postings, never n²) and the C4 boilerplate STRIP (corpus-frequency
+    # df table + covered-position rebuild — 3 bounded shuffles)
+    from mysql2clickhouse_spark.functions.text import token_ngrams_col, tokens_col
+
+    def tfidf_top1(d):
+        tok = d.select(
+            "doc_id",
+            F.explode(tokens_col(F.coalesce(F.col("text"), F.lit("")))).alias("token"),
+        )
+        tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+        df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        w = (
+            tf.join(df_t, "token")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "doc_id", "token",
+                (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+            )
+        )
+        norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        qa = w.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("src"), "token", F.col("w").alias("wa")
+        )
+        cb = w.select(F.col("doc_id").alias("dst"), "token", F.col("w").alias("wb"))
+        dots = (
+            qa.join(cb, "token")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        )
+        na = norms.select(F.col("doc_id").alias("src"), F.col("nrm").alias("na"))
+        nb = norms.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nb"))
+        from pyspark.sql.window import Window as W
+
+        win = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+        return (
+            dots.join(na, "src").join(nb, "dst")
+            .withColumn("sim", F.col("dot") / (F.col("na") * F.col("nb")))
+            .select("src", "dst", "sim")
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+        )
+
+    def strip_boilerplate(d):
+        toks = tokens_col(F.coalesce(F.col("text"), F.lit("")))
+        tok_rows = d.select("doc_id", F.posexplode(toks).alias("p0", "token"))
+        gram_rows = d.select(
+            "doc_id", F.posexplode(token_ngrams_col(toks, 5)).alias("g0", "gram")
+        )
+        bp = (
+            gram_rows.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= 5)
+            .select("gram")
+        )
+        covered = (
+            gram_rows.join(bp, "gram")
+            .select("doc_id", F.explode(F.sequence(F.col("g0"), F.col("g0") + 4)).alias("p0"))
+            .distinct()
+        )
+        kept = tok_rows.join(covered, ["doc_id", "p0"], "left_anti")
+        return kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
+
+    for kk, tag in ((1, "1x"), (k, "kx")):
+        d = corpus(spark, sf_dir, kk)
+        if tag == "1x":
+            run("warm", tfidf_top1(d))
+            run("warm", strip_boilerplate(d))
+            spark.catalog.clearCache()
+        out[f"tfidf_{tag}"] = run(tag, tfidf_top1(d))
+        spark.catalog.clearCache()
+        out[f"bpstrip_{tag}"] = run(tag, strip_boilerplate(d))
+        spark.catalog.clearCache()
+
+    for fam in ("minhash", "simhash", "embcos", "annlsh", "incidx", "tfidf", "bpstrip"):
         out[f"{fam}_growth"] = round(out[f"{fam}_kx"] / out[f"{fam}_1x"], 2)
     print(json.dumps(out))
 
