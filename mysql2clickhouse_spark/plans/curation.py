@@ -300,6 +300,78 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- diversity sampling: greedy k-center over embeddings --------------------
+
+KCENTER_K = 16
+
+
+def corpus_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity subset selection: greedy k-center (farthest-point
+    traversal, Gonzalez 1985) over the embedding corpus in cosine
+    distance — the "cover the semantic space with k exemplars" pass a
+    training-data pipeline runs to de-bias a subsample toward diversity
+    (the counterpart of SemDeDup, which removes the over-dense regions).
+
+    Plan: unit vectors once; the running distance-to-nearest-center is
+    a COLUMN updated per round with ONE dot against the newly chosen
+    center (k·corpus dots total — NOT k²; same discipline as the BPE trainer:
+    each round localCheckpoints, else Catalyst inlines the round-r
+    expression into every later reference and the plan goes exponential). The per-round argmax is a
+    TakeOrdered 1-row collect (control plane); ties break on vec_id so
+    the traversal is deterministic. At 100 TB the k sequential passes
+    are the honest cost of exact greedy k-center — production variants
+    run it on a uniform pre-sample; the operator takes any frame.
+
+    Certification (oracle twin pattern): greedy k-center's separation
+    invariant — each center was, at selection time, at least the
+    current covering radius from every earlier center, and radii are
+    non-increasing, so the MIN pairwise center distance must be ≥ the
+    final covering radius (the classic 2-approximation argument). Row:
+    (k, n_points, separation_ok)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from ..functions.similarity import unit_vec_col
+
+    pts = emb.select(
+        "vec_id", unit_vec_col(F.col("embedding")).alias("u")
+    ).localCheckpoint(eager=True)
+    n_points = pts.count()
+
+    def dist_to(center_vec):
+        lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        dot = F.aggregate(
+            F.zip_with(F.col("u"), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.lit(1.0) - dot
+
+    first = pts.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(first["vec_id"], list(first["u"]))]
+    state = pts.withColumn("mind", dist_to(centers[0][1])).localCheckpoint(eager=True)
+    for _ in range(KCENTER_K - 1):
+        far = (
+            state.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((far["vec_id"], list(far["u"])))
+        state = state.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(centers[-1][1]))
+        ).localCheckpoint(eager=True)
+
+    r_cov = state.agg(F.max("mind")).collect()[0][0]
+    C = np.array([c[1] for c in centers])
+    pair = 1.0 - C @ C.T
+    np.fill_diagonal(pair, np.inf)
+    min_center_dist = float(pair.min())
+    return spark.createDataFrame(
+        [(KCENTER_K, n_points, bool(min_center_dist >= r_cov - 1e-9))],
+        "k int, n_points bigint, separation_ok boolean",
+    )
+
+
 # --- stratified sampling ----------------------------------------------------
 
 def sample_uniform_col(id_col: Column) -> Column:
@@ -489,6 +561,7 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_sample_kcenter": corpus_sample_kcenter,
     "corpus_mixing_weights": corpus_mixing_weights,
     "corpus_chunk_sliding": corpus_chunk_sliding,
 }
@@ -536,6 +609,12 @@ def _cc_cand_sql(src: str) -> str:
     )
 
 ORACLE = {
+    # greedy k-center separation invariant as a fixed expected outcome
+    "corpus_sample_kcenter": f"""
+SELECT CAST({16} AS INT) AS k, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(TRUE AS BOOLEAN) AS separation_ok
+FROM embeddings
+""",
     # the kept-set and its token total are the corpus_curation gate
     # semantics; layout checks are fixed expected outcomes (twin pattern)
     "corpus_export_shards": f"""
