@@ -661,6 +661,44 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly screen over the replicated stream: each
+    (event_type, day)'s volume z-scored against that type's own daily
+    history; |z| ≥ 2 flags the day. The monitoring analytic an operator
+    runs on the target after every replication session (the engine-side
+    analog of the reference's Telegram volume alerts).
+
+    Cross-engine determinism by construction: the moments come from
+    EXACT integer sums (Σcnt, Σcnt² as BIGINT) before a single double
+    division, so Spark and DuckDB derive bit-identical means/stds —
+    no float-accumulation order to diverge on; z is rounded at 4dp.
+    Plan: two narrow aggs (daily counts, per-type moments) + one
+    broadcast join of the per-type stats back — no wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(sd > 0, (F.col("cnt") - mean) / sd).otherwise(F.lit(0.0))
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 QUERIES = {
     "q1_latest_join": q1_latest_join,
     "q1_latest_window": q1_latest_window,
@@ -686,6 +724,7 @@ QUERIES = {
     "q13_supplier_part_margin": q13_supplier_part_margin,
     "events_approx_profile": events_approx_profile,
     "events_value_percentiles": events_value_percentiles,
+    "events_daily_anomaly": events_daily_anomaly,
 }
 
 _Q1_SQL = f"""
@@ -712,6 +751,42 @@ FROM (
 """
 
 ORACLE = {
+    # identical exact-integer moments (Σcnt, Σcnt² BIGINT) then the same
+    # double arithmetic — bit-identical z on both engines
+    "events_daily_anomaly": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(SUM(cnt) AS BIGINT) AS s1,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.d, d.cnt,
+       round(CASE WHEN sqrt(greatest(
+                     CAST(s.s2 AS DOUBLE) / s.n_days
+                     - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                       * (CAST(s.s1 AS DOUBLE) / s.n_days), 0.0)) > 0
+             THEN (d.cnt - CAST(s.s1 AS DOUBLE) / s.n_days)
+                  / sqrt(greatest(
+                     CAST(s.s2 AS DOUBLE) / s.n_days
+                     - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                       * (CAST(s.s1 AS DOUBLE) / s.n_days), 0.0))
+             ELSE 0.0 END, 4) AS z,
+       (abs(CASE WHEN sqrt(greatest(
+                     CAST(s.s2 AS DOUBLE) / s.n_days
+                     - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                       * (CAST(s.s1 AS DOUBLE) / s.n_days), 0.0)) > 0
+             THEN (d.cnt - CAST(s.s1 AS DOUBLE) / s.n_days)
+                  / sqrt(greatest(
+                     CAST(s.s2 AS DOUBLE) / s.n_days
+                     - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                       * (CAST(s.s1 AS DOUBLE) / s.n_days), 0.0))
+             ELSE 0.0 END) >= 2.0) AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+""",
     "q1_latest_join": _Q1_SQL,
     "q1_latest_window": _Q1_SQL,
     "q1_latest_argmax": _Q1_ARGMAX_SQL,
