@@ -34,6 +34,10 @@ from . import corpus
 SQL_CORPUS: dict[str, str] = {
     name: corpus.ORACLE[name]
     for name in (
+        # events_daily_anomaly qualifies for the dual-dialect set: its
+        # oracle text (exact-integer moments, greatest/sqrt/abs,
+        # USING join) parses and runs unmodified on BOTH engines
+        "events_daily_anomaly",
         "q1_latest_join",
         "q1_latest_window",
         "q1_latest_argmax",
