@@ -52,10 +52,28 @@ class LocalFS:
             os.remove(path)
         else:
             shutil.rmtree(path, ignore_errors=True)
+            if os.path.exists(path):
+                # a silently-surviving path corrupts every caller that
+                # counts the delete as done (purge accounting) or renames
+                # into the spot next (swap promotion) — surface it HERE
+                raise OSError(f"rmtree failed to remove: {path}")
 
     def write_text(self, path: str, text: str) -> None:
         with open(path, "w", encoding="utf-8") as f:
             f.write(text)
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """All-or-nothing text write: temp name + fsync + rename, so a
+        reader can never observe a torn/empty file at ``path``. This is
+        the required form for COMMIT MARKERS — the journaled swaps treat
+        the marker's existence as the commit point, so a torn marker
+        written in place would read as committed-but-unparsable."""
+        tmp = path + ".__tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
 
     def read_text(self, path: str) -> str:
         with open(path, encoding="utf-8") as f:
@@ -105,7 +123,14 @@ class HadoopFS:
             raise OSError(f"hadoop rename failed: {src} -> {dst}")
 
     def rmtree(self, path: str) -> None:
-        self._fs.delete(self._p(path), True)  # recursive; false if absent
+        # Hadoop delete() signals failure by RETURN VALUE (false) on some
+        # stores; swallowing it would let a failed purge count its files
+        # as removed and a failed pre-swap delete resurface later as a
+        # confusing rename error — normalize to OSError like rename does.
+        # (false with the path already absent is the no-op case: fine.)
+        ok = self._fs.delete(self._p(path), True)  # recursive
+        if not ok and self.exists(path):
+            raise OSError(f"hadoop delete failed: {path}")
 
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._p(path), True)  # overwrite
@@ -113,6 +138,17 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Temp-name + rename commit. Atomic on HDFS; on S3-like stores
+        rename is copy+delete, but the final name still only ever holds
+        a COMPLETE object (S3 writes are all-or-nothing per object), so
+        no reader can see a torn marker either way."""
+        tmp = path + ".__tmp"
+        self.write_text(tmp, text)
+        if self.exists(path):
+            self.rmtree(path)  # HDFS rename refuses an existing dst
+        self.rename(tmp, path)
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._p(path))

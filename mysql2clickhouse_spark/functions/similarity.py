@@ -226,6 +226,76 @@ def lsh_bucketed_topk(
     )
 
 
+def greedy_kcenter_sample(
+    corpus: DataFrame,
+    k: int,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, float]:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985) over a
+    BOUNDED deterministic sample, driver-side — the same sampling
+    discipline as ``train_ivf_centroids``: the collect is capped at
+    ``sample_size`` rows via TakeOrdered on ``(hash(id), id)`` (no full
+    sort, no shuffle), so selecting the k centers costs ONE bounded
+    corpus pass at any corpus size. The exact-greedy alternative — k
+    sequential full-corpus argmax passes — is a driver-paced serial
+    loop that materializes the corpus k times; the sample-then-assign
+    form is how production pipelines run it.
+
+    Deterministic: the traversal starts at the sample's smallest id and
+    ties break on id. Returns ``(centers, r_samp)`` — (k, dim)
+    unit-norm centers and the SAMPLE covering radius (max over sample
+    points of cosine distance to their nearest center). The greedy
+    separation invariant holds on the sample: every pair of centers is
+    ≥ r_samp apart (the classic 2-approximation argument)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.pmod(F.hash("id"), F.lit(9973)), F.col("id"))
+        .limit(sample_size)
+        .collect()
+    )
+    ids = np.array([r.id for r in rows])
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    chosen = [int(np.argmin(ids))]
+    mind = 1.0 - X @ X[chosen[0]]
+    mind[chosen[0]] = -np.inf  # a chosen center can't be re-chosen
+    for _ in range(k - 1):
+        far = np.max(mind)
+        # deterministic tie-break: smallest id among the farthest points
+        cand = np.flatnonzero(mind >= far - 1e-12)
+        nxt = int(cand[np.argmin(ids[cand])])
+        chosen.append(nxt)
+        mind = np.minimum(mind, 1.0 - X @ X[nxt])
+        mind[nxt] = -np.inf
+    r_samp = float(np.max(np.where(np.isfinite(mind), mind, 0.0)))
+    return X[chosen], r_samp
+
+
+def with_min_center_distance(
+    df: DataFrame,
+    centers: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "mind",
+) -> DataFrame:
+    """Cosine distance to the nearest of ``centers`` per row — ONE BLAS
+    GEMM per Arrow batch (centers ride in the UDF closure), the same
+    justified-Python pattern as ``with_ivf_lists``. One corpus scan, no
+    shuffle, constant work per row regardless of how the centers were
+    chosen."""
+    Ct = centers.T  # (dim, k)
+
+    @pandas_udf("double")
+    def mind(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(1.0 - (m @ Ct).max(axis=1))
+
+    return df.withColumn(out_col, mind(F.col(vec_col)))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,

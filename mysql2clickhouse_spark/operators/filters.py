@@ -156,31 +156,44 @@ def split_poison(
     return valid, rejected
 
 
-def with_txn_start(df: DataFrame, marker: Column, seq_col: str = "seq") -> DataFrame:
+def with_txn_start(
+    df: DataFrame,
+    marker: Column,
+    seq_col: str = "seq",
+    partition_col: str = "file_seq",
+) -> DataFrame:
     """G1 — transaction-begin tracking.
 
     The reference remembers the position of the last ``BEGIN`` QueryEvent
     so each row's SQL is attributed to its transaction start
     (matomo2clickhouse.py:539-541). Declaratively: carry forward the last
-    marker position over the total order.
+    marker position over the per-file order — a transaction marker can
+    never cross a file boundary in the binlog model, so the window
+    partitions by ``file_seq`` and each file is an independent task.
 
-    NOTE: a window ordered over the whole changelog is a single-partition
-    sort at scale; in the streaming runner this runs per micro-batch
-    (bounded), and for batch backfills the changelog is first
-    range-partitioned by ``file_seq`` so the window runs per file with the
-    previous file's tail carried as a seed — the marker can never cross a
-    file boundary in the binlog model.
+    The partition column is REQUIRED: the old fallback (a window ordered
+    over the whole changelog when ``file_seq`` was absent) was a
+    single-partition sort — the one plan shape that cannot survive a
+    100 TB backfill, and nothing enforced the docstring's "first
+    range-partition by file_seq" promise. A file-backed frame that lost
+    the column can rebuild it from ``input_file_name()``; an in-memory
+    frame must carry its own batch/file ordering column.
     """
     from pyspark.sql.window import Window
 
-    if "file_seq" in df.columns:
-        w = (
-            Window.partitionBy("file_seq")
-            .orderBy(seq_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if partition_col not in df.columns:
+        raise ValueError(
+            f"with_txn_start requires a partition column {partition_col!r} "
+            "(the binlog file id): a global-order window would be a "
+            "single-partition sort at scale. Derive it from "
+            "input_file_name() for file-backed frames, or pass "
+            "partition_col= for a frame that tracks its files elsewhere."
         )
-    else:
-        w = Window.orderBy(seq_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return df.withColumn(
         "txn_start_pos",
         F.last(F.when(marker, F.col(seq_col)), ignorenulls=True).over(w),

@@ -193,6 +193,13 @@ class MinHashIndex:
         cands = pairs_sets[0]
         for p in pairs_sets[1:]:
             cands = cands.unionByName(p)
+        # the cross and self sets are disjoint on a clean run (store ids
+        # ∩ batch ids = ∅ after the anti-join) but OVERLAP after a crash
+        # between the bands append and the sigs append: the redelivered
+        # batch survives the sigs anti-join yet finds its own first
+        # delivery's band rows in the store, so (d1, d2) arrives from
+        # BOTH sets — without this distinct the pair verifies twice
+        cands = cands.distinct() if len(pairs_sets) > 1 else cands
 
         # signature estimate-filter, then exact verify — sides resolve
         # from store ∪ batch (store rows only ever joined, never re-derived)

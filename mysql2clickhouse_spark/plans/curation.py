@@ -303,6 +303,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- diversity sampling: greedy k-center over embeddings --------------------
 
 KCENTER_K = 16
+KCENTER_SAMPLE = 2048
 
 
 def corpus_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,63 +313,51 @@ def corpus_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs to de-bias a subsample toward diversity
     (the counterpart of SemDeDup, which removes the over-dense regions).
 
-    Plan: unit vectors once; the running distance-to-nearest-center is
-    a COLUMN updated per round with ONE dot against the newly chosen
-    center (k·corpus dots total — NOT k²; same discipline as the BPE trainer:
-    each round localCheckpoints, else Catalyst inlines the round-r
-    expression into every later reference and the plan goes exponential). The per-round argmax is a
-    TakeOrdered 1-row collect (control plane); ties break on vec_id so
-    the traversal is deterministic. At 100 TB the k sequential passes
-    are the honest cost of exact greedy k-center — production variants
-    run it on a uniform pre-sample; the operator takes any frame.
+    Scale shape (the production form): greedy selection runs on a
+    BOUNDED deterministic sample driver-side
+    (``greedy_kcenter_sample`` — the ``train_ivf_centroids`` sampling
+    discipline, one TakeOrdered pass capped at KCENTER_SAMPLE rows at
+    any corpus size), then ONE full-corpus assignment pass computes
+    every point's distance to its nearest center (a BLAS GEMM per Arrow
+    batch, no shuffle). Total: ≤ 2 corpus passes REGARDLESS of k —
+    versus the exact-greedy alternative's k sequential full-corpus
+    materializations, which at 100 TB is k corpus-wide passes held in
+    executor storage with a driver serialization point per round.
 
-    Certification (oracle twin pattern): greedy k-center's separation
-    invariant — each center was, at selection time, at least the
-    current covering radius from every earlier center, and radii are
-    non-increasing, so the MIN pairwise center distance must be ≥ the
-    final covering radius (the classic 2-approximation argument). Row:
-    (k, n_points, separation_ok)."""
+    Certification (oracle twin pattern), all three facts must hold:
+    - greedy separation invariant on the sample: every pair of chosen
+      centers is ≥ the sample covering radius apart (the classic
+      2-approximation argument) — checked driver-side in numpy;
+    - sample ⊆ corpus ⇒ the full-corpus covering radius ``r_cov`` is ≥
+      the sample radius (fp tolerance) — checked IN the returned plan;
+    - cosine distance to a unit center is ≤ 2 — bounds the GEMM output.
+    Row: (k, n_points, separation_ok)."""
     import numpy as np
 
+    from ..functions.similarity import (
+        greedy_kcenter_sample,
+        with_min_center_distance,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    from ..functions.similarity import unit_vec_col
-
-    pts = emb.select(
-        "vec_id", unit_vec_col(F.col("embedding")).alias("u")
-    ).localCheckpoint(eager=True)
-    n_points = pts.count()
-
-    def dist_to(center_vec):
-        lit = F.array(*[F.lit(float(x)) for x in center_vec])
-        dot = F.aggregate(
-            F.zip_with(F.col("u"), lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.lit(1.0) - dot
-
-    first = pts.orderBy("vec_id").limit(1).collect()[0]
-    centers = [(first["vec_id"], list(first["u"]))]
-    state = pts.withColumn("mind", dist_to(centers[0][1])).localCheckpoint(eager=True)
-    for _ in range(KCENTER_K - 1):
-        far = (
-            state.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        centers.append((far["vec_id"], list(far["u"])))
-        state = state.withColumn(
-            "mind", F.least(F.col("mind"), dist_to(centers[-1][1]))
-        ).localCheckpoint(eager=True)
-
-    r_cov = state.agg(F.max("mind")).collect()[0][0]
-    C = np.array([c[1] for c in centers])
+    C, r_samp = greedy_kcenter_sample(
+        emb, KCENTER_K, KCENTER_SAMPLE, id_col="vec_id", vec_col="embedding"
+    )
     pair = 1.0 - C @ C.T
     np.fill_diagonal(pair, np.inf)
-    min_center_dist = float(pair.min())
-    return spark.createDataFrame(
-        [(KCENTER_K, n_points, bool(min_center_dist >= r_cov - 1e-9))],
-        "k int, n_points bigint, separation_ok boolean",
+    sample_sep_ok = bool(float(pair.min()) >= r_samp - 1e-9)
+
+    # the returned frame IS the single assignment pass: one scan of the
+    # embeddings table (plan-pinned in test_plan_shapes), one agg
+    assigned = with_min_center_distance(emb, C, vec_col="embedding")
+    return assigned.agg(
+        F.lit(KCENTER_K).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_points"),
+        (
+            F.lit(sample_sep_ok)
+            & (F.max("mind") >= F.lit(r_samp - 1e-6))
+            & (F.max("mind") <= F.lit(2.0 + 1e-9))
+        ).alias("separation_ok"),
     )
 
 
@@ -523,10 +512,23 @@ def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_md5"),
         )
     )
-    w = Window.orderBy("min_id")
-    joined = manifest.join(recomputed, "shard", "inner").withColumn(
-        "next_min", F.lead("min_id").over(w)
+    # range non-overlap via a manifest-sized broadcast self-join (one
+    # row per shard — bounded), NOT a global-order lead() window: even
+    # on a bounded frame an unpartitioned Window is the plan shape the
+    # blanket lint (plancheck.py) forbids, and interval overlap is a
+    # join predicate anyway
+    m = manifest.select("shard", "min_id", "max_id")
+    overlaps = (
+        m.alias("a")
+        .join(
+            F.broadcast(m.alias("b")),
+            (F.col("a.shard") < F.col("b.shard"))
+            & (F.col("a.min_id") <= F.col("b.max_id"))
+            & (F.col("b.min_id") <= F.col("a.max_id")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
     )
+    joined = manifest.join(recomputed, "shard", "inner")
     checks = joined.agg(
         F.count(F.lit(1)).alias("n_shards"),
         F.sum("n_rows").cast("bigint").alias("m_rows"),
@@ -536,8 +538,9 @@ def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") == F.col("r_tokens"))
             & (F.col("ids_md5") == F.col("r_md5"))
             & (F.col("n_rows") <= F.lit(EXPORT_ROWS_PER_FILE))
-            & (F.col("next_min").isNull() | (F.col("max_id") < F.col("next_min")))
         ).alias("shards_ok"),
+    ).crossJoin(F.broadcast(overlaps)).withColumn(
+        "shards_ok", F.col("shards_ok") & (F.col("n_overlaps") == 0)
     )
     totals = curated.agg(
         F.count(F.lit(1)).alias("n_kept"),

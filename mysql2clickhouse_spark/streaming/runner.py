@@ -263,12 +263,12 @@ class ReplicationRunner:
     def run_once(self, changelog: DataFrame) -> RunReport:
         cfg = self.cfg
         if not cfg.dry_run:
-            # a compact_ledger swap interrupted mid-promote must roll
-            # forward BEFORE this run reads its resume point: resuming
-            # off a half-swapped (or transiently missing) ledger would
-            # replay history, and the later recovery would clobber the
-            # ledger rows this run appends
-            self._recover_staging(self.ledger_path + "__staging", self.ledger_path)
+            # roll forward EVERY interrupted swap (ledger, table
+            # compactions, file compactions, daily aggs) BEFORE this run
+            # reads its resume point or any table state: resuming off a
+            # half-swapped ledger would replay history, and reading a
+            # half-swapped table would fold against missing partitions
+            self.recover_all()
         start_seq = self.resume_seq()
         report = RunReport(start_seq, start_seq, dry_run=cfg.dry_run)
 
@@ -619,7 +619,10 @@ class ReplicationRunner:
             if self.fs.exists(os.path.join(staging, f"yyyymm={m}"))
         ]
         delete = [m for m in months if m not in promote]
-        self.fs.write_text(
+        # atomic: the marker's EXISTENCE is the commit point, so it must
+        # appear fully-written or not at all — an in-place write could
+        # leave a torn marker that recovery reads as committed garbage
+        self.fs.write_text_atomic(
             os.path.join(staging, SWAP_COMMIT_MARKER),
             json.dumps({"promote": promote, "delete": delete}),
         )
@@ -654,7 +657,7 @@ class ReplicationRunner:
     def _swap_whole(self, staging: str, path: str) -> None:
         """Whole-directory replace (unpartitioned small-dim stores),
         same journaled roll-forward contract as ``_swap_partitions``."""
-        self.fs.write_text(
+        self.fs.write_text_atomic(
             os.path.join(staging, SWAP_COMMIT_MARKER), '{"whole": true}'
         )
         self._complete_whole_swap(staging, path)
@@ -676,13 +679,75 @@ class ReplicationRunner:
         is a committed-but-interrupted swap — roll it forward so the
         recompute sees the converged table. Staging debris WITHOUT a
         marker died before its commit point and is left for the next
-        staging write to overwrite."""
-        if self.fs.exists(os.path.join(staging, SWAP_COMMIT_MARKER)):
-            self._complete_swap(staging, path)
+        staging write to overwrite.
+
+        An UNPARSABLE marker is pre-commit debris too: the atomic
+        marker write can't tear on POSIX/HDFS, but a non-atomic writer
+        (older build, exotic store) could — treating it as committed
+        would raise at every subsequent job entry and block all runs
+        until manual cleanup. Remove the torn marker; the data renames
+        had not started (they only run after a successful marker write),
+        so the live table is untouched and the staging dir is ordinary
+        debris."""
+        import json
+
+        marker = os.path.join(staging, SWAP_COMMIT_MARKER)
+        if self.fs.exists(marker):
+            try:
+                json.loads(self.fs.read_text(marker))
+            except ValueError:
+                self.fs.rmtree(marker)
+            else:
+                self._complete_swap(staging, path)
         # whole-dir swaps can also die between rename and marker removal
         marker = os.path.join(path, SWAP_COMMIT_MARKER)
         if self.fs.exists(marker):
             self.fs.rmtree(marker)
+
+    #: every staging-dir suffix any swap job uses — recover_all scans for
+    #: these; a new swap kind MUST register its suffix here
+    STAGING_SUFFIXES = ("__filecompact", "__compact", "__staging")
+
+    def recover_all(self) -> int:
+        """Roll forward EVERY committed-but-interrupted swap under the
+        target dir, not just the ledger's: a crash inside
+        ``compact_table`` (``__compact``), ``compact_small_files``
+        (``__filecompact``), or the daily agg (``__daily__staging``)
+        leaves live partitions deleted-but-not-promoted for ALL readers
+        until that same maintenance job happens to re-run — so every
+        ``run_once`` entry converges them first. Returns the number of
+        swaps rolled forward.
+
+        Cost: control-plane listings only — one listdir of the target
+        dir, one of ``tables/``, one per direct child (a namespace's
+        tables or a table's partition dirs). No data is read; at 100 TB
+        this is a few metadata RPCs per run."""
+        roots = [self.cfg.target_dir]
+        tables_root = os.path.join(self.cfg.target_dir, "tables")
+        if self.fs.is_dir(tables_root):
+            roots.append(tables_root)
+            for d in self.fs.listdir(tables_root):
+                p = os.path.join(tables_root, d)
+                # namespace level (P11) — its children are tables whose
+                # staging dirs live beside them
+                if self.fs.is_dir(p) and not d.endswith(self.STAGING_SUFFIXES):
+                    roots.append(p)
+        recovered = 0
+        for root in roots:
+            if not self.fs.is_dir(root):
+                continue  # first run: nothing written yet
+            for d in self.fs.listdir(root):
+                for suf in self.STAGING_SUFFIXES:
+                    if d.endswith(suf):
+                        staging = os.path.join(root, d)
+                        base = os.path.join(root, d[: -len(suf)])
+                        if self.fs.exists(
+                            os.path.join(staging, SWAP_COMMIT_MARKER)
+                        ):
+                            self._recover_staging(staging, base)
+                            recovered += 1
+                        break  # longest-suffix match only
+        return recovered
 
     def _write_ledger(self, batch: DataFrame) -> None:
         """S5 — one ledger row per (table, file) slice; dateid := the

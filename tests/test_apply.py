@@ -141,11 +141,23 @@ def test_with_dateid_strictly_increasing_per_key(changelog):
 
 def test_txn_attribution_carries_last_marker(spark):
     df = spark.createDataFrame(
-        [(1, "B"), (2, "x"), (3, "x"), (4, "B"), (5, "x")], "seq bigint, kind string"
+        [(1, "B", 0), (2, "x", 0), (3, "x", 0), (4, "B", 1), (5, "x", 1)],
+        "seq bigint, kind string, file_seq bigint",
     )
     out = with_txn_start(df, marker=F.col("kind") == "B")
     got = {r.seq: r.txn_start_pos for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_txn_attribution_requires_partition_column(spark):
+    """No silent single-partition global window: a frame without the
+    binlog file column must fail fast, not degrade to the one plan
+    shape that can't survive a 100 TB backfill."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "B")], "seq bigint, kind string")
+    with pytest.raises(ValueError, match="file_seq"):
+        with_txn_start(df, marker=F.col("kind") == "B")
 
 
 def test_normalize_values_set_and_binary(spark):

@@ -1,0 +1,262 @@
+"""Fault-injection matrix across the commit seam: fault point × store.
+
+The reference documents its duplicate window as "crash between the data
+write and the checkpoint write" (doc_old_duplicates.md:6-10) — replays
+re-apply the slice and dedup-at-read absorbs it. This matrix drives
+that contract through EVERY store kind the engine maintains:
+
+| fault point                              | store                     |
+|------------------------------------------|---------------------------|
+| after data writes, before ledger write   | append (versioned) table  |
+| after data writes, before ledger write   | mutate (folded) table     |
+| mid partition-swap rename                | compaction (__compact)    |
+| mid whole-dir swap rename                | daily agg (__daily)       |
+| torn commit marker (non-atomic writer)   | any staging dir           |
+| between bands append and sigs append     | incremental neardup index |
+
+plus the recover_all sweep: a run_once entry must converge interrupted
+swaps of OTHER jobs (compaction, daily agg), not just the ledger's.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.fs import HadoopFS, LocalFS
+from mysql2clickhouse_spark.operators.apply import latest_by_key
+from mysql2clickhouse_spark.streaming.runner import (
+    ReplicationRunner,
+    RunConfig,
+    SWAP_COMMIT_MARKER,
+)
+
+T0 = dt.datetime(2024, 3, 1)
+SCHEMA = (
+    "op string, table_name string, key bigint, seq bigint, file_seq bigint,"
+    " ts timestamp, value double, event_type string"
+)
+
+
+def mk_changelog(spark, n=120, files=2):
+    rows = []
+    for i in range(n):
+        key = i % 8
+        op = "I" if i % 5 in (0, 1) else ("U" if i % 5 in (2, 3) else "D")
+        tbl = "visits" if key % 2 == 0 else "events_state"
+        rows.append(
+            (op, tbl, key, i, i // (n // files), T0 + dt.timedelta(minutes=i), float(i), "e")
+        )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+class _FailNthRename(LocalFS):
+    def __init__(self, fail_on: int):
+        self.calls = 0
+        self.fail_on = fail_on
+
+    def rename(self, src: str, dst: str) -> None:
+        self.calls += 1
+        if self.calls == self.fail_on:
+            raise OSError(f"injected rename failure #{self.calls}: {src}")
+        super().rename(src, dst)
+
+
+def _latest(spark, path):
+    df = spark.read.parquet(path)
+    if "dateid" in df.columns:  # append store: dedup-at-read
+        df = latest_by_key(df, ["key"], "dateid")
+    # mutate store: the stored state IS the latest state
+    return {(r["key"], r["value"]) for r in df.collect()}
+
+
+# --- fault: crash between data writes and ledger write ----------------------
+
+@pytest.mark.parametrize("table", ["visits", "events_state"])
+def test_crash_before_ledger_write_replays_and_converges(spark, tmp_path, table):
+    """Kill the run AFTER the per-table applies, BEFORE the ledger row
+    lands (the reference's documented duplicate window). The replay
+    re-applies the same slice; dedup-at-read (append tables) and the
+    idempotent fold (mutate tables) must both converge to the clean-run
+    state, and the resume point must advance only once the ledger lands.
+
+    `visits` exercises the append path, `events_state` the mutate path
+    (per the default REGISTRY policies used by mk_changelog)."""
+    cl = mk_changelog(spark)
+
+    clean = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "clean")))
+    clean.run_once(cl)
+    expected = _latest(spark, clean.table_path(table))
+
+    crashy = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    orig = crashy._write_ledger
+
+    def exploding_ledger(batch):
+        raise OSError("injected crash before ledger write")
+
+    crashy._write_ledger = exploding_ledger
+    with pytest.raises(OSError, match="injected"):
+        crashy.run_once(cl)
+    # data landed, checkpoint didn't: resume point is pre-run
+    assert crashy.resume_seq() is None
+
+    # replay: same changelog, healthy ledger — the whole slice re-applies
+    crashy._write_ledger = orig
+    r = crashy.run_once(cl)
+    assert r.rows_applied > 0
+    assert crashy.resume_seq() == 119
+    assert _latest(spark, crashy.table_path(table)) == expected
+
+
+# --- fault: recover_all sweeps other jobs' interrupted swaps ----------------
+
+def test_run_once_recovers_interrupted_compaction_and_daily_agg(spark, tmp_path):
+    """A compaction (__compact) or daily-agg (__daily__staging) swap
+    interrupted mid-promote leaves live partitions deleted-but-not-
+    promoted. The NEXT run_once — not the same maintenance job — must
+    roll both forward before reading any state."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    path = runner.table_path("visits")
+    expected_latest = _latest(spark, path)
+    runner.refresh_daily_aggregate("visits", [202403])
+    agg_path = path + "__daily"
+    agg_before = {
+        (r["day"], r["n_rows"]) for r in spark.read.parquet(agg_path).collect()
+    }
+
+    # interrupt the daily-agg refresh mid-promote (first rename after
+    # the committed marker write); this one first — it reads the live
+    # table, which the compaction fault below transiently empties
+    runner.fs = _FailNthRename(fail_on=1)
+    with pytest.raises(OSError, match="injected"):
+        runner.refresh_daily_aggregate("visits", [202403])
+    assert SWAP_COMMIT_MARKER in os.listdir(agg_path + "__staging")
+
+    # interrupt a compaction swap the same way
+    runner.fs = _FailNthRename(fail_on=1)
+    with pytest.raises(OSError, match="injected"):
+        runner.compact_table("visits", [202403], keys=["key"])
+    assert SWAP_COMMIT_MARKER in os.listdir(path + "__compact")
+
+    # a plain replication run converges BOTH interrupted swaps at entry
+    runner.fs = LocalFS()
+    runner.run_once(cl)
+    assert not os.path.exists(path + "__compact")
+    assert not os.path.exists(agg_path + "__staging")
+    # compaction rolled forward: latest rows survive, duplicates gone
+    live = spark.read.parquet(path)
+    assert _latest(spark, path) == expected_latest
+    assert live.groupBy("key").count().filter(F.col("count") > 1).count() == 0
+    # the agg store is whole again (same days; the interrupted refresh
+    # recomputed the same months, so the values are unchanged)
+    agg_after = {
+        (r["day"], r["n_rows"]) for r in spark.read.parquet(agg_path).collect()
+    }
+    assert agg_after == agg_before
+
+
+# --- fault: torn commit marker ----------------------------------------------
+
+def test_torn_commit_marker_is_treated_as_precommit_debris(spark, tmp_path):
+    """A torn/empty _SWAP_COMMIT (non-atomic writer on an exotic store)
+    must read as PRE-commit debris — not raise at every subsequent run
+    entry until manual cleanup. The data renames only start after a
+    successful marker write, so the live table is untouched by
+    construction; recovery just drops the marker."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    path = runner.table_path("visits")
+    before = {r["seq"] for r in spark.read.parquet(path).collect()}
+
+    staging = path + "__compact"
+    os.makedirs(staging)
+    with open(os.path.join(staging, SWAP_COMMIT_MARKER), "w") as f:
+        f.write('{"promote": [202403')  # torn mid-write
+
+    # next run: no raise, marker gone, live table untouched
+    runner.run_once(cl)
+    assert not os.path.exists(os.path.join(staging, SWAP_COMMIT_MARKER))
+    assert {r["seq"] for r in spark.read.parquet(path).collect()} == before
+
+    # the stale (marker-less) staging dir is ordinary debris the next
+    # compaction overwrites
+    runner.compact_table("visits", [202403], keys=["key"])
+    assert not os.path.exists(staging)
+
+
+def test_write_text_atomic_never_leaves_partial_file(spark, tmp_path):
+    """Both fs impls: the final name appears complete-or-not-at-all and
+    the temp name never survives."""
+    for fs in (LocalFS(), HadoopFS(spark, f"file://{tmp_path}")):
+        target = str(tmp_path / f"marker_{type(fs).__name__}")
+        fs.write_text_atomic(target, '{"promote": [1, 2]}')
+        assert fs.read_text(target) == '{"promote": [1, 2]}'
+        assert not fs.exists(target + ".__tmp")
+        # overwrite path (HDFS rename refuses existing dst — must still work)
+        fs.write_text_atomic(target, '{"whole": true}')
+        assert fs.read_text(target) == '{"whole": true}'
+
+
+def test_local_rmtree_failure_raises(tmp_path, monkeypatch):
+    """A silently-surviving path must raise, not return: purge counts
+    deleted files and swaps rename into the freed spot."""
+    import shutil
+
+    d = tmp_path / "stubborn"
+    d.mkdir()
+    (d / "x").write_text("data")
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    with pytest.raises(OSError, match="rmtree failed"):
+        LocalFS().rmtree(str(d))
+
+
+# --- fault: neardup index crash between bands and sigs append ---------------
+
+def test_neardup_crash_between_bands_and_sigs_append(spark, tmp_path):
+    """Kill add_batch AFTER the bands append, BEFORE the sigs append —
+    the index's analog of the data-write/ledger-write window. The
+    redelivered batch survives the sigs anti-join but finds its own
+    first delivery's band rows in the store; the pair output must still
+    equal the one-shot result (no duplicated pairs) and the sigs store
+    must hold each doc exactly once."""
+    from mysql2clickhouse_spark.functions.minhash import verified_near_dups
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    base = "the quick brown fox jumps over the lazy dog wearing suit number"
+    docs = [(i, f"{base} {i} variant") for i in range(40)]
+    # plant near-dup pairs inside the batch
+    docs += [(1000 + i, f"{base} {i} variant!") for i in range(0, 40, 5)]
+    batch = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    one_shot = verified_near_dups(batch).select("id_a", "id_b", "jaccard")
+
+    # Reproduce the crash state directly: the bands append completed,
+    # the sigs append never ran — byte-identical on disk to killing
+    # add_batch between its two appends (bands-then-sigs write order is
+    # pinned in add_batch's docstring).
+    idx2 = MinHashIndex(spark, str(tmp_path / "idx3"))
+    tables = idx2._batch_tables(batch)
+    idx2._band_rows(
+        tables.filter(F.col("minhash").isNotNull()).select("doc_id", "minhash")
+    ).write.mode("append").partitionBy("band_idx").parquet(idx2.bands_path)
+    assert os.path.isdir(idx2.bands_path) and not os.path.isdir(idx2.sigs_path)
+
+    # redelivery of the SAME batch against the half-written store
+    pairs = idx2.add_batch(batch)
+    assert idx2.pairs_equal(one_shot, pairs), (
+        "redelivered batch must produce exactly the one-shot pair set "
+        "(no duplicates from its own first-delivery band rows)"
+    )
+    sigs = spark.read.parquet(idx2.sigs_path)
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
+
+    # and a SECOND redelivery (full crash replay) appends nothing
+    again = idx2.add_batch(batch)
+    assert again.count() == 0
+    assert spark.read.parquet(idx2.sigs_path).count() == sigs.count()

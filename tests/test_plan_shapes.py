@@ -255,6 +255,61 @@ def test_q13_broadcasts_every_dim_no_fact_shuffle(spark, sf_dir, queries):
     assert "SortMergeJoin" not in plan
 
 
+def test_unpartitioned_window_detector(spark):
+    """The plan lint itself: flags a global-order window — INCLUDING
+    the constant-key spelling, which the optimizer folds back to an
+    empty spec — and passes a genuinely partitioned one."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mysql2clickhouse_spark.plans.plancheck import unpartitioned_windows
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    w_global = Window.orderBy("id")
+    w_part = Window.partitionBy("g").orderBy("id")
+    w_const = Window.partitionBy(F.lit(0)).orderBy("id")
+    assert unpartitioned_windows(df.withColumn("r", F.row_number().over(w_global)))
+    assert not unpartitioned_windows(df.withColumn("r", F.row_number().over(w_part)))
+    # a foldable partition key is NOT an escape hatch
+    assert unpartitioned_windows(df.withColumn("r", F.row_number().over(w_const)))
+
+
+def test_no_unpartitioned_window_in_headline_window_queries(spark, sf_dir, queries):
+    """Blanket scale pin for the window family (the FULL extended
+    registry is linted by scripts/check_parity.py on every parity run;
+    these are the headline members, kept in pytest so a regression
+    fails fast)."""
+    from mysql2clickhouse_spark.plans.plancheck import unpartitioned_windows
+
+    for name in (
+        "q1_latest_window",
+        "q3_dedup_window",
+        "events_sessionize",
+        "corpus_pack_sequences",
+        "cdc_txn_attribution",
+        "corpus_export_shards",
+    ):
+        bad = unpartitioned_windows(queries[name](spark, sf_dir))
+        assert not bad, f"{name}: {bad}"
+
+
+def test_kcenter_is_one_scan_one_agg(spark, sf_dir, queries):
+    """Sample-then-assign k-center: the RETURNED plan is one
+    column-pruned scan of the embeddings table feeding one Arrow GEMM
+    and a two-phase aggregate — no Window, no join, no checkpointed
+    RDD. With the bounded sample collect at build time, that is ≤ 2
+    corpus passes REGARDLESS of k (the old exact-greedy form
+    materialized the corpus k times)."""
+    df = queries["corpus_sample_kcenter"](spark, sf_dir)
+    plan = plan_of(spark, df)
+    assert plan.count("Scan parquet  (") == 1, plan[:1500]  # tree node
+    assert "ReadSchema: struct<embedding" in plan  # column-pruned scan
+    assert plan.count("ArrowEvalPython (") == 1   # the one GEMM pass
+    assert plan.count("HashAggregate (") == 2     # partial + final
+    assert "Window" not in plan and "Join" not in plan
+    assert "ExistingRDD" not in plan              # no localCheckpoint loop
+
+
 def test_session_window_is_single_shuffle_no_window_node(spark, sf_dir, queries):
     plan = plan_of(spark, queries["events_session_window"](spark, sf_dir))
     # native session_window: partial agg + MergingSessions inside the
