@@ -22,10 +22,55 @@ P(sig_i equal) = Jaccard(A, B).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..session import release_cache, rotate_cache
+
+log = logging.getLogger("mysql2clickhouse_spark.lsh")
+
+#: bucket-size cap for banded self-joins: a (band_idx, band_hash) bucket
+#: of n docs contributes n(n-1)/2 candidate pairs, so ONE pathological
+#: bucket (mass-duplicated boilerplate that slipped past exact dedup,
+#: an adversarial corpus) re-creates the O(n²) blowup LSH exists to
+#: avoid — concentrated in a single task. 4096 docs ⇒ ≤ ~8.4M pairs per
+#: bucket, bounded task skew at any corpus size.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def _quarantine_hot_buckets(
+    exploded: DataFrame, keys: list[str], max_bucket_size: int, label: str
+) -> DataFrame:
+    """Drop bucket-membership rows belonging to buckets with more than
+    ``max_bucket_size`` members, WITH A LOGGED DROP COUNT — never a
+    silent cap (mirrors the empty-doc guard's no-silent-collapse
+    policy). The hot-bucket detection is one aggregate over the
+    (already bucket-keyed) membership frame; when no bucket exceeds the
+    cap — every non-adversarial corpus — the returned plan is unchanged.
+
+    What quarantine MEANS: pairs inside a quarantined bucket are not
+    mined by this banding pass. That is the correct degradation — a
+    bucket that large is either (a) near-identical boilerplate, which
+    exact/content-hash dedup upstream already collapses, or (b) a hash
+    pathology, where emitting n²/2 candidates would stall the job
+    without producing useful near-dup structure. The log line names the
+    bucket count and the cap so an operator can route the quarantined
+    mass to the exact-dedup path instead."""
+    sizes = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    hot = sizes.filter(F.col("__bn") > max_bucket_size).select(*keys)
+    n_hot = hot.count()  # tiny control-plane job (bucket keys only)
+    if not n_hot:
+        return exploded
+    log.warning(
+        "%s: quarantining %d LSH bucket(s) larger than %d members from "
+        "pair mining (route their members through exact dedup)",
+        label,
+        n_hot,
+        max_bucket_size,
+    )
+    return exploded.join(F.broadcast(hot), keys, "left_anti")
 
 # Mersenne prime 2^31-1: with 31-bit shingle hashes, h*a + b < 2^62 —
 # stays inside BIGINT so the whole permutation family runs as native
@@ -50,6 +95,17 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _scratch_col(df: DataFrame, base: str = "__m2c_lc_text") -> str:
+    """Collision-safe scratch-column name: a caller frame that already
+    carries ``__m2c_lc_text`` must not have it silently overwritten and
+    dropped by the shingle pass."""
+    name, i = base, 0
+    while name in df.columns:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Character k-shingle set, lower-cased, distinct. One pass, JVM-side:
     sequence → transform(substring) → array_distinct.
@@ -61,7 +117,7 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     # lower(text) materializes as a column FIRST: captured directly in
     # the transform lambda it would re-evaluate per shingle position —
     # O(len²) chars per doc (measured 2× on this pass at sf0.1)
-    tmp = "__m2c_lc_text"
+    tmp = _scratch_col(df)
     t = F.col(tmp)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     shingles = F.array_distinct(
@@ -106,7 +162,7 @@ def with_hset(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     an EMPTY set, so empty docs can never share an LSH bucket."""
     # same attribute-materialization as with_shingles: a lambda-captured
     # lower(text) re-evaluates per shingle position (O(len²) per doc)
-    tmp = "__m2c_lc_text"
+    tmp = _scratch_col(df)
     t = F.col(tmp)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     hashes = F.transform(
@@ -185,17 +241,26 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: bucket on (band_idx, hash(band slice)), self-join
     buckets for candidate pairs (id_a < id_b), distinct. The only
-    corpus-wide shuffle in the pipeline; skewed (too-common) buckets are
-    AQE-splittable, or cap them upstream for adversarial corpora."""
+    corpus-wide shuffle in the pipeline. Buckets larger than
+    ``max_bucket_size`` are quarantined with a logged drop count
+    (``_quarantine_hot_buckets``) — AQE can split a skewed shuffle
+    partition but not the n²/2 pair fan-out a single pathological
+    bucket emits; pass ``None`` to disable the guard."""
     exploded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[F.slice("minhash", i * rows + 1, rows) for i in range(bands)])
         ).alias("band_idx", "band"),
     ).select(id_col, "band_idx", F.hash("band").alias("band_hash"))
+    if max_bucket_size is not None:
+        exploded = _quarantine_hot_buckets(
+            exploded, ["band_idx", "band_hash"], max_bucket_size,
+            "minhash.lsh_candidate_pairs",
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -390,6 +455,7 @@ def simhash_near_dups(
     sim_col: str = "simhash",
     n_blocks: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash pair-finding via block banding (Manku/Jain/Sarma WWW'07,
     their production parameters: 64-bit fingerprint, hamming ≤ 3): split
@@ -423,6 +489,12 @@ def simhash_near_dups(
     base.count()
     rotate_cache("minhash.simhash_near_dups", base)
     e = base.select(id_col, F.posexplode("blk").alias("b_idx", "b_val"))
+    if max_bucket_size is not None:
+        # same hot-bucket quarantine as the minhash banding: one 16-bit
+        # block shared by n docs emits n²/2 candidates in one task
+        e = _quarantine_hot_buckets(
+            e, ["b_idx", "b_val"], max_bucket_size, "minhash.simhash_near_dups"
+        )
     a = e.alias("a")
     b = e.alias("b")
     cands = (

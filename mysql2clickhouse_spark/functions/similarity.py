@@ -189,6 +189,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN: exact rerank restricted to candidates sharing an LSH bucket
     with the query in at least one table. The candidate set is deduped
@@ -197,9 +198,24 @@ def lsh_bucketed_topk(
     At scale: the corpus-side bucket pass is a scan (+1 shuffle on the
     bucket join key); candidate fan-out is n_tables × bucket size, far
     below the |corpus| × |queries| brute-force product.
+
+    Hot-bucket guard: a degenerate (tbl, bucket) holding a huge slice
+    of the corpus (near-constant embeddings, adversarial inputs) turns
+    every query probing it into a near-brute-force rerank concentrated
+    in one join task. Corpus buckets larger than ``max_bucket_size``
+    are quarantined with a logged drop count (the multi-table scheme
+    keeps recall: the same vectors stay reachable through their other
+    n_tables-1 buckets); ``None`` disables.
     """
+    from .minhash import DEFAULT_MAX_BUCKET, _quarantine_hot_buckets
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET
     cb = with_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col, seed).select(
         F.col(id_col).alias("cid"), "tbl", "bucket"
+    )
+    cb = _quarantine_hot_buckets(
+        cb, ["tbl", "bucket"], max_bucket_size, "similarity.lsh_bucketed_topk"
     )
     qb = with_lsh_buckets(queries, dim, n_planes, n_tables, vec_col, seed).select(
         F.col(id_col).alias("qid"), "tbl", "bucket"

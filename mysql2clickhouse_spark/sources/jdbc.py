@@ -132,7 +132,28 @@ def jdbc_write(
     """S4 — batched JDBC append. ``batchsize`` is the engine twin of the
     reference's 2000-rows-per-INSERT batching (its measured ~12× win
     over row-at-a-time, matomo2clickhouse.py:43-44); ``coalesce`` bounds
-    concurrent connections against the target."""
+    concurrent connections against the target.
+
+    ClickHouse preset caveat: the dialect default supplies
+    ``createTableOptions = 'ENGINE = MergeTree() ORDER BY tuple()'`` so
+    a FIRST write against a missing table succeeds at all — but
+    ``ORDER BY tuple()`` means NO ordering key, a poor layout for query
+    performance on a real table. It is a first-write fallback, not a
+    recommendation: production tables should pre-exist with an explicit
+    ORDER BY, or the caller should pass its own ``createTableOptions``.
+    A log line fires whenever the fallback is in effect so the default
+    can't apply silently."""
+    merged = _merged(url, "write", options)
+    if merged.get("createTableOptions", "").endswith("ORDER BY tuple()"):
+        import logging
+
+        logging.getLogger("mysql2clickhouse_spark.jdbc").info(
+            "jdbc_write %s: dialect-preset createTableOptions %r applies "
+            "if the table is auto-created — supply an explicit ORDER BY "
+            "for real tables",
+            table,
+            merged["createTableOptions"],
+        )
     writer = (
         df.coalesce(max_partitions)
         .write.format("jdbc")
@@ -141,6 +162,6 @@ def jdbc_write(
         .option("dbtable", table)
         .option("batchsize", str(batch_size))
     )
-    for k, v in _merged(url, "write", options).items():
+    for k, v in merged.items():
         writer = writer.option(k, v)
     return writer

@@ -242,3 +242,84 @@ def test_ivfpq_ann_recall_and_store_shape(spark, sf_dir):
         by_q.setdefault(r.qid, []).append(r.rk)
     assert set(by_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_hot_bucket_guard_quarantines_and_logs(spark, caplog):
+    """Planted pathological corpus: 60 identical docs collapse every
+    band into ONE bucket (60*59/2 = 1770 pairs per band without the
+    guard). With the cap set below the clone count the guard must (a)
+    log the quarantine with a drop count, (b) keep the clone pairs out
+    of the candidate set (bounded task skew), and (c) leave ordinary
+    near-dup pairs untouched."""
+    import logging
+
+    from mysql2clickhouse_spark.functions.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_hset,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog in suit number"
+    rows = [(i, f"{base} {i} variant") for i in range(20)]
+    rows += [(1000 + i, f"{base} {i} variant!") for i in range(5)]  # near-dups
+    rows += [(5000 + i, "identical boilerplate " * 8) for i in range(60)]  # hot
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(with_hset(docs, "text", 5))
+
+    with caplog.at_level(logging.WARNING, "mysql2clickhouse_spark.lsh"):
+        cands = lsh_candidate_pairs(sigs, max_bucket_size=30).collect()
+    assert any("quarantining" in r.message for r in caplog.records)
+    pairs = {(r.id_a, r.id_b) for r in cands}
+    # no pair between two clones survives (the n^2 bucket is gone) ...
+    assert not any(a >= 5000 and b >= 5000 for a, b in pairs)
+    # ... while the planted ordinary near-dups still surface
+    assert {(i, 1000 + i) for i in range(5)} <= pairs
+
+    # guard disabled: the clone pairs come back (59 * 60 / 2 of them)
+    cands_off = lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
+    clone_pairs = {
+        (r.id_a, r.id_b)
+        for r in cands_off
+        if r.id_a >= 5000 and r.id_b >= 5000
+    }
+    assert len(clone_pairs) == 60 * 59 // 2
+
+    # default cap (4096) leaves this corpus untouched: no log, same pairs
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "mysql2clickhouse_spark.lsh"):
+        cands_default = lsh_candidate_pairs(sigs).collect()
+    assert not caplog.records
+    assert {(r.id_a, r.id_b) for r in cands_default} == {
+        (r.id_a, r.id_b) for r in cands_off
+    }
+
+
+def test_simhash_hot_bucket_guard(spark, caplog):
+    """Same guard on the simhash block banding: identical fingerprints
+    share all four blocks; capping quarantines them with a log line."""
+    import logging
+
+    from mysql2clickhouse_spark.functions.minhash import with_simhash
+
+    rows = [(i, "constant text for everyone " * 4) for i in range(50)]
+    rows += [(1000 + i, f"distinct words here alpha beta {i} gamma delta") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = with_simhash(docs, "text", attach=False)
+    with caplog.at_level(logging.WARNING, "mysql2clickhouse_spark.lsh"):
+        pairs = simhash_near_dups(sh, max_bucket_size=20).collect()
+    assert any("quarantining" in r.message for r in caplog.records)
+    assert not any(r.id_a < 1000 and r.id_b < 1000 for r in pairs)
+
+
+def test_shingle_scratch_column_survives_collision(spark):
+    """A frame already carrying __m2c_lc_text keeps it through the
+    shingle/hset passes (the scratch name derives uniquely)."""
+    from mysql2clickhouse_spark.functions.minhash import with_hset, with_shingles
+
+    df = spark.createDataFrame(
+        [(1, "some text here", "keep me")],
+        "doc_id bigint, text string, __m2c_lc_text string",
+    )
+    for out in (with_shingles(df, "text"), with_hset(df, "text")):
+        row = out.collect()[0]
+        assert row["__m2c_lc_text"] == "keep me"
