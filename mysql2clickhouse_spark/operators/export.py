@@ -70,37 +70,13 @@ def curated_docs(
     )
 
 
-def export_shards(
-    spark: SparkSession,
-    curated: DataFrame,
-    out_dir: str,
-    rows_per_file: int = 500_000,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Write ``curated`` as contiguous-id shards under ``out_dir/data``
-    and a per-shard manifest under ``out_dir/manifest``. Returns the
-    manifest DataFrame (shard, n_rows, n_tokens, min_id, max_id,
-    ids_md5).
-
-    The shard count derives from an upper row bound carried by ONE
-    count of the curated frame (bounded work — the frame is the gated
-    output, already smaller than the corpus); file sizes are enforced
-    by ``maxRecordsPerFile`` regardless."""
-    import math
-
-    n = curated.count()
-    nfiles = max(1, math.ceil(n / rows_per_file))
-    data_dir = os.path.join(out_dir, "data")
-    (
-        curated.repartitionByRange(nfiles, id_col)
-        .sortWithinPartitions(id_col)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", rows_per_file)
-        .parquet(data_dir)
-    )
-    manifest = (
-        spark.read.parquet(data_dir)
-        .select(
+def manifest_over(data: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest derived from ONE read-back scan of written
+    files: counts, token sums, id ranges, and an order-insensitive id
+    digest keyed by ``input_file_name()`` — format-agnostic (any source
+    Spark can read back gets the same certification)."""
+    return (
+        data.select(
             F.input_file_name().alias("shard"),
             F.col(id_col),
             F.col("n_tokens"),
@@ -116,7 +92,78 @@ def export_shards(
             ).alias("ids_md5"),
         )
     )
+
+
+def _export(
+    spark: SparkSession,
+    curated: DataFrame,
+    out_dir: str,
+    rows_per_file: int,
+    id_col: str,
+    fmt: str,
+) -> DataFrame:
+    """Shared write path: contiguous-id shards + read-back-derived
+    manifest; ``fmt`` picks parquet or gzip JSON-Lines."""
+    import math
+
+    n = curated.count()
+    nfiles = max(1, math.ceil(n / rows_per_file))
+    data_dir = os.path.join(out_dir, "data")
+    writer = (
+        curated.repartitionByRange(nfiles, id_col)
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+    )
+    if fmt == "jsonl":
+        writer.option("compression", "gzip").json(data_dir)
+        # read back with the WRITER's schema: JSON carries no types, and
+        # an inferred schema could silently widen/reorder columns
+        data = spark.read.schema(curated.schema).json(data_dir)
+    else:
+        writer.parquet(data_dir)
+        data = spark.read.parquet(data_dir)
+    manifest = manifest_over(data, id_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "manifest")
     )
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def export_shards(
+    spark: SparkSession,
+    curated: DataFrame,
+    out_dir: str,
+    rows_per_file: int = 500_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write ``curated`` as contiguous-id parquet shards under
+    ``out_dir/data`` and a per-shard manifest under ``out_dir/manifest``.
+    Returns the manifest DataFrame (shard, n_rows, n_tokens, min_id,
+    max_id, ids_md5).
+
+    The shard count derives from an upper row bound carried by ONE
+    count of the curated frame (bounded work — the frame is the gated
+    output, already smaller than the corpus); file sizes are enforced
+    by ``maxRecordsPerFile`` regardless."""
+    return _export(spark, curated, out_dir, rows_per_file, id_col, "parquet")
+
+
+def export_shards_jsonl(
+    spark: SparkSession,
+    curated: DataFrame,
+    out_dir: str,
+    rows_per_file: int = 500_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Same contiguous-id shard layout + certified manifest, written as
+    gzip-compressed JSON-Lines — the wire format most LLM training
+    stacks ingest directly (one JSON object per line, one ``.json.gz``
+    per shard; a WebDataset-style consumer tars the shard directory
+    as-is). Same manifest schema as the parquet path, so the trainer's
+    resume/verify logic is format-agnostic.
+
+    Scale note: gzip is NOT splittable — one shard = one read task —
+    which is exactly why the layout bounds rows per file; size
+    ``rows_per_file`` so a shard decompresses in one worker's memory."""
+    return _export(spark, curated, out_dir, rows_per_file, id_col, "jsonl")

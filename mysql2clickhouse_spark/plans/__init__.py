@@ -92,7 +92,8 @@ CORE_QUERY_KEYS = (
     "corpus_curation",
     "corpus_decontaminate",
     "corpus_pack_sequences",
-    "corpus_export_shards",
+    "corpus_export_suite",       # suite: parquet + jsonl.gz export certs
+                                 # (replaced corpus_export_shards, r4)
     # --- structured streaming ---
     "stream_latest_state",
     "stream_windowed_counts",

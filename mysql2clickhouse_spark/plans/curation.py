@@ -479,28 +479,26 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXPORT_ROWS_PER_FILE = 200  # small on purpose: forces a multi-shard layout
 
 
-def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Terminal curation stage (operators/export.py): gate → dedup →
-    contiguous-id shards + manifest. Emits the certification row:
-
-    - ``n_kept`` / ``total_tokens`` — DuckDB recomputes both from the
-      same gate semantics as ``corpus_curation``;
-    - ``manifest_consistent`` — manifest row/token sums equal the data,
-      shard id ranges are NON-OVERLAPPING (contiguous layout holds),
-      every shard respects the size bound, and every per-shard id
-      digest matches a recomputation from the data read-back.
-    """
-    from ..operators.export import curated_docs, export_shards
+def _certify_export(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared export certification for both shard formats: gate → dedup
+    → write → read the files BACK and prove the manifest against them.
+    See ``corpus_export_shards`` for the certified facts."""
+    from ..operators.export import curated_docs, export_shards, export_shards_jsonl
     from ..session import scratch_dir
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     curated = curated_docs(d)
     out = scratch_dir("m2c_shards_")
-    manifest = export_shards(
-        spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
-    )
-
-    data = spark.read.parquet(out + "/data")
+    if fmt == "jsonl":
+        manifest = export_shards_jsonl(
+            spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
+        )
+        data = spark.read.schema(curated.schema).json(out + "/data")
+    else:
+        manifest = export_shards(
+            spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
+        )
+        data = spark.read.parquet(out + "/data")
     recomputed = (
         data.select(F.input_file_name().alias("shard"), "doc_id", "n_tokens")
         .groupBy("shard")
@@ -557,10 +555,36 @@ def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal curation stage (operators/export.py): gate → dedup →
+    contiguous-id parquet shards + manifest. Emits the certification
+    row:
+
+    - ``n_kept`` / ``total_tokens`` — DuckDB recomputes both from the
+      same gate semantics as ``corpus_curation``;
+    - ``manifest_consistent`` — manifest row/token sums equal the data,
+      shard id ranges are NON-OVERLAPPING (contiguous layout holds),
+      every shard respects the size bound, and every per-shard id
+      digest matches a recomputation from the data read-back.
+    """
+    return _certify_export(spark, sf_dir, "parquet")
+
+
+def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gzip JSON-Lines export path (``export_shards_jsonl`` — the
+    format LLM training stacks consume directly) under the SAME
+    certification as ``corpus_export_shards``: the manifest is proven
+    against a schema-pinned read-back of the written ``.json.gz``
+    shards, so the row also certifies the text/token columns survive
+    the JSON round-trip byte-exactly."""
+    return _certify_export(spark, sf_dir, "jsonl")
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "corpus_curation_neardup": corpus_curation_neardup,
     "corpus_export_shards": corpus_export_shards,
+    "corpus_export_jsonl": corpus_export_jsonl,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -611,16 +635,12 @@ def _cc_cand_sql(src: str) -> str:
         for off in (CC_OFF_1, CC_OFF_2 - CC_OFF_1, CC_OFF_2)
     )
 
-ORACLE = {
-    # greedy k-center separation invariant as a fixed expected outcome
-    "corpus_sample_kcenter": f"""
-SELECT CAST({16} AS INT) AS k, CAST(count(*) AS BIGINT) AS n_points,
-       CAST(TRUE AS BOOLEAN) AS separation_ok
-FROM embeddings
-""",
-    # the kept-set and its token total are the corpus_curation gate
-    # semantics; layout checks are fixed expected outcomes (twin pattern)
-    "corpus_export_shards": f"""
+#: the export certification oracle — the kept-set and its token total
+#: are the corpus_curation gate semantics; layout checks are fixed
+#: expected outcomes (twin pattern). ONE string for BOTH shard formats
+#: (parquet / jsonl.gz): the written layout differs, the certified
+#: facts do not.
+EXPORT_CERT_SQL = f"""
 WITH feat AS (
     SELECT doc_id,
            md5(lower(text)) AS content_hash,
@@ -643,7 +663,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_kept,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(true AS BOOLEAN) AS manifest_consistent
 FROM kept WHERE rn = 1
+"""
+
+ORACLE = {
+    # greedy k-center separation invariant as a fixed expected outcome
+    "corpus_sample_kcenter": f"""
+SELECT CAST({16} AS INT) AS k, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(TRUE AS BOOLEAN) AS separation_ok
+FROM embeddings
 """,
+    "corpus_export_shards": EXPORT_CERT_SQL,
+    "corpus_export_jsonl": EXPORT_CERT_SQL,
     # min-reachable-label closure reproduces the CC result exactly
     # gate first (same rounded score + lang rules as corpus_curation),
     # THEN mine generation edges among survivors only, close the graph

@@ -21,6 +21,10 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
 - ``ann_recall_suite``   = ann_{lsh,ivf,pq,ivfpq}_recall
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
+- ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
+  (rotation note, round 4: this suite REPLACED the bare
+  ``corpus_export_shards`` registry slot when the jsonl.gz path landed,
+  so both export formats stay inside the ≤50 hard signal)
 
 The folds are pure column renames/casts over the member outputs — no
 member plan changes — so a suite row going red localizes to exactly one
@@ -32,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import cdc, corpus, extensions, quality
+from . import cdc, corpus, curation, extensions, quality
 from .cdc import (
     cdc_apply_append,
     cdc_apply_ins_upd,
@@ -167,6 +171,21 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both training-shard export formats' certification rows, tagged
+    by format: parquet shards and gzip JSON-Lines shards, each proven
+    against a read-back of its own written files."""
+    from .curation import corpus_export_jsonl, corpus_export_shards
+
+    p = corpus_export_shards(spark, sf_dir).select(
+        F.lit("parquet").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
+    )
+    j = corpus_export_jsonl(spark, sf_dir).select(
+        F.lit("jsonl").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
+    )
+    return p.unionByName(j)
+
+
 def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ranked retrieval: BM25 top-k (k1=doc_id, k2=n_terms_hit)
     + TF-IDF doc-to-doc argmax (k1=src, k2=dst), tagged by scorer."""
@@ -194,6 +213,7 @@ QUERIES = {
     "dedup_cert_suite": dedup_cert_suite,
     "ann_recall_suite": ann_recall_suite,
     "text_ranking_suite": text_ranking_suite,
+    "corpus_export_suite": corpus_export_suite,
 }
 
 # Each suite oracle is the UNION of its members' oracles (imported, not
@@ -265,5 +285,12 @@ SELECT 'tfidf' AS method, CAST(src AS BIGINT) AS k1,
        CAST(dst AS BIGINT) AS k2, CAST(sim AS DOUBLE) AS score,
        CAST(rk AS INT) AS rk
 FROM ({quality.ORACLE["text_tfidf_docsim"]}) __tf
+""",
+    "corpus_export_suite": f"""
+SELECT 'parquet' AS fmt, n_kept, total_tokens, manifest_consistent
+FROM ({curation.EXPORT_CERT_SQL}) __p
+UNION ALL
+SELECT 'jsonl' AS fmt, n_kept, total_tokens, manifest_consistent
+FROM ({curation.EXPORT_CERT_SQL}) __j
 """,
 }

@@ -49,3 +49,32 @@ def test_curated_docs_gate_and_dedup(spark):
     out = curated_docs(docs).collect()
     # case-insensitive exact dup keeps the min id; the short doc is gated out
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_export_shards_jsonl_layout_roundtrip(spark, tmp_path):
+    """gzip JSON-Lines export: same contiguous non-overlapping layout
+    and digest-certified manifest as parquet, files really are
+    .json.gz, and the schema-pinned read-back round-trips every column
+    exactly (ids, text, token counts, rounded scores)."""
+    import os
+
+    from mysql2clickhouse_spark.operators.export import export_shards_jsonl
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    curated = curated_docs(d)
+    n_kept = curated.count()
+    out = str(tmp_path / "out")
+    manifest = export_shards_jsonl(spark, curated, out, rows_per_file=17)
+    rows = sorted(manifest.collect(), key=lambda r: r["min_id"])
+    assert sum(r["n_rows"] for r in rows) == n_kept
+    assert all(r["n_rows"] <= 17 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_id"] < b["min_id"]
+    shards = [f for f in os.listdir(out + "/data") if f.endswith(".json.gz")]
+    assert len(shards) == len(rows)
+
+    back = spark.read.schema(curated.schema).json(out + "/data")
+    assert back.schema == curated.schema
+    # exact round-trip: bag equality on every column
+    assert back.exceptAll(curated).isEmpty()
+    assert curated.exceptAll(back).isEmpty()
