@@ -14,6 +14,7 @@ from mysql2clickhouse_spark.plans import (
     all_queries,
     all_queries_extended,
 )
+from mysql2clickhouse_spark.plans.plancheck import unpartitioned_windows
 
 # the EXTENDED set: the curated driver registry plus every un-folded
 # variant/twin — demotion from the driver surface never loses coverage
@@ -31,11 +32,35 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
+    # blanket scale lint, same policy as scripts/check_parity.py: NO
+    # unpartitioned Window anywhere in the extended registry (a plan
+    # walk — no execution cost), so a lint-red query fails CI instead
+    # of hiding until the next check_parity sweep
+    glob = unpartitioned_windows(df)
+    assert not glob, f"{name}: UNPARTITIONED WINDOW: {glob[0][:160]}"
     if name in ORACLES:
         ok, msg = compare(df, con, ORACLES[name])
         assert ok, f"{name}: {msg}"
     else:
         assert df.count() >= 0  # rows-only contract
+
+
+def test_blanket_lint_catches_a_global_window_query(spark):
+    """Gate self-test: a registry entry that sneaks in an unpartitioned
+    Window MUST be flagged by the exact lint call the parametrized
+    oracle loop runs — proving a lint-red query fails CI, not just
+    scripts/check_parity.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def bad_query(spark, sf_dir):  # deliberately-global-window fixture
+        return spark.range(10).withColumn(
+            "rk", F.row_number().over(Window.orderBy("id"))
+        )
+
+    assert unpartitioned_windows(bad_query(spark, None)), (
+        "the blanket lint failed to flag a deliberately global window"
+    )
 
 
 def test_entry_smoke(spark):
