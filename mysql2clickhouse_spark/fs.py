@@ -140,10 +140,18 @@ class HadoopFS:
             out.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        """Temp-name + rename commit. Atomic on HDFS; on S3-like stores
-        rename is copy+delete, but the final name still only ever holds
-        a COMPLETE object (S3 writes are all-or-nothing per object), so
-        no reader can see a torn marker either way."""
+        """Temp-name + rename commit. The final name only ever holds a
+        COMPLETE file — atomic rename on HDFS; on S3-like stores rename
+        is copy+delete but each object is all-or-nothing, so a reader
+        can never observe a TORN marker.
+
+        OVERWRITE of an existing path is delete-then-rename (HDFS
+        rename refuses an existing dst), so a crash between the two
+        leaves the path transiently ABSENT — never-torn holds, but
+        always-present does not. All current callers write markers into
+        fresh staging dirs where absence safely reads as "uncommitted";
+        a caller that needs replace-in-place atomicity must use
+        FileSystem.rename with Options.Rename.OVERWRITE instead."""
         tmp = path + ".__tmp"
         self.write_text(tmp, text)
         if self.exists(path):

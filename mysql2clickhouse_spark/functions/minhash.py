@@ -23,8 +23,9 @@ P(sig_i equal) = Jaccard(A, B).
 from __future__ import annotations
 
 import logging
+from collections import deque
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..session import release_cache, rotate_cache
@@ -40,37 +41,90 @@ log = logging.getLogger("mysql2clickhouse_spark.lsh")
 DEFAULT_MAX_BUCKET = 4096
 
 
+#: completed-but-unlogged quarantine observations, drained opportunistically
+#: (bounded: an abandoned plan's observation is evicted, never leaked)
+_PENDING_QUARANTINE_OBS: deque = deque(maxlen=32)
+
+
+def drain_quarantine_logs() -> int:
+    """Emit the WARN line for every quarantine observation whose plan
+    has since executed (zero-wait ``future().isCompleted()`` poll — no
+    Spark job, no blocking). Called at each quarantine plan build and
+    exported for harnesses that want the drop counts flushed right
+    after an action. Returns the number of non-zero drop counts
+    logged."""
+    emitted = 0
+    for entry in list(_PENDING_QUARANTINE_OBS):
+        label, cap, obs = entry
+        try:
+            if obs._jo is None or not obs._jo.future().isCompleted():
+                continue  # plan not executed yet — keep pending
+            n = int(obs.get.get("n_quarantined_rows") or 0)
+        except Exception:  # session gone — drop the stale entry
+            try:
+                _PENDING_QUARANTINE_OBS.remove(entry)
+            except ValueError:
+                pass
+            continue
+        try:
+            _PENDING_QUARANTINE_OBS.remove(entry)
+        except ValueError:
+            continue  # already drained by a concurrent caller
+        if n:
+            log.warning(
+                "%s: quarantined %d bucket-membership row(s) in LSH "
+                "bucket(s) larger than %d members from pair mining "
+                "(route their members through exact dedup)",
+                label,
+                n,
+                cap,
+            )
+            emitted += 1
+    return emitted
+
+
 def _quarantine_hot_buckets(
     exploded: DataFrame, keys: list[str], max_bucket_size: int, label: str
 ) -> DataFrame:
     """Drop bucket-membership rows belonging to buckets with more than
     ``max_bucket_size`` members, WITH A LOGGED DROP COUNT — never a
     silent cap (mirrors the empty-doc guard's no-silent-collapse
-    policy). The hot-bucket detection is one aggregate over the
-    (already bucket-keyed) membership frame; when no bucket exceeds the
-    cap — every non-adversarial corpus — the returned plan is unchanged.
+    policy).
+
+    LAZY, fully in-plan: bucket sizes aggregate map-side-combined into
+    a tiny hot-keys frame that broadcasts into a left-anti-shaped
+    (left join + IS NULL filter) prune, and the drop count rides an
+    ``observe()`` metric collected when the CALLER's action runs —
+    building the plan launches NO Spark job (the round-4 form ran an
+    eager sizing ``count()`` per build, which re-executed the whole
+    upstream projection when the input wasn't cached). Callers feed
+    this from a persisted frame (sigs / base / the LSH bucket
+    projection) so the sizes arm of the diamond reads cache, not the
+    raw scan. The WARN line is emitted by ``drain_quarantine_logs``
+    once the metric lands.
 
     What quarantine MEANS: pairs inside a quarantined bucket are not
     mined by this banding pass. That is the correct degradation — a
     bucket that large is either (a) near-identical boilerplate, which
     exact/content-hash dedup upstream already collapses, or (b) a hash
     pathology, where emitting n²/2 candidates would stall the job
-    without producing useful near-dup structure. The log line names the
-    bucket count and the cap so an operator can route the quarantined
-    mass to the exact-dedup path instead."""
+    without producing useful near-dup structure."""
+    drain_quarantine_logs()
     sizes = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
-    hot = sizes.filter(F.col("__bn") > max_bucket_size).select(*keys)
-    n_hot = hot.count()  # tiny control-plane job (bucket keys only)
-    if not n_hot:
-        return exploded
-    log.warning(
-        "%s: quarantining %d LSH bucket(s) larger than %d members from "
-        "pair mining (route their members through exact dedup)",
-        label,
-        n_hot,
-        max_bucket_size,
+    hot = (
+        sizes.filter(F.col("__bn") > max_bucket_size)
+        .select(*keys)
+        .withColumn("__m2c_hot", F.lit(True))
     )
-    return exploded.join(F.broadcast(hot), keys, "left_anti")
+    obs = Observation()
+    flagged = exploded.join(F.broadcast(hot), keys, "left").observe(
+        obs,
+        F.sum(
+            F.when(F.col("__m2c_hot"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_quarantined_rows"),
+    )
+    _PENDING_QUARANTINE_OBS.append((label, max_bucket_size, obs))
+    return flagged.filter(F.col("__m2c_hot").isNull()).drop("__m2c_hot")
 
 # Mersenne prime 2^31-1: with 31-bit shingle hashes, h*a + b < 2^62 —
 # stays inside BIGINT so the whole permutation family runs as native

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from .minhash import DEFAULT_MAX_BUCKET
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -189,7 +191,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """ANN: exact rerank restricted to candidates sharing an LSH bucket
     with the query in at least one table. The candidate set is deduped
@@ -205,18 +207,30 @@ def lsh_bucketed_topk(
     in one join task. Corpus buckets larger than ``max_bucket_size``
     are quarantined with a logged drop count (the multi-table scheme
     keeps recall: the same vectors stay reachable through their other
-    n_tables-1 buckets); ``None`` disables.
-    """
-    from .minhash import DEFAULT_MAX_BUCKET, _quarantine_hot_buckets
+    n_tables-1 buckets); ``None`` disables the guard — same contract
+    as ``lsh_candidate_pairs`` (round 4 silently remapped None to the
+    default, making opt-out impossible).
 
-    if max_bucket_size is None:
-        max_bucket_size = DEFAULT_MAX_BUCKET
+    The corpus bucket projection ``cb`` is PERSISTED (lazily — the
+    quarantine's broadcast arm runs first within the action and
+    populates the cache the probe arm then reads), so the Arrow GEMM
+    that computes the corpus buckets executes exactly once per query
+    regardless of the quarantine diamond; round 4 re-ran the full
+    corpus GEMM for the sizing job and again for the candidate join.
+    """
+    from .minhash import _quarantine_hot_buckets
+    from ..session import release_cache, rotate_cache
+
     cb = with_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col, seed).select(
         F.col(id_col).alias("cid"), "tbl", "bucket"
     )
-    cb = _quarantine_hot_buckets(
-        cb, ["tbl", "bucket"], max_bucket_size, "similarity.lsh_bucketed_topk"
-    )
+    if max_bucket_size is not None:
+        release_cache("similarity.lsh_bucketed_topk")  # BEFORE persist
+        cb = cb.persist()
+        rotate_cache("similarity.lsh_bucketed_topk", cb)
+        cb = _quarantine_hot_buckets(
+            cb, ["tbl", "bucket"], max_bucket_size, "similarity.lsh_bucketed_topk"
+        )
     qb = with_lsh_buckets(queries, dim, n_planes, n_tables, vec_col, seed).select(
         F.col(id_col).alias("qid"), "tbl", "bucket"
     )

@@ -135,6 +135,7 @@ def apply_mutate(
     keys: Iterable[str],
     op_col: str = "op",
     seq_col: str = "seq",
+    form: str = "window",
 ) -> DataFrame:
     """P7 + P9 — merge-mode apply: replay I/U/D in changelog order per
     key; final state = the last event's after-image, or nothing if the
@@ -143,11 +144,34 @@ def apply_mutate(
     The reference executes these as per-row ClickHouse mutations
     (``ALTER TABLE ... UPDATE/DELETE ... SETTINGS mutations_sync=1``,
     binlog2sql_util.py:294-341). On immutable storage the entire replay
-    collapses into one window over (key, seq) — a single shuffle instead
-    of N serialized mutations; this is the plan that survives a 100×
-    scale-up.
+    collapses into one shuffle on the key instead of N serialized
+    mutations; this is the plan that survives a 100× scale-up.
+
+    ``form='window'`` is the faithful single-window replay.
+    ``form='argmax'`` is the SKEW-IMMUNE plan the runner uses: a
+    ``max_by(struct(row), struct(seq, ...))`` aggregate combines
+    map-side, so a Zipf-hot key (the reference's production tables are
+    visit/action logs where one site can be 30% of a batch) ships at
+    most one partial struct per input partition through the exchange —
+    a window partition, by contrast, funnels every version of the hot
+    key into ONE task and AQE cannot split a window partition. Results
+    are identical whenever ``seq`` is unique per key (binlog positions
+    are globally unique; the runner's synthetic base rows use seq=-1
+    exactly once per key) — pinned by the skew suite.
     """
     keys = list(keys)
+    if form == "argmax":
+        others = [c for c in changelog.columns if c not in keys]
+        ord_cols = [seq_col] + [c for c in others if c != seq_col]
+        packed = changelog.groupBy(*keys).agg(
+            F.max_by(F.struct(*others), F.struct(*ord_cols)).alias("__row")
+        )
+        out_cols = [c for c in changelog.columns if c != op_col]
+        return (
+            packed.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
+            .filter(F.col(op_col) != "D")
+            .select(*out_cols)
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     return (
         changelog.withColumn("__rn", F.row_number().over(w))

@@ -515,7 +515,7 @@ class ReplicationRunner:
                 if not _missing_path(e):
                     raise
                 merged = tslice
-            new_state = apply_mutate(merged, keys)
+            new_state = apply_mutate(merged, keys, form="argmax")
             n = new_state.count()
             if not cfg.dry_run:
                 staging = path + "__staging"
@@ -538,7 +538,7 @@ class ReplicationRunner:
             state = None
 
         if state is None:
-            new_state = apply_mutate(slice_p, keys)
+            new_state = apply_mutate(slice_p, keys, form="argmax")
             n = new_state.count()
             if not cfg.dry_run:
                 new_state.write.mode("overwrite").partitionBy("yyyymm").parquet(path)
@@ -566,7 +566,7 @@ class ReplicationRunner:
             .withColumn("seq", F.lit(-1).cast("bigint"))
         )
         merged = base.unionByName(slice_p, allowMissingColumns=True)
-        new_state = apply_mutate(merged, keys)
+        new_state = apply_mutate(merged, keys, form="argmax")
         n = new_state.count()
         if not cfg.dry_run:
             staging = path + "__staging"
@@ -673,7 +673,7 @@ class ReplicationRunner:
         if self.fs.exists(marker):
             self.fs.rmtree(marker)
 
-    def _recover_staging(self, staging: str, path: str) -> None:
+    def _recover_staging(self, staging: str, path: str) -> bool:
         """Crash recovery, called at every swap-job entry BEFORE reading
         live state: a staging dir carrying a ``_SWAP_COMMIT`` manifest
         is a committed-but-interrupted swap — roll it forward so the
@@ -688,9 +688,15 @@ class ReplicationRunner:
         until manual cleanup. Remove the torn marker; the data renames
         had not started (they only run after a successful marker write),
         so the live table is untouched and the staging dir is ordinary
-        debris."""
+        debris.
+
+        Returns True only for a TRUE roll-forward (a committed swap was
+        completed) — debris cleanup (torn marker, stale live-path
+        marker) returns False so ``recover_all``'s count stays an
+        honest "interrupted swaps converged" metric."""
         import json
 
+        rolled = False
         marker = os.path.join(staging, SWAP_COMMIT_MARKER)
         if self.fs.exists(marker):
             try:
@@ -699,10 +705,12 @@ class ReplicationRunner:
                 self.fs.rmtree(marker)
             else:
                 self._complete_swap(staging, path)
+                rolled = True
         # whole-dir swaps can also die between rename and marker removal
         marker = os.path.join(path, SWAP_COMMIT_MARKER)
         if self.fs.exists(marker):
             self.fs.rmtree(marker)
+        return rolled
 
     #: every staging-dir suffix any swap job uses — recover_all scans for
     #: these; a new swap kind MUST register its suffix here
@@ -716,12 +724,21 @@ class ReplicationRunner:
         leaves live partitions deleted-but-not-promoted for ALL readers
         until that same maintenance job happens to re-run — so every
         ``run_once`` entry converges them first. Returns the number of
-        swaps rolled forward.
+        swaps truly rolled forward (debris cleanup — torn markers,
+        stale live-path markers — is performed but not counted).
+
+        A whole-dir swap that crashed BETWEEN ``rename(staging, path)``
+        and marker removal leaves NO staging dir and a stale
+        ``_SWAP_COMMIT`` inside the live path — so besides staging
+        dirs, every non-staging child (and the ledger path) is checked
+        for a leftover live-path marker and cleaned, mirroring
+        ``_recover_staging``'s second half.
 
         Cost: control-plane listings only — one listdir of the target
         dir, one of ``tables/``, one per direct child (a namespace's
-        tables or a table's partition dirs). No data is read; at 100 TB
-        this is a few metadata RPCs per run."""
+        tables or a table's partition dirs) plus one exists() per
+        child. No data is read; at 100 TB this is a few metadata RPCs
+        per run."""
         roots = [self.cfg.target_dir]
         tables_root = os.path.join(self.cfg.target_dir, "tables")
         if self.fs.is_dir(tables_root):
@@ -737,16 +754,24 @@ class ReplicationRunner:
             if not self.fs.is_dir(root):
                 continue  # first run: nothing written yet
             for d in self.fs.listdir(root):
+                child = os.path.join(root, d)
                 for suf in self.STAGING_SUFFIXES:
                     if d.endswith(suf):
-                        staging = os.path.join(root, d)
                         base = os.path.join(root, d[: -len(suf)])
                         if self.fs.exists(
-                            os.path.join(staging, SWAP_COMMIT_MARKER)
-                        ):
-                            self._recover_staging(staging, base)
+                            os.path.join(child, SWAP_COMMIT_MARKER)
+                        ) and self._recover_staging(child, base):
                             recovered += 1
                         break  # longest-suffix match only
+                else:
+                    # non-staging child: a whole-dir swap that died
+                    # post-rename leaves its marker in the LIVE path
+                    stale = os.path.join(child, SWAP_COMMIT_MARKER)
+                    if self.fs.is_dir(child) and self.fs.exists(stale):
+                        self.fs.rmtree(stale)
+        ledger_stale = os.path.join(self.ledger_path, SWAP_COMMIT_MARKER)
+        if self.fs.exists(ledger_stale):
+            self.fs.rmtree(ledger_stale)
         return recovered
 
     def _write_ledger(self, batch: DataFrame) -> None:

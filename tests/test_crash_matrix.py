@@ -190,6 +190,53 @@ def test_torn_commit_marker_is_treated_as_precommit_debris(spark, tmp_path):
     assert not os.path.exists(staging)
 
 
+def test_stale_live_path_marker_without_staging_is_cleaned(spark, tmp_path):
+    """A whole-dir swap that crashes BETWEEN rename(staging, path) and
+    marker removal leaves NO staging dir and a stale _SWAP_COMMIT
+    inside the LIVE path. recover_all must remove it (previously this
+    cleanup waited for the same maintenance job to re-run) — and must
+    NOT count debris cleanup as a roll-forward."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    path = runner.table_path("visits")
+    before = {r["seq"] for r in spark.read.parquet(path).collect()}
+
+    # simulate the post-rename crash: live dir carries the marker, no
+    # staging dir exists (this table name has no staging suffix)
+    with open(os.path.join(path, SWAP_COMMIT_MARKER), "w") as f:
+        f.write('{"whole": true}')
+    ledger_marker = os.path.join(runner.ledger_path, SWAP_COMMIT_MARKER)
+    with open(ledger_marker, "w") as f:
+        f.write('{"whole": true}')
+
+    assert runner.recover_all() == 0  # debris cleanup, not a roll-forward
+    assert not os.path.exists(os.path.join(path, SWAP_COMMIT_MARKER))
+    assert not os.path.exists(ledger_marker)
+    assert {r["seq"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_recover_all_counts_only_true_roll_forwards(spark, tmp_path):
+    """A torn marker in a staging dir is debris: recover_all removes it
+    but returns 0; a committed (parsable) marker is a real interrupted
+    swap and counts."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    path = runner.table_path("visits")
+
+    staging = path + "__compact"
+    os.makedirs(staging)
+    with open(os.path.join(staging, SWAP_COMMIT_MARKER), "w") as f:
+        f.write('{"promote": [202403')  # torn mid-write
+    assert runner.recover_all() == 0  # debris, not a recovery
+
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, SWAP_COMMIT_MARKER), "w") as f:
+        f.write('{"promote": [], "delete": []}')  # committed no-op swap
+    assert runner.recover_all() == 1  # a true roll-forward
+
+
 def test_write_text_atomic_never_leaves_partial_file(spark, tmp_path):
     """Both fs impls: the final name appears complete-or-not-at-all and
     the temp name never survives."""

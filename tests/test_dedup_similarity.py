@@ -254,6 +254,7 @@ def test_hot_bucket_guard_quarantines_and_logs(spark, caplog):
     import logging
 
     from mysql2clickhouse_spark.functions.minhash import (
+        drain_quarantine_logs,
         lsh_candidate_pairs,
         minhash_signatures,
         with_hset,
@@ -266,9 +267,13 @@ def test_hot_bucket_guard_quarantines_and_logs(spark, caplog):
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     sigs = minhash_signatures(with_hset(docs, "text", 5))
 
+    drain_quarantine_logs()  # flush observations from earlier plans
     with caplog.at_level(logging.WARNING, "mysql2clickhouse_spark.lsh"):
         cands = lsh_candidate_pairs(sigs, max_bucket_size=30).collect()
-    assert any("quarantining" in r.message for r in caplog.records)
+        # lazy quarantine: the drop count rides an observe() metric that
+        # lands with the action — drain emits the WARN, no extra job
+        assert drain_quarantine_logs() == 1
+    assert any("quarantined" in r.message for r in caplog.records)
     pairs = {(r.id_a, r.id_b) for r in cands}
     # no pair between two clones survives (the n^2 bucket is gone) ...
     assert not any(a >= 5000 and b >= 5000 for a, b in pairs)
@@ -288,6 +293,7 @@ def test_hot_bucket_guard_quarantines_and_logs(spark, caplog):
     caplog.clear()
     with caplog.at_level(logging.WARNING, "mysql2clickhouse_spark.lsh"):
         cands_default = lsh_candidate_pairs(sigs).collect()
+        assert drain_quarantine_logs() == 0  # zero drop count ⇒ no WARN
     assert not caplog.records
     assert {(r.id_a, r.id_b) for r in cands_default} == {
         (r.id_a, r.id_b) for r in cands_off
@@ -299,15 +305,20 @@ def test_simhash_hot_bucket_guard(spark, caplog):
     share all four blocks; capping quarantines them with a log line."""
     import logging
 
-    from mysql2clickhouse_spark.functions.minhash import with_simhash
+    from mysql2clickhouse_spark.functions.minhash import (
+        drain_quarantine_logs,
+        with_simhash,
+    )
 
     rows = [(i, "constant text for everyone " * 4) for i in range(50)]
     rows += [(1000 + i, f"distinct words here alpha beta {i} gamma delta") for i in range(8)]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     sh = with_simhash(docs, "text", attach=False)
+    drain_quarantine_logs()  # flush observations from earlier plans
     with caplog.at_level(logging.WARNING, "mysql2clickhouse_spark.lsh"):
         pairs = simhash_near_dups(sh, max_bucket_size=20).collect()
-    assert any("quarantining" in r.message for r in caplog.records)
+        assert drain_quarantine_logs() == 1
+    assert any("quarantined" in r.message for r in caplog.records)
     assert not any(r.id_a < 1000 and r.id_b < 1000 for r in pairs)
 
 

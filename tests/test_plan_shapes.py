@@ -319,3 +319,66 @@ def test_session_window_is_single_shuffle_no_window_node(spark, sf_dir, queries)
     assert "MergingSessions" in plan
     assert "Window" not in plan.replace("session_window", "")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _walk_exec_counts(plan_node) -> dict:
+    """Physical-node class-name histogram; AQE unwrapped, cached plans
+    behind InMemoryTableScan NOT re-walked (they execute once to
+    populate the cache, not once per reference)."""
+    counts: dict[str, int] = {}
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        counts[name] = counts.get(name, 0) + 1
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.startswith("InMemoryTableScan"):
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(plan_node)
+    return counts
+
+
+def test_lsh_topk_corpus_gemm_runs_once(spark, sf_dir, queries):
+    """Round-4 regression pin: the hot-bucket quarantine's eager sizing
+    count() re-executed the full corpus LSH GEMM (the corpus bucket
+    frame wasn't persisted), doubling the most expensive pass of
+    ann_lsh_topk. Now the corpus projection is persisted and the
+    quarantine is lazy/in-plan: the EXECUTED plan must show exactly ONE
+    ArrowEvalPython (the query-side GEMM), the corpus GEMM confined to
+    the cache behind ≥2 InMemoryTableScan arms (sizes + probe), and the
+    drop count riding a CollectMetrics observe node — no sizing job."""
+    df = queries["ann_lsh_topk"](spark, sf_dir)
+    df.count()
+    counts = _walk_exec_counts(df._jdf.queryExecution().executedPlan())
+    assert counts.get("ArrowEvalPythonExec", 0) == 1, counts
+    assert counts.get("InMemoryTableScanExec", 0) >= 2, counts
+    assert counts.get("CollectMetricsExec", 0) == 1, counts
+
+
+def test_quarantine_plan_build_launches_no_job(spark):
+    """The quarantine is a pure plan builder: constructing it must not
+    run a Spark job (round 4 ran an eager hot.count() per build — a
+    full upstream re-execution when the input wasn't cached)."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.functions.minhash import (
+        _quarantine_hot_buckets,
+    )
+
+    exploded = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("b_idx"), F.lit(0).alias("b_val")
+    )
+    store = spark.sparkContext._jsc.sc().statusStore()
+    j0 = store.jobsList(None).size()
+    pruned = _quarantine_hot_buckets(
+        exploded, ["b_idx", "b_val"], 10, "test.lazy_quarantine"
+    )
+    assert store.jobsList(None).size() == j0  # zero jobs at build time
+    # and the plan is still a correct prune: every bucket here has ~143
+    # members > cap 10, so everything is quarantined
+    assert pruned.count() == 0
