@@ -167,3 +167,179 @@ def export_shards_jsonl(
     which is exactly why the layout bounds rows per file; size
     ``rows_per_file`` so a shard decompresses in one worker's memory."""
     return _export(spark, curated, out_dir, rows_per_file, id_col, "jsonl")
+
+
+def export_shards_tar(
+    spark: SparkSession,
+    curated: DataFrame,
+    out_dir: str,
+    rows_per_file: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WebDataset-style tar shards — the layout multimodal/LLM training
+    loaders (webdataset, torchdata) stream directly: one ``.tar`` per
+    shard, per document a ``{id}.txt`` member (the payload) and a
+    ``{id}.json`` member (typed metadata incl. ``n_tokens``), members
+    id-sorted inside each tar so a sequential reader sees the same
+    contiguous-id discipline as the parquet layout.
+
+    Spark-side shape: ``repartitionByRange(id)`` + sort, then ONE
+    ``mapInPandas`` pass per partition streams Arrow batches into the
+    tar(s) and emits the per-shard manifest rows — write and manifest
+    derivation are the same single pass (the parquet path needs a
+    read-back scan because the parquet writer owns the files; here the
+    UDF does, so it counts/digests as it writes). A partition rolls to
+    a new tar at ``rows_per_file`` so the size bound is HARD, not
+    best-effort. Tars are written temp-name + ``os.replace`` (task
+    retries and speculative duplicates are idempotent: same sorted
+    input ⇒ same bytes, mtime/uid pinned to 0 for reproducibility).
+    Certification (``corpus_export_tar``) re-reads the tars via
+    Spark's binaryFile source and proves the manifest against the
+    parsed members.
+
+    Sink contract: ``out_dir`` must be a directory path every executor
+    can write (local/NFS here; on HDFS/S3 mount or fuse — the tar
+    bytes themselves are location-agnostic). The manifest digest is
+    the same ``md5(sorted ids joined by ',')`` the parquet manifest
+    uses, so trainer-side verify logic stays format-agnostic."""
+    import math
+
+    n = curated.count()
+    nfiles = max(1, math.ceil(n / rows_per_file))
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    meta_cols = [
+        c for c in curated.columns if c not in (id_col, text_col)
+    ]
+    manifest_schema = (
+        "shard string, n_rows bigint, n_tokens bigint,"
+        " min_id bigint, max_id bigint, ids_md5 string"
+    )
+
+    def write_tars(batches):
+        import hashlib
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        state = {"tar": None, "tmp": None, "path": None, "name": None}
+        ids: list[int] = []
+        ntok = 0
+
+        def _add(tar, name, payload: bytes) -> None:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0  # reproducible bytes across retries
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            import io as _io
+
+            tar.addfile(info, _io.BytesIO(payload))
+
+        def _close_current():
+            nonlocal ids, ntok
+            state["tar"].close()
+            os.replace(state["tmp"], state["path"])  # atomic promote
+            digest = hashlib.md5(
+                ",".join(str(i) for i in sorted(ids)).encode()
+            ).hexdigest()
+            row = pd.DataFrame(
+                [
+                    {
+                        "shard": state["name"],
+                        "n_rows": len(ids),
+                        "n_tokens": ntok,
+                        "min_id": min(ids),
+                        "max_id": max(ids),
+                        "ids_md5": digest,
+                    }
+                ]
+            )
+            state["tar"] = None
+            ids, ntok = [], 0
+            return row
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                if state["tar"] is None:
+                    doc_id = int(rec[id_col])
+                    state["name"] = f"shard-{doc_id:012d}.tar"
+                    state["path"] = os.path.join(data_dir, state["name"])
+                    state["tmp"] = state["path"] + ".__tmp"
+                    state["tar"] = tarfile.open(state["tmp"], "w")
+                doc_id = int(rec[id_col])
+                key = f"{doc_id:012d}"
+                _add(state["tar"], key + ".txt", str(rec[text_col]).encode("utf-8"))
+                meta = {c: rec[c] for c in meta_cols}
+                meta["n_tokens"] = int(rec["n_tokens"])
+                _add(
+                    state["tar"],
+                    key + ".json",
+                    _json.dumps(meta, sort_keys=True, default=str).encode("utf-8"),
+                )
+                ids.append(doc_id)
+                ntok += int(rec["n_tokens"])
+                if len(ids) >= rows_per_file:
+                    yield _close_current()
+        if state["tar"] is not None:
+            yield _close_current()
+
+    manifest = (
+        curated.repartitionByRange(nfiles, id_col)
+        .sortWithinPartitions(id_col)
+        .mapInPandas(write_tars, manifest_schema)
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest")
+    )
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def tar_member_rows(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Read-back side of the tar certification: parse every written
+    ``.tar`` via Spark's binaryFile source into one row per document
+    member — (shard, doc_id, n_tokens, text_md5) — so the manifest can
+    be recomputed from what a trainer would actually read. One task per
+    shard (a tar is one object; the export bounds its size), parsing in
+    Arrow batches, no driver-side loop."""
+    bins = spark.read.format("binaryFile").load(os.path.join(data_dir, "*.tar"))
+
+    def parse(batches):
+        import hashlib
+        import io as _io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = str(path).rsplit("/", 1)[-1]
+                with tarfile.open(fileobj=_io.BytesIO(bytes(content))) as tf:
+                    texts: dict[str, str] = {}
+                    metas: dict[str, dict] = {}
+                    for m in tf.getmembers():
+                        key, _, kind = m.name.rpartition(".")
+                        data = tf.extractfile(m).read()
+                        if kind == "txt":
+                            texts[key] = hashlib.md5(data).hexdigest()
+                        elif kind == "json":
+                            metas[key] = _json.loads(data)
+                    for key, meta in metas.items():
+                        out.append(
+                            {
+                                "shard": shard,
+                                "doc_id": int(key),
+                                "n_tokens": int(meta["n_tokens"]),
+                                "text_md5": texts.get(key, ""),
+                            }
+                        )
+            if out:
+                yield pd.DataFrame(out)
+
+    return bins.select("path", "content").mapInPandas(
+        parse, "shard string, doc_id bigint, n_tokens bigint, text_md5 string"
+    )

@@ -480,10 +480,16 @@ EXPORT_ROWS_PER_FILE = 200  # small on purpose: forces a multi-shard layout
 
 
 def _certify_export(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    """Shared export certification for both shard formats: gate → dedup
-    → write → read the files BACK and prove the manifest against them.
-    See ``corpus_export_shards`` for the certified facts."""
-    from ..operators.export import curated_docs, export_shards, export_shards_jsonl
+    """Shared export certification for all three shard formats: gate →
+    dedup → write → read the files BACK and prove the manifest against
+    them. See ``corpus_export_shards`` for the certified facts."""
+    from ..operators.export import (
+        curated_docs,
+        export_shards,
+        export_shards_jsonl,
+        export_shards_tar,
+        tar_member_rows,
+    )
     from ..session import scratch_dir
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -494,13 +500,25 @@ def _certify_export(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
         )
         data = spark.read.schema(curated.schema).json(out + "/data")
+    elif fmt == "tar":
+        manifest = export_shards_tar(
+            spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
+        )
+        # read-back = parse the tars the way a trainer would; the
+        # member rows carry (shard, doc_id, n_tokens) directly
+        data = tar_member_rows(spark, out + "/data").withColumnRenamed(
+            "shard", "__shard"
+        )
     else:
         manifest = export_shards(
             spark, curated, out, rows_per_file=EXPORT_ROWS_PER_FILE
         )
         data = spark.read.parquet(out + "/data")
+    shard_col = (
+        F.col("__shard") if fmt == "tar" else F.input_file_name()
+    )
     recomputed = (
-        data.select(F.input_file_name().alias("shard"), "doc_id", "n_tokens")
+        data.select(shard_col.alias("shard"), "doc_id", "n_tokens")
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("r_rows"),
@@ -580,11 +598,22 @@ def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _certify_export(spark, sf_dir, "jsonl")
 
 
+def corpus_export_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebDataset-style tar export path (``export_shards_tar`` —
+    one ``.tar`` per shard with ``{id}.txt``/``{id}.json`` members,
+    the layout streaming training loaders consume) under the SAME
+    certification: the manifest is proven against a binaryFile
+    read-back that PARSES the tars, so the row certifies what a
+    trainer would actually extract, not just what the writer claims."""
+    return _certify_export(spark, sf_dir, "tar")
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "corpus_curation_neardup": corpus_curation_neardup,
     "corpus_export_shards": corpus_export_shards,
     "corpus_export_jsonl": corpus_export_jsonl,
+    "corpus_export_tar": corpus_export_tar,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -674,6 +703,7 @@ FROM embeddings
 """,
     "corpus_export_shards": EXPORT_CERT_SQL,
     "corpus_export_jsonl": EXPORT_CERT_SQL,
+    "corpus_export_tar": EXPORT_CERT_SQL,
     # min-reachable-label closure reproduces the CC result exactly
     # gate first (same rounded score + lang rules as corpus_curation),
     # THEN mine generation edges among survivors only, close the graph

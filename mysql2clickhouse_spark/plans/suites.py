@@ -22,9 +22,11 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
-  (rotation note, round 4: this suite REPLACED the bare
-  ``corpus_export_shards`` registry slot when the jsonl.gz path landed,
-  so both export formats stay inside the ≤50 hard signal)
+                           + corpus_export_tar
+  (rotation notes: round 4 — this suite REPLACED the bare
+  ``corpus_export_shards`` registry slot when the jsonl.gz path landed;
+  round 5 — the WebDataset-style tar path folded into the same slot,
+  so all three export formats stay inside the ≤50 hard signal)
 
 The folds are pure column renames/casts over the member outputs — no
 member plan changes — so a suite row going red localizes to exactly one
@@ -172,10 +174,15 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both training-shard export formats' certification rows, tagged
-    by format: parquet shards and gzip JSON-Lines shards, each proven
-    against a read-back of its own written files."""
-    from .curation import corpus_export_jsonl, corpus_export_shards
+    """All three training-shard export formats' certification rows,
+    tagged by format: parquet shards, gzip JSON-Lines shards, and
+    WebDataset-style tar shards, each proven against a read-back of
+    its own written files (the tar row against a parse of the tars)."""
+    from .curation import (
+        corpus_export_jsonl,
+        corpus_export_shards,
+        corpus_export_tar,
+    )
 
     p = corpus_export_shards(spark, sf_dir).select(
         F.lit("parquet").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
@@ -183,7 +190,10 @@ def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = corpus_export_jsonl(spark, sf_dir).select(
         F.lit("jsonl").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
     )
-    return p.unionByName(j)
+    t = corpus_export_tar(spark, sf_dir).select(
+        F.lit("tar").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
+    )
+    return p.unionByName(j).unionByName(t)
 
 
 def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,5 +302,8 @@ FROM ({curation.EXPORT_CERT_SQL}) __p
 UNION ALL
 SELECT 'jsonl' AS fmt, n_kept, total_tokens, manifest_consistent
 FROM ({curation.EXPORT_CERT_SQL}) __j
+UNION ALL
+SELECT 'tar' AS fmt, n_kept, total_tokens, manifest_consistent
+FROM ({curation.EXPORT_CERT_SQL}) __t
 """,
 }

@@ -78,3 +78,101 @@ def test_export_shards_jsonl_layout_roundtrip(spark, tmp_path):
     # exact round-trip: bag equality on every column
     assert back.exceptAll(curated).isEmpty()
     assert curated.exceptAll(back).isEmpty()
+
+
+def test_export_shards_tar_layout_members_and_manifest(spark, tmp_path):
+    """WebDataset-style tar export: contiguous non-overlapping id
+    ranges, HARD rows_per_file bound (partitions roll to new tars),
+    per-doc .txt/.json member pairs, digest-certified manifest, and a
+    parse-level read-back that round-trips ids, token counts, and text
+    bytes."""
+    import hashlib
+    import io
+    import json
+    import os
+    import tarfile
+
+    from mysql2clickhouse_spark.operators.export import (
+        export_shards_tar,
+        tar_member_rows,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    curated = curated_docs(d)
+    n_kept = curated.count()
+    out = str(tmp_path / "out")
+    manifest = export_shards_tar(spark, curated, out, rows_per_file=17)
+    rows = sorted(manifest.collect(), key=lambda r: r["min_id"])
+    assert sum(r["n_rows"] for r in rows) == n_kept
+    assert all(r["n_rows"] <= 17 for r in rows)        # hard bound
+    for a, b in zip(rows, rows[1:]):                   # contiguous layout
+        assert a["max_id"] < b["min_id"]
+
+    # files really are tars named by their first doc id
+    files = sorted(os.listdir(os.path.join(out, "data")))
+    assert files == sorted(r["shard"] for r in rows)
+    assert all(f.startswith("shard-") and f.endswith(".tar") for f in files)
+    assert not any(f.endswith(".__tmp") for f in files)
+
+    # member-level inspection of one tar: txt+json pairs, id-sorted,
+    # reproducible headers (mtime/uid pinned)
+    first = rows[0]
+    with tarfile.open(os.path.join(out, "data", first["shard"])) as tf:
+        members = tf.getmembers()
+        names = [m.name for m in members]
+        keys = sorted({n.rsplit(".", 1)[0] for n in names})
+        assert len(names) == 2 * first["n_rows"]
+        assert keys == sorted(keys)
+        assert all(m.mtime == 0 and m.uid == 0 for m in members)
+        meta = json.loads(tf.extractfile(keys[0] + ".json").read())
+        assert meta["n_tokens"] > 0 and "quality_score" in meta
+
+    # parse-level read-back certifies the manifest (what a trainer
+    # would extract, not what the writer claims)
+    parsed = tar_member_rows(spark, os.path.join(out, "data"))
+    redo = {
+        r["shard"]: (r["n"], r["t"], r["m"])
+        for r in parsed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("t"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias("m"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert redo[r["shard"]] == (r["n_rows"], r["n_tokens"], r["ids_md5"])
+
+    # text bytes round-trip: parsed member md5 == md5 of the curated text
+    joined = (
+        parsed.join(curated.select("doc_id", "text"), "doc_id")
+        .withColumn("want", F.md5(F.col("text")))
+        .filter(F.col("text_md5") != F.col("want"))
+    )
+    assert joined.count() == 0
+
+
+def test_export_shards_tar_rewrite_is_idempotent(spark, tmp_path):
+    """Re-running the export over the same input produces byte-identical
+    tars (mtime pinned, temp-name + os.replace promote) — the property
+    that makes task retries and speculative duplicates safe."""
+    import hashlib
+    import os
+
+    from mysql2clickhouse_spark.operators.export import export_shards_tar
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    curated = curated_docs(d)
+    out = str(tmp_path / "out")
+
+    def digest_all():
+        dd = os.path.join(out, "data")
+        return {
+            f: hashlib.md5(open(os.path.join(dd, f), "rb").read()).hexdigest()
+            for f in os.listdir(dd)
+        }
+
+    export_shards_tar(spark, curated, out, rows_per_file=17)
+    first = digest_all()
+    export_shards_tar(spark, curated, out, rows_per_file=17)
+    assert digest_all() == first
