@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--min-tokens", type=int, default=8)
     ex.add_argument("--min-quality", type=float, default=0.3)
     ex.add_argument("--rows-per-file", type=int, default=500_000)
+    ex.add_argument("--format", choices=["parquet", "jsonl", "tar"],
+                    default="parquet",
+                    help="shard format: parquet, gzip JSON-Lines, or "
+                         "WebDataset-style tar")
     return p
 
 
@@ -227,13 +231,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "export":
-        from .operators.export import curated_docs, export_shards
+        from .operators.export import (
+            curated_docs,
+            export_shards,
+            export_shards_jsonl,
+            export_shards_tar,
+        )
 
         docs = spark.read.parquet(args.docs_dir)
         curated = curated_docs(
             docs, min_tokens=args.min_tokens, min_quality=args.min_quality
         )
-        manifest = export_shards(
+        writer = {
+            "parquet": export_shards,
+            "jsonl": export_shards_jsonl,
+            "tar": export_shards_tar,
+        }[args.format]
+        manifest = writer(
             spark, curated, args.out_dir, rows_per_file=args.rows_per_file
         )
         stats = manifest.agg(
@@ -242,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
         _emit(
             {
                 "out_dir": args.out_dir,
+                "format": args.format,
                 "n_shards": stats["count(shard)"],
                 "n_docs": stats["sum(n_rows)"],
                 "n_tokens": stats["sum(n_tokens)"],

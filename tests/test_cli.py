@@ -133,6 +133,18 @@ def test_cli_export_shards(spark, tmp_path, capsys):
     assert rep["n_docs"] > 0 and rep["n_shards"] >= rep["n_docs"] // 50
     assert os.path.isdir(os.path.join(str(tmp_path / "out"), "manifest"))
 
+    # tar format: same curation + manifest surface, .tar shard files
+    rc = main(["export", "--docs-dir", str(tmp_path / "docs"),
+               "--out-dir", str(tmp_path / "out_tar"),
+               "--rows-per-file", "50", "--format", "tar"])
+    assert rc == 0
+    rep_t = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep_t["format"] == "tar"
+    assert rep_t["n_docs"] == rep["n_docs"]
+    assert rep_t["n_tokens"] == rep["n_tokens"]
+    data = os.path.join(str(tmp_path / "out_tar"), "data")
+    assert all(f.endswith(".tar") for f in os.listdir(data))
+
 
 def test_cli_purge_and_ledger_compact(spark, tmp_path, capsys):
     import datetime as _dt
