@@ -187,6 +187,13 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         samples[name] = runs
         times[name] = min(runs)
+        # flush any hot-bucket quarantine drop counts observed by the
+        # runs above (zero-wait poll — no Spark job)
+        from mysql2clickhouse_spark.functions.minhash import (
+            drain_quarantine_logs,
+        )
+
+        drain_quarantine_logs()
     spark.catalog.clearCache()
 
     stages = minhash_stage_split(spark, sf_dir)

@@ -103,6 +103,14 @@ def _quarantine_hot_buckets(
     raw scan. The WARN line is emitted by ``drain_quarantine_logs``
     once the metric lands.
 
+    Why detection is an AGGREGATE and not a count() window over the
+    bucket keys (which could reuse the self-join's exchange): the
+    window form ships every row of a hot bucket into ONE task before
+    counting — the exact concentration this guard exists to prevent,
+    merely demoted from O(n²) to O(n). The aggregate combines
+    map-side, so even a degenerate bucket costs each mapper one row
+    and the detection never concentrates.
+
     What quarantine MEANS: pairs inside a quarantined bucket are not
     mined by this banding pass. That is the correct degradation — a
     bucket that large is either (a) near-identical boilerplate, which
@@ -124,7 +132,18 @@ def _quarantine_hot_buckets(
         ).alias("n_quarantined_rows"),
     )
     _PENDING_QUARANTINE_OBS.append((label, max_bucket_size, obs))
-    return flagged.filter(F.col("__m2c_hot").isNull()).drop("__m2c_hot")
+    pruned = flagged.filter(F.col("__m2c_hot").isNull()).drop("__m2c_hot")
+    # persist the PRUNED membership frame (lazily — no job here): the
+    # banding callers self-join it, and an observe() node is never
+    # deduplicated by ReuseExchange, so an uncached return would
+    # execute the explode+prune subtree once PER JOIN SIDE (measured
+    # ~2x on the simhash pass). MEMORY_AND_DISK, narrow rows — and the
+    # cache also saves the re-explode the guard-off path pays through
+    # exchange reuse.
+    release_cache(f"quarantine.{label}")  # BEFORE persist — see session.py
+    pruned = pruned.persist()
+    rotate_cache(f"quarantine.{label}", pruned)
+    return pruned
 
 # Mersenne prime 2^31-1: with 31-bit shingle hashes, h*a + b < 2^62 —
 # stays inside BIGINT so the whole permutation family runs as native
