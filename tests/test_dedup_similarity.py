@@ -334,3 +334,32 @@ def test_shingle_scratch_column_survives_collision(spark):
     for out in (with_shingles(df, "text"), with_hset(df, "text")):
         row = out.collect()[0]
         assert row["__m2c_lc_text"] == "keep me"
+
+
+def test_ann_lsh_guard_none_disables_and_default_is_on(spark):
+    """ADVICE-r4 contract pin: ``max_bucket_size=None`` DISABLES the
+    ANN hot-bucket guard (round 4 silently remapped None to the
+    default, making opt-out impossible), while the default guards. A
+    planted constant-embedding corpus makes every table's bucket hot:
+    with the guard capped below the corpus size the hot vectors
+    disappear from the candidate set; with None they are retrievable."""
+    import numpy as np
+
+    rng = list(range(64))
+    rows = [(i, [1.0] * 64) for i in range(60)]          # one hot bucket
+    rows += [(1000 + i, [float((i * 37 + j) % 13 - 6) for j in rng]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(9001, [1.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+
+    guarded = lsh_bucketed_topk(
+        corpus, queries, dim=64, k=5, max_bucket_size=30
+    ).collect()
+    assert not any(r.cid < 60 for r in guarded)  # hot bucket quarantined
+
+    off = lsh_bucketed_topk(
+        corpus, queries, dim=64, k=5, max_bucket_size=None
+    ).collect()
+    assert any(r.cid < 60 for r in off)  # guard off: clones retrievable
+    assert all(abs(r.sim - 1.0) < 1e-6 for r in off if r.cid < 60)
