@@ -103,11 +103,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     nd = sub.add_parser("neardup", help="incremental near-dup index: ingest one batch")
     nd.add_argument("--index-dir", required=True, help="persistent index root")
-    nd.add_argument("--batch-dir", required=True,
+    nd.add_argument("--batch-dir", default=None,
                     help="parquet batch with (doc_id, text)")
     nd.add_argument("--threshold", type=float, default=0.7)
     nd.add_argument("--pairs-out", default=None,
                     help="write the batch's near-dup pairs here (parquet)")
+    nd.add_argument("--compact", action="store_true",
+                    help="journaled small-files rewrite of the sig/band "
+                         "stores (run between ingest sessions)")
 
     ex = sub.add_parser("export", help="curate and write training shards + manifest")
     ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
@@ -222,6 +225,13 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.neardup_index import MinHashIndex
 
         idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
+        if args.compact:
+            _emit({"job": "neardup-compact", **idx.compact()})
+            if not args.batch_dir:
+                return 0
+        elif not args.batch_dir:
+            _emit({"error": "neardup needs --batch-dir and/or --compact"})
+            return 2
         pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
         out = {"n_pairs": pairs.count()}
         if args.pairs_out:

@@ -52,6 +52,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fs import fs_for
 from ..functions.minhash import (
     DEFAULT_BANDS,
     DEFAULT_NUM_PERM,
@@ -62,6 +63,12 @@ from ..functions.minhash import (
     with_hset,
 )
 from ..session import release_cache, rotate_cache
+
+#: same commit-marker protocol as the runner's journaled swaps
+#: (streaming/runner.py SWAP_COMMIT_MARKER): a staging dir carrying a
+#: parsable marker is committed — roll it forward; without one it is
+#: pre-commit debris
+_SWAP_MARKER = "_SWAP_COMMIT"
 
 
 class MinHashIndex:
@@ -87,6 +94,10 @@ class MinHashIndex:
         self.seed, self.threshold = seed, threshold
         self.estimate_margin = estimate_margin
         self.id_col, self.text_col, self.k = id_col, text_col, k
+        # swap seam for compaction — POSIX for bare paths, Hadoop
+        # FileSystem for hdfs://s3a:// index roots (same seam the
+        # runner uses; injectable for crash tests)
+        self.fs = fs_for(spark, path)
 
     @property
     def sigs_path(self) -> str:
@@ -133,6 +144,7 @@ class MinHashIndex:
         nothing, and later batches never join against duplicated sig or
         band rows — the incremental==full bag-equality contract holds
         across redeliveries, not just clean runs."""
+        self.recover()  # converge any interrupted compaction swap first
         batch = batch.dropDuplicates([self.id_col])
         if self._exists():
             stored_ids = self.spark.read.parquet(self.sigs_path).select(self.id_col)
@@ -250,3 +262,103 @@ class MinHashIndex:
         a = mine.select("id_a", "id_b", "jaccard")
         b = other.select("id_a", "id_b", "jaccard")
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # --- store maintenance ---------------------------------------------------
+
+    def _staging(self, store: str) -> str:
+        return store + "__compactidx"
+
+    def recover(self) -> int:
+        """Roll forward any committed-but-interrupted compaction swap
+        (and clear debris: torn markers, a stale live-path marker left
+        by a crash between rename and marker removal) — called at
+        ``add_batch`` and ``compact`` entry, same contract as the
+        runner's ``recover_all``. Returns the number of true
+        roll-forwards; control-plane listings only."""
+        import json
+
+        rolled = 0
+        for store in (self.sigs_path, self.bands_path):
+            staging = self._staging(store)
+            marker = os.path.join(staging, _SWAP_MARKER)
+            if self.fs.exists(marker):
+                try:
+                    json.loads(self.fs.read_text(marker))
+                except ValueError:
+                    self.fs.rmtree(marker)  # torn ⇒ pre-commit debris
+                else:
+                    if self.fs.exists(store):
+                        self.fs.rmtree(store)
+                    self.fs.rename(staging, store)
+                    rolled += 1
+            stale = os.path.join(store, _SWAP_MARKER)
+            if self.fs.exists(stale):
+                self.fs.rmtree(stale)
+        return rolled
+
+    def compact(self) -> dict:
+        """Rewrite both store tables to a bounded file count — every
+        ``add_batch`` APPENDS one file set, so after N batches the band
+        join opens O(N) files per bucket partition; at ingest-pipeline
+        batch cadence that is the classic small-files decay (the same
+        reason the runner ships ``compact_small_files``).
+
+        The rewrite is the journaled whole-dir swap: recompute into a
+        staging dir, commit with an atomic ``_SWAP_COMMIT`` marker,
+        delete-and-rename into place; a crash at any point either
+        leaves the live store untouched (pre-marker) or is rolled
+        forward by ``recover()`` at the next entry (post-marker).
+        File counts are SIZED FROM ROW COUNTS (one metadata-cheap count
+        per store), never a blanket coalesce(1): at 100 TB the sigs
+        table is corpus-sized and a band's bucket rows are
+        corpus-sized too, so both stores repartition to
+        ``ceil(rows / rows_per_file)`` tasks — bands additionally
+        hash-bucketed on (band_idx, band_hash) so a bucket's rows stay
+        co-located for the candidate join. Single-writer discipline
+        (no concurrent ``add_batch``) is the caller's lock, exactly
+        the reference's single-instance rule (B5)."""
+        import math
+
+        self.recover()
+        report: dict = {}
+        rows_per_file = 2_000_000
+        for store, part_col in ((self.sigs_path, None), (self.bands_path, "band_idx")):
+            if not self.fs.is_dir(store):
+                continue
+            name = os.path.basename(store)
+            files_before = sum(1 for _ in self._data_files(store))
+            df = self.spark.read.parquet(store)
+            nfiles = max(1, math.ceil(df.count() / rows_per_file))
+            staging = self._staging(store)
+            if part_col:
+                (
+                    df.repartition(nfiles, F.col(part_col), F.col("band_hash"))
+                    .write.mode("overwrite")
+                    .partitionBy(part_col)
+                    .parquet(staging)
+                )
+            else:
+                df.repartition(nfiles).write.mode("overwrite").parquet(staging)
+            self.fs.write_text_atomic(
+                os.path.join(staging, _SWAP_MARKER), '{"whole": true}'
+            )
+            self.fs.rmtree(store)
+            self.fs.rename(staging, store)
+            marker = os.path.join(store, _SWAP_MARKER)
+            if self.fs.exists(marker):
+                self.fs.rmtree(marker)
+            report[name] = {
+                "files_before": files_before,
+                "files_after": sum(1 for _ in self._data_files(store)),
+            }
+        return report
+
+    def _data_files(self, store: str):
+        """Report-only parquet file census (local paths; a remote index
+        root reports 0 rather than paying a recursive RPC listing)."""
+        if not os.path.isdir(store):
+            return
+        for root, _dirs, files in os.walk(store):
+            for f in files:
+                if f.endswith(".parquet"):
+                    yield os.path.join(root, f)

@@ -119,6 +119,16 @@ def test_cli_neardup_incremental(spark, tmp_path, capsys):
     assert second["n_pairs"] >= 0.95 * 500 > first["n_pairs"]
     assert spark.read.parquet(str(tmp_path / "pairs")).count() == second["n_pairs"]
 
+    # store maintenance: journaled small-files compaction via the CLI
+    rc = main(["neardup", "--index-dir", str(tmp_path / "idx"), "--compact"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["job"] == "neardup-compact"
+    assert rep["bands"]["files_after"] <= rep["bands"]["files_before"]
+    # missing both --batch-dir and --compact is a usage error
+    assert main(["neardup", "--index-dir", str(tmp_path / "idx")]) == 2
+    capsys.readouterr()
+
 
 def test_cli_export_shards(spark, tmp_path, capsys):
     from mysql2clickhouse_spark.sources.tables import load_table

@@ -111,3 +111,72 @@ def test_cross_batch_pairs_found_from_store_not_rescan(spark, tmp_path):
     ).count()
     n = d.count()
     assert planted >= 0.95 * n
+
+
+def test_compact_bounds_files_and_preserves_pairs(spark, tmp_path):
+    """compact() rewrites the sig/band stores to a bounded file count
+    without changing ANY future pair result: batches ingested after a
+    compaction pair against the compacted store exactly as they would
+    against the raw append store."""
+    corpus = _corpus(spark).cache()
+    batches = [corpus.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    acc = None
+    for b in batches[:3]:
+        p = idx.add_batch(b)
+        acc = p if acc is None else acc.unionByName(p)
+
+    before = sum(1 for _ in idx._data_files(idx.bands_path))
+    rep = idx.compact()
+    assert set(rep) == {"sigs", "bands"}
+    assert rep["bands"]["files_before"] == before
+    assert rep["bands"]["files_after"] < before      # 3 appends collapsed
+    assert rep["sigs"]["files_after"] <= rep["sigs"]["files_before"]
+
+    # the 4th batch pairs against the compacted store; accumulated set
+    # still equals the one-shot result
+    acc = acc.unionByName(idx.add_batch(batches[3]))
+    full = verified_near_dups(corpus, "doc_id", threshold=0.7)
+    assert idx.pairs_equal(full, acc)
+    corpus.unpersist()
+
+
+def test_compact_crash_after_commit_rolls_forward(spark, tmp_path):
+    """Kill the compaction between the committed marker write and the
+    live-dir swap: the next add_batch entry must roll the swap forward
+    (recover()) and the pair contract must hold as if the compaction
+    had succeeded."""
+    import pytest
+
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailNthRename(LocalFS):
+        def __init__(self, fail_on: int):
+            self.calls = 0
+            self.fail_on = fail_on
+
+        def rename(self, src, dst):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise OSError(f"injected rename failure #{self.calls}: {src}")
+            super().rename(src, dst)
+
+    corpus = _corpus(spark).cache()
+    batches = [corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    acc = idx.add_batch(batches[0]).unionByName(idx.add_batch(batches[1]))
+
+    # LocalFS marker writes promote via os.replace (not fs.rename), so
+    # the first fs.rename IS the sigs swap — fail it post-commit
+    idx.fs = _FailNthRename(fail_on=1)
+    with pytest.raises(OSError, match="injected"):
+        idx.compact()
+    assert os.path.exists(idx._staging(idx.sigs_path))  # staged, committed
+    assert not os.path.isdir(idx.sigs_path)             # live dir deleted
+
+    idx.fs = LocalFS()
+    acc = acc.unionByName(idx.add_batch(batches[2]))    # recover() at entry
+    assert not os.path.exists(idx._staging(idx.sigs_path))
+    full = verified_near_dups(corpus, "doc_id", threshold=0.7)
+    assert idx.pairs_equal(full, acc)
+    corpus.unpersist()
