@@ -176,13 +176,23 @@ def export_shards_tar(
     rows_per_file: int = 500_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    payload_col: str | None = None,
+    ext_col: str | None = None,
 ) -> DataFrame:
     """WebDataset-style tar shards — the layout multimodal/LLM training
     loaders (webdataset, torchdata) stream directly: one ``.tar`` per
-    shard, per document a ``{id}.txt`` member (the payload) and a
-    ``{id}.json`` member (typed metadata incl. ``n_tokens``), members
-    id-sorted inside each tar so a sequential reader sees the same
-    contiguous-id discipline as the parquet layout.
+    shard, per document a payload member plus a ``{id}.json`` member
+    (typed metadata incl. ``n_tokens``), members id-sorted inside each
+    tar so a sequential reader sees the same contiguous-id discipline
+    as the parquet layout.
+
+    Payload member: ``{id}.txt`` holding the utf-8 text by default;
+    pass ``payload_col`` (a BINARY column — image/audio/video bytes)
+    to write raw media members instead, with the member extension
+    taken per-row from ``ext_col`` (e.g. the ``modality`` column) —
+    the multimodal shape webdataset was built for. Metadata columns
+    (everything that is not the id or the payload) ride in the json
+    member either way.
 
     Spark-side shape: ``repartitionByRange(id)`` + sort, then ONE
     ``mapInPandas`` pass per partition streams Arrow batches into the
@@ -209,9 +219,8 @@ def export_shards_tar(
     nfiles = max(1, math.ceil(n / rows_per_file))
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
-    meta_cols = [
-        c for c in curated.columns if c not in (id_col, text_col)
-    ]
+    body_col = payload_col or text_col
+    meta_cols = [c for c in curated.columns if c not in (id_col, body_col)]
     manifest_schema = (
         "shard string, n_rows bigint, n_tokens bigint,"
         " min_id bigint, max_id bigint, ids_md5 string"
@@ -271,7 +280,13 @@ def export_shards_tar(
                     state["tar"] = tarfile.open(state["tmp"], "w")
                 doc_id = int(rec[id_col])
                 key = f"{doc_id:012d}"
-                _add(state["tar"], key + ".txt", str(rec[text_col]).encode("utf-8"))
+                if payload_col is not None:
+                    body = bytes(rec[payload_col] or b"")
+                    ext = str(rec[ext_col]) if ext_col else "bin"
+                else:
+                    body = str(rec[text_col]).encode("utf-8")
+                    ext = "txt"
+                _add(state["tar"], f"{key}.{ext}", body)
                 meta = {c: rec[c] for c in meta_cols}
                 meta["n_tokens"] = int(rec["n_tokens"])
                 _add(
@@ -301,9 +316,12 @@ def tar_member_rows(spark: SparkSession, data_dir: str) -> DataFrame:
     """Read-back side of the tar certification: parse every written
     ``.tar`` via Spark's binaryFile source into one row per document
     member — (shard, doc_id, n_tokens, text_md5) — so the manifest can
-    be recomputed from what a trainer would actually read. One task per
-    shard (a tar is one object; the export bounds its size), parsing in
-    Arrow batches, no driver-side loop."""
+    be recomputed from what a trainer would actually read. The payload
+    member is whichever sibling of the ``.json`` metadata member shares
+    its key (``.txt`` for text exports, the per-row extension for
+    binary/multimodal ones); ``text_md5`` digests its raw bytes either
+    way. One task per shard (a tar is one object; the export bounds its
+    size), parsing in Arrow batches, no driver-side loop."""
     bins = spark.read.format("binaryFile").load(os.path.join(data_dir, "*.tar"))
 
     def parse(batches):
@@ -324,10 +342,10 @@ def tar_member_rows(spark: SparkSession, data_dir: str) -> DataFrame:
                     for m in tf.getmembers():
                         key, _, kind = m.name.rpartition(".")
                         data = tf.extractfile(m).read()
-                        if kind == "txt":
-                            texts[key] = hashlib.md5(data).hexdigest()
-                        elif kind == "json":
+                        if kind == "json":
                             metas[key] = _json.loads(data)
+                        else:  # the payload member (.txt or media ext)
+                            texts[key] = hashlib.md5(data).hexdigest()
                     for key, meta in metas.items():
                         out.append(
                             {

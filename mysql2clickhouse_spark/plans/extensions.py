@@ -1036,6 +1036,96 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_export_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset export of BINARY media payloads — the tar layout's
+    actual raison d'être: one ``{id}.{modality}`` raw-bytes member +
+    one ``{id}.json`` metadata member per document, written by
+    ``export_shards_tar(payload_col=...)`` and certified by a
+    parse-level read-back. The certification row proves (a) manifest
+    row/byte sums equal the parsed members, (b) shard id ranges are
+    non-overlapping, (c) per-shard id digests match, and (d) EVERY
+    payload member's md5 equals the md5 of the source binary column —
+    the media bytes round-trip exactly.
+
+    ``n_tokens`` carries the payload byte length (the budget unit a
+    media trainer shards by); the DuckDB oracle recomputes the totals
+    from the utf-8 byte length of the text the fake payload encodes."""
+    from ..operators.export import export_shards_tar, tar_member_rows
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = attach_binary_payload(d, "text")
+    curated = media.withColumn("n_tokens", F.length("content").cast("bigint"))
+    out = scratch_dir("m2c_media_")
+    manifest = export_shards_tar(
+        spark,
+        curated,
+        out,
+        rows_per_file=200,
+        payload_col="content",
+        ext_col="modality",
+    )
+    rows = tar_member_rows(spark, out + "/data")
+    recomputed = rows.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("r_rows"),
+        F.sum("n_tokens").cast("bigint").alias("r_tokens"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
+            "r_md5"
+        ),
+    )
+    m = manifest.select("shard", "min_id", "max_id")
+    overlaps = (
+        m.alias("a")
+        .join(
+            F.broadcast(m.alias("b")),
+            (F.col("a.shard") < F.col("b.shard"))
+            & (F.col("a.min_id") <= F.col("b.max_id"))
+            & (F.col("b.min_id") <= F.col("a.max_id")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+    payload_ok = (
+        rows.join(curated.select("doc_id", "content"), "doc_id")
+        .agg(
+            F.min(F.col("text_md5") == F.md5(F.col("content"))).alias("bytes_ok"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    checks = (
+        manifest.join(recomputed, "shard", "inner")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("m_rows"),
+            F.sum("n_tokens").cast("bigint").alias("m_tokens"),
+            F.min(
+                (F.col("n_rows") == F.col("r_rows"))
+                & (F.col("n_tokens") == F.col("r_tokens"))
+                & (F.col("ids_md5") == F.col("r_md5"))
+                & (F.col("n_rows") <= F.lit(200))
+            ).alias("shards_ok"),
+        )
+        .crossJoin(F.broadcast(overlaps))
+        .crossJoin(F.broadcast(payload_ok))
+    )
+    totals = curated.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_tokens").cast("bigint").alias("total_bytes"),
+    )
+    return totals.crossJoin(F.broadcast(checks)).select(
+        "n_media",
+        "total_bytes",
+        (
+            F.col("shards_ok")
+            & (F.col("n_overlaps") == 0)
+            & F.col("bytes_ok")
+            & (F.col("n_checked") == F.col("n_media"))
+            & (F.col("m_rows") == F.col("n_media"))
+            & (F.col("m_tokens") == F.col("total_bytes"))
+        ).alias("manifest_consistent"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1075,6 +1165,7 @@ QUERIES = {
     "embedding_standardize": embedding_standardize,
     "embedding_quantize": embedding_quantize,
     "multimodal_features": multimodal_features,
+    "multimodal_export_tar": multimodal_export_tar,
 }
 
 _MUTANT_SQL = f"""
@@ -1213,6 +1304,15 @@ SELECT doc_id,
 FROM documents
 """,
     # 1:1 resize to 32x16: every payload lands at exactly 512 bytes
+    # totals recomputed from the utf-8 byte length of the text the fake
+    # payload encodes; consistency is the engine-side parse-level cert
+    "multimodal_export_tar": """
+SELECT CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+           AS total_bytes,
+       true AS manifest_consistent
+FROM documents
+""",
     "multimodal_resize": """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,

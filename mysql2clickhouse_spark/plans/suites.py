@@ -22,11 +22,12 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
-                           + corpus_export_tar
+                           + corpus_export_tar + multimodal_export_tar
   (rotation notes: round 4 — this suite REPLACED the bare
   ``corpus_export_shards`` registry slot when the jsonl.gz path landed;
-  round 5 — the WebDataset-style tar path folded into the same slot,
-  so all three export formats stay inside the ≤50 hard signal)
+  round 5 — the WebDataset-style tar path AND its binary-payload
+  multimodal twin folded into the same slot, so all four export
+  certifications stay inside the ≤50 hard signal)
 
 The folds are pure column renames/casts over the member outputs — no
 member plan changes — so a suite row going red localizes to exactly one
@@ -174,15 +175,18 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three training-shard export formats' certification rows,
-    tagged by format: parquet shards, gzip JSON-Lines shards, and
-    WebDataset-style tar shards, each proven against a read-back of
-    its own written files (the tar row against a parse of the tars)."""
+    """All four training-shard export certifications, tagged by format:
+    parquet shards, gzip JSON-Lines shards, WebDataset-style tar
+    shards, and the binary-payload multimodal tar twin — each proven
+    against a read-back of its own written files (the tar rows against
+    a parse of the tars, the media row additionally byte-for-byte on
+    every payload member)."""
     from .curation import (
         corpus_export_jsonl,
         corpus_export_shards,
         corpus_export_tar,
     )
+    from .extensions import multimodal_export_tar
 
     p = corpus_export_shards(spark, sf_dir).select(
         F.lit("parquet").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
@@ -193,7 +197,13 @@ def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = corpus_export_tar(spark, sf_dir).select(
         F.lit("tar").alias("fmt"), "n_kept", "total_tokens", "manifest_consistent"
     )
-    return p.unionByName(j).unionByName(t)
+    mm = multimodal_export_tar(spark, sf_dir).select(
+        F.lit("media_tar").alias("fmt"),
+        F.col("n_media").alias("n_kept"),
+        F.col("total_bytes").alias("total_tokens"),
+        "manifest_consistent",
+    )
+    return p.unionByName(j).unionByName(t).unionByName(mm)
 
 
 def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,5 +315,9 @@ FROM ({curation.EXPORT_CERT_SQL}) __j
 UNION ALL
 SELECT 'tar' AS fmt, n_kept, total_tokens, manifest_consistent
 FROM ({curation.EXPORT_CERT_SQL}) __t
+UNION ALL
+SELECT 'media_tar' AS fmt, n_media AS n_kept, total_bytes AS total_tokens,
+       manifest_consistent
+FROM ({extensions.ORACLE["multimodal_export_tar"]}) __mm
 """,
 }

@@ -176,3 +176,45 @@ def test_export_shards_tar_rewrite_is_idempotent(spark, tmp_path):
     first = digest_all()
     export_shards_tar(spark, curated, out, rows_per_file=17)
     assert digest_all() == first
+
+
+def test_export_shards_tar_binary_payloads(spark, tmp_path):
+    """Multimodal form: payload_col writes raw BINARY members named by
+    the per-row modality extension; bytes round-trip exactly through
+    the tar and the json member carries the metadata."""
+    import io
+    import json
+    import os
+    import tarfile
+
+    from mysql2clickhouse_spark.operators.export import export_shards_tar
+
+    rows = [
+        (1, "image", bytes([0xFF, 0xD8, 0x00, 0x42]), 4),
+        (2, "audio", b"RIFF....WAVE", 12),
+        (3, "image", b"", 0),  # empty payload must survive
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, modality string, content binary, n_tokens bigint"
+    )
+    out = str(tmp_path / "out")
+    manifest = export_shards_tar(
+        spark, media, out, rows_per_file=10,
+        payload_col="content", ext_col="modality",
+    )
+    rows_m = manifest.collect()
+    assert sum(r["n_rows"] for r in rows_m) == 3
+    shard = rows_m[0]["shard"]
+    with tarfile.open(os.path.join(out, "data", shard)) as tf:
+        names = sorted(m.name for m in tf.getmembers())
+        assert names == [
+            "000000000001.image", "000000000001.json",
+            "000000000002.audio", "000000000002.json",
+            "000000000003.image", "000000000003.json",
+        ]
+        assert tf.extractfile("000000000001.image").read() == bytes(
+            [0xFF, 0xD8, 0x00, 0x42]
+        )
+        assert tf.extractfile("000000000003.image").read() == b""
+        meta = json.loads(tf.extractfile("000000000002.json").read())
+        assert meta["modality"] == "audio" and meta["n_tokens"] == 12
