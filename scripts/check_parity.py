@@ -18,9 +18,7 @@ from mysql2clickhouse_spark.plans import (  # noqa: E402
     all_oracles_extended,
     all_queries_extended,
 )
-from mysql2clickhouse_spark.plans.plancheck import (  # noqa: E402
-    unpartitioned_windows,
-)
+from mysql2clickhouse_spark.plans.plancheck import lint  # noqa: E402
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
 
@@ -39,9 +37,9 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            glob = unpartitioned_windows(df)
-            if glob:
-                ok, msg = False, f"UNPARTITIONED WINDOW: {glob[0][:120]}"
+            findings = lint(df)
+            if findings:
+                ok, msg = False, findings[0][:140]
             elif name in oracles:
                 ok, msg = compare(df, con, oracles[name])
             else:

@@ -14,7 +14,7 @@ from mysql2clickhouse_spark.plans import (
     all_queries,
     all_queries_extended,
 )
-from mysql2clickhouse_spark.plans.plancheck import unpartitioned_windows
+from mysql2clickhouse_spark.plans.plancheck import lint, unpartitioned_windows
 
 # the EXTENDED set: the curated driver registry plus every un-folded
 # variant/twin — demotion from the driver surface never loses coverage
@@ -33,11 +33,12 @@ def con(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
     # blanket scale lint, same policy as scripts/check_parity.py: NO
-    # unpartitioned Window anywhere in the extended registry (a plan
-    # walk — no execution cost), so a lint-red query fails CI instead
-    # of hiding until the next check_parity sweep
-    glob = unpartitioned_windows(df)
-    assert not glob, f"{name}: UNPARTITIONED WINDOW: {glob[0][:160]}"
+    # unpartitioned Window and NO shuffled cartesian product anywhere
+    # in the extended registry (plan walks — no execution cost), so a
+    # lint-red query fails CI instead of hiding until the next
+    # check_parity sweep
+    findings = lint(df)
+    assert not findings, f"{name}: {findings[0][:160]}"
     if name in ORACLES:
         ok, msg = compare(df, con, ORACLES[name])
         assert ok, f"{name}: {msg}"
@@ -61,6 +62,24 @@ def test_blanket_lint_catches_a_global_window_query(spark):
     assert unpartitioned_windows(bad_query(spark, None)), (
         "the blanket lint failed to flag a deliberately global window"
     )
+    assert any("UNPARTITIONED WINDOW" in f for f in lint(bad_query(spark, None)))
+
+
+def test_blanket_lint_catches_a_shuffled_cartesian_product(spark):
+    """Gate self-test for lint rule 2: a cross join that compiles to a
+    shuffled CartesianProduct is flagged; the broadcast form (the only
+    cross-join shape the registry's cert twins use) passes."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(100).withColumnRenamed("id", "y")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert any("CARTESIAN PRODUCT" in f for f in lint(a.crossJoin(b)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert not lint(a.crossJoin(F.broadcast(b)))
 
 
 def test_entry_smoke(spark):
