@@ -218,3 +218,30 @@ def test_export_shards_tar_binary_payloads(spark, tmp_path):
         assert tf.extractfile("000000000003.image").read() == b""
         meta = json.loads(tf.extractfile("000000000002.json").read())
         assert meta["modality"] == "audio" and meta["n_tokens"] == 12
+
+
+def test_export_shards_tar_unicode_byte_exact(spark, tmp_path):
+    """Byte-exactness across the utf-8 edge cases a real corpus hits:
+    multibyte scripts, emoji, newlines, tabs, long runs — every .txt
+    member must hold exactly the utf-8 encoding of the source text."""
+    import os
+    import tarfile
+
+    from mysql2clickhouse_spark.operators.export import export_shards_tar
+
+    texts = [
+        "plain ascii",
+        "héllo wörld — ünïcode",
+        "日本語のテキストです",
+        "emoji 🙂🚀 and \t tabs\nand newlines\n",
+        "mixed Ω≈ç√∫˜µ≤≥÷ " * 50,
+    ]
+    rows = [(i, t, len(t.split())) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_tokens bigint")
+    out = str(tmp_path / "out")
+    export_shards_tar(spark, df, out, rows_per_file=100)
+    shard = os.listdir(os.path.join(out, "data"))[0]
+    with tarfile.open(os.path.join(out, "data", shard)) as tf:
+        for i, t in enumerate(texts):
+            got = tf.extractfile(f"{i:012d}.txt").read()
+            assert got == t.encode("utf-8"), i
