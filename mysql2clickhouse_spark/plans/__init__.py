@@ -53,7 +53,8 @@ CORE_QUERY_KEYS = (
     "events_sessionize",
     "events_asof_join",
     "events_range_join",
-    "events_approx_profile",
+    "sketch_suite",              # suite: approx profile + HLL distincts + GK quantiles
+                                 # (rotation r5: replaced bare events_approx_profile)
     "table_profile_orders",
     "sql_corpus_parity",         # certifies all 23 literal-SQL statements
     # --- CDC core (§2.1-§2.4) ---

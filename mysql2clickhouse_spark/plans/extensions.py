@@ -1126,6 +1126,120 @@ def multimodal_export_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: absolute slack for sketch-vs-exact certification at test SF: HLL with
+#: lgK=14 is EXACT in sparse mode below ~2^14 distincts and ±0.8% above;
+#: KLL/GK percentile rank error is bounded by the accuracy parameter
+SKETCH_ABS_SLACK = 3
+SKETCH_REL_SLACK = 0.05
+#: certification rank window for the quantile sketch: wider than the
+#: sketch's own 1/accuracy rank error because the sketch returns a DATA
+#: ELEMENT while the exact bound percentiles interpolate between
+#: elements — at small group sizes an element can sit just outside an
+#: interpolated ±ε window even when its rank is exact
+QUANTILE_CERT_EPS = 0.01
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — Apache DataSketches HLL via
+    the native ``hll_sketch_agg`` (Spark 3.5+): one binary sketch per
+    day, union-merged for the overall count. This is THE 100 TB shape
+    for distinct users: per-partition sketches combine map-side,
+    register-wise max is order-independent (deterministic estimates),
+    a day's sketch is ~16 KB regardless of cardinality, and the
+    overall count is a reduce over day sketches — never a re-scan.
+    A COUNT(DISTINCT) rewrite of the same rollup re-shuffles the raw
+    id universe per grouping set.
+
+    Certification: each scope row carries the EXACT distinct count and
+    a bounded-error flag |estimate − exact| ≤ max(abs, rel·exact); the
+    DuckDB oracle recomputes the exacts and expects every flag true.
+    Output: (scope, n_exact, est_ok)."""
+    from pyspark.sql.functions import (
+        hll_sketch_agg,
+        hll_sketch_estimate,
+        hll_union_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    bound = lambda exact: F.greatest(  # noqa: E731
+        F.lit(SKETCH_ABS_SLACK).cast("double"),
+        F.lit(SKETCH_REL_SLACK) * exact.cast("double"),
+    )
+    daily = ev.groupBy("d").agg(
+        hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    per_day = daily.select(
+        F.concat(F.lit("day:"), F.col("d").cast("string")).alias("scope"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= bound(F.col("n_exact"))
+        ).alias("est_ok"),
+    )
+    merged = daily.agg(hll_union_agg("sk").alias("sk"))
+    total = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    overall = total.crossJoin(F.broadcast(merged)).select(
+        F.lit("all").alias("scope"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= bound(F.col("n_exact"))
+        ).alias("est_ok"),
+    )
+    return per_day.unionByName(overall)
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-mergeable VALUE-quantile estimates per event type —
+    ``approx_percentile`` (Greenwald-Khanna, deterministic): p50/p90/p99
+    of ``value``, certified against the exact percentiles with a
+    rank-error bound. At 100 TB the exact form needs a full sort per
+    group; the sketch combines map-side in bounded memory. The flag
+    asserts each estimate lies between the exact interpolated
+    percentiles at rank ±``QUANTILE_CERT_EPS``·n — a window wider than
+    the sketch's own 0.1% rank guarantee because the sketch returns a
+    data ELEMENT while the bounds interpolate. Output: one row per
+    (event_type, p) with the exact percentile and in_bounds."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    eps = QUANTILE_CERT_EPS  # sketch accuracy itself is 1000 (0.1% rank)
+    probs = [0.5, 0.9, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", probs, 1000).alias("est"),
+        *[
+            F.expr(f"percentile(value, {max(p - eps, 0.0)})").alias(f"lo_{i}")
+            for i, p in enumerate(probs)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(p + eps, 1.0)})").alias(f"hi_{i}")
+            for i, p in enumerate(probs)
+        ],
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"exact_{i}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    rows = []
+    for i, p in enumerate(probs):
+        rows.append(
+            agg.select(
+                "event_type",
+                F.lit(p).alias("p"),
+                F.round(F.col(f"exact_{i}"), 4).alias("exact_value"),
+                (
+                    (F.col("est")[i] >= F.col(f"lo_{i}"))
+                    & (F.col("est")[i] <= F.col(f"hi_{i}"))
+                ).alias("in_bounds"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1166,6 +1280,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "multimodal_features": multimodal_features,
     "multimodal_export_tar": multimodal_export_tar,
+    "events_hll_distinct": events_hll_distinct,
+    "events_quantile_sketch": events_quantile_sketch,
 }
 
 _MUTANT_SQL = f"""
@@ -1304,6 +1420,40 @@ SELECT doc_id,
 FROM documents
 """,
     # 1:1 resize to 32x16: every payload lands at exactly 512 bytes
+    # exact distinct counts recomputed; the bounded-error flags are the
+    # engine-side sketch certification (HLL lgK=14 is exact in sparse
+    # mode at these cardinalities)
+    "events_hll_distinct": """
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events)
+SELECT 'day:' || CAST(d AS VARCHAR) AS scope,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       true AS est_ok
+FROM e GROUP BY d
+UNION ALL
+SELECT 'all' AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       true AS est_ok
+FROM e
+""",
+    # exact interpolated percentiles recomputed (quantile_cont = the
+    # same continuous definition as Spark's percentile()); in_bounds is
+    # the engine-side GK rank-error certification
+    "events_quantile_sketch": """
+WITH q AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS e0,
+         round(quantile_cont(value, 0.9), 4) AS e1,
+         round(quantile_cont(value, 0.99), 4) AS e2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(0.5 AS DOUBLE) AS p, e0 AS exact_value,
+       true AS in_bounds FROM q
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE) AS p, e1 AS exact_value,
+       true AS in_bounds FROM q
+UNION ALL
+SELECT event_type, CAST(0.99 AS DOUBLE) AS p, e2 AS exact_value,
+       true AS in_bounds FROM q
+""",
     # totals recomputed from the utf-8 byte length of the text the fake
     # payload encodes; consistency is the engine-side parse-level cert
     "multimodal_export_tar": """

@@ -21,6 +21,10 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
 - ``ann_recall_suite``   = ann_{lsh,ivf,pq,ivfpq}_recall
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
+- ``sketch_suite``       = events_approx_profile + events_hll_distinct
+                           + events_quantile_sketch
+  (rotation note, round 5: REPLACED the bare ``events_approx_profile``
+  registry slot when the DataSketches-HLL and GK-quantile ops landed)
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
                            + corpus_export_tar + multimodal_export_tar
   (rotation notes: round 4 — this suite REPLACED the bare
@@ -174,6 +178,45 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregate (sketch) family as tagged tolerance
+    rows (method, k1, exact_value, ok): the whole-table HLL++/
+    percentile profile, per-day DataSketches HLL distincts with a
+    union-merged overall count, and per-group GK quantile estimates —
+    every row carries the EXACT value (DuckDB-reproducible) plus the
+    engine-side bounded-error flag."""
+    from .corpus import events_approx_profile
+    from .extensions import events_hll_distinct, events_quantile_sketch
+
+    prof = events_approx_profile(spark, sf_dir)
+    prof_rows = prof.select(
+        F.lit("profile_hll").alias("method"),
+        F.lit("all").alias("k1"),
+        F.col("n_users_exact").cast("double").alias("exact_value"),
+        F.col("hll_ok").alias("ok"),
+    ).unionByName(
+        prof.select(
+            F.lit("profile_p50").alias("method"),
+            F.lit("all").alias("k1"),
+            F.col("p50_exact").cast("double").alias("exact_value"),
+            F.col("p50_sketch_ok").alias("ok"),
+        )
+    )
+    hll = events_hll_distinct(spark, sf_dir).select(
+        F.lit("hll_distinct").alias("method"),
+        F.col("scope").alias("k1"),
+        F.col("n_exact").cast("double").alias("exact_value"),
+        F.col("est_ok").alias("ok"),
+    )
+    q = events_quantile_sketch(spark, sf_dir).select(
+        F.lit("quantile").alias("method"),
+        F.concat(F.col("event_type"), F.lit("@"), F.col("p").cast("string")).alias("k1"),
+        F.col("exact_value").cast("double").alias("exact_value"),
+        F.col("in_bounds").alias("ok"),
+    )
+    return prof_rows.unionByName(hll).unionByName(q)
+
+
 def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four training-shard export certifications, tagged by format:
     parquet shards, gzip JSON-Lines shards, WebDataset-style tar
@@ -234,6 +277,7 @@ QUERIES = {
     "ann_recall_suite": ann_recall_suite,
     "text_ranking_suite": text_ranking_suite,
     "corpus_export_suite": corpus_export_suite,
+    "sketch_suite": sketch_suite,
 }
 
 # Each suite oracle is the UNION of its members' oracles (imported, not
@@ -305,6 +349,24 @@ SELECT 'tfidf' AS method, CAST(src AS BIGINT) AS k1,
        CAST(dst AS BIGINT) AS k2, CAST(sim AS DOUBLE) AS score,
        CAST(rk AS INT) AS rk
 FROM ({quality.ORACLE["text_tfidf_docsim"]}) __tf
+""",
+    "sketch_suite": f"""
+SELECT 'profile_hll' AS method, 'all' AS k1,
+       CAST(n_users_exact AS DOUBLE) AS exact_value, hll_ok AS ok
+FROM ({corpus.ORACLE["events_approx_profile"]}) __p1
+UNION ALL
+SELECT 'profile_p50' AS method, 'all' AS k1,
+       CAST(p50_exact AS DOUBLE) AS exact_value, p50_sketch_ok AS ok
+FROM ({corpus.ORACLE["events_approx_profile"]}) __p2
+UNION ALL
+SELECT 'hll_distinct' AS method, scope AS k1,
+       CAST(n_exact AS DOUBLE) AS exact_value, est_ok AS ok
+FROM ({extensions.ORACLE["events_hll_distinct"]}) __h
+UNION ALL
+SELECT 'quantile' AS method,
+       event_type || '@' || CAST(p AS VARCHAR) AS k1,
+       CAST(exact_value AS DOUBLE) AS exact_value, in_bounds AS ok
+FROM ({extensions.ORACLE["events_quantile_sketch"]}) __q
 """,
     "corpus_export_suite": f"""
 SELECT 'parquet' AS fmt, n_kept, total_tokens, manifest_consistent
