@@ -1240,6 +1240,60 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def text_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch over the corpus vocabulary —
+    ``approx_top_k`` (Spark's frequent-items sketch): the top-10 most
+    frequent tokens, certified against the exact counts. At 100 TB the
+    exact form is a full token aggregation + TakeOrdered; the sketch
+    tracks a bounded item set per partition and merges map-side —
+    bounded memory at any vocabulary size.
+
+    Certification per exact-top-10 token: it must appear in the
+    sketch's (wider) top-50 item list with a count within
+    max(3, 0.5%·total_tokens) of exact — robust to near-tie reordering
+    at the boundary while still pinning the sketch found every true
+    heavy hitter with a near-exact count. Output: (token, cnt,
+    sketch_ok); exact counts are DuckDB-reproducible, tie-break on
+    (cnt desc, token)."""
+    from ..functions.text import tokens_col
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.explode(tokens_col(F.coalesce(F.col("text"), F.lit("")))).alias("token")
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    sk = tok.agg(
+        F.expr("approx_top_k(token, 50, 65536)").alias("tk"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    sk_items = sk.select(
+        "n_total", F.explode("tk").alias("s")
+    ).select(
+        F.col("s.item").alias("token"),
+        F.col("s.count").alias("sk_cnt"),
+        "n_total",
+    )
+    slack = F.greatest(
+        F.lit(3).cast("double"), F.lit(0.005) * F.col("n_total").cast("double")
+    )
+    return (
+        exact.join(F.broadcast(sk_items), "token", "left")
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (
+                F.col("sk_cnt").isNotNull()
+                & (F.abs(F.col("sk_cnt") - F.col("cnt")) <= slack)
+            ).alias("sketch_ok"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1282,6 +1336,7 @@ QUERIES = {
     "multimodal_export_tar": multimodal_export_tar,
     "events_hll_distinct": events_hll_distinct,
     "events_quantile_sketch": events_quantile_sketch,
+    "text_topk_sketch": text_topk_sketch,
 }
 
 _MUTANT_SQL = f"""
@@ -1420,6 +1475,21 @@ SELECT doc_id,
 FROM documents
 """,
     # 1:1 resize to 32x16: every payload lands at exactly 512 bytes
+    # exact top-10 tokens recomputed with the shared tokenizer and the
+    # same (cnt desc, token) tie-break; sketch_ok is the engine-side
+    # heavy-hitter certification
+    "text_topk_sketch": """
+WITH tok AS (
+  SELECT unnest(list_filter(
+      string_split_regex(lower(trim(coalesce(text, ''))), ' +'),
+      t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt, true AS sketch_ok
+FROM tok GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 10
+""",
     # exact distinct counts recomputed; the bounded-error flags are the
     # engine-side sketch certification (HLL lgK=14 is exact in sparse
     # mode at these cardinalities)

@@ -22,9 +22,10 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
 - ``sketch_suite``       = events_approx_profile + events_hll_distinct
-                           + events_quantile_sketch
+                           + events_quantile_sketch + text_topk_sketch
   (rotation note, round 5: REPLACED the bare ``events_approx_profile``
-  registry slot when the DataSketches-HLL and GK-quantile ops landed)
+  registry slot when the DataSketches-HLL, GK-quantile, and
+  heavy-hitter ops landed)
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
                            + corpus_export_tar + multimodal_export_tar
   (rotation notes: round 4 — this suite REPLACED the bare
@@ -186,7 +187,11 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row carries the EXACT value (DuckDB-reproducible) plus the
     engine-side bounded-error flag."""
     from .corpus import events_approx_profile
-    from .extensions import events_hll_distinct, events_quantile_sketch
+    from .extensions import (
+        events_hll_distinct,
+        events_quantile_sketch,
+        text_topk_sketch,
+    )
 
     prof = events_approx_profile(spark, sf_dir)
     prof_rows = prof.select(
@@ -214,7 +219,13 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_value").cast("double").alias("exact_value"),
         F.col("in_bounds").alias("ok"),
     )
-    return prof_rows.unionByName(hll).unionByName(q)
+    tk = text_topk_sketch(spark, sf_dir).select(
+        F.lit("topk").alias("method"),
+        F.col("token").alias("k1"),
+        F.col("cnt").cast("double").alias("exact_value"),
+        F.col("sketch_ok").alias("ok"),
+    )
+    return prof_rows.unionByName(hll).unionByName(q).unionByName(tk)
 
 
 def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +378,10 @@ SELECT 'quantile' AS method,
        event_type || '@' || CAST(p AS VARCHAR) AS k1,
        CAST(exact_value AS DOUBLE) AS exact_value, in_bounds AS ok
 FROM ({extensions.ORACLE["events_quantile_sketch"]}) __q
+UNION ALL
+SELECT 'topk' AS method, token AS k1,
+       CAST(cnt AS DOUBLE) AS exact_value, sketch_ok AS ok
+FROM ({extensions.ORACLE["text_topk_sketch"]}) __t
 """,
     "corpus_export_suite": f"""
 SELECT 'parquet' AS fmt, n_kept, total_tokens, manifest_consistent
