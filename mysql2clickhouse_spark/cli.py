@@ -84,6 +84,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="LEAVE_BINARY_LOGS_IN_DAYS analog (_settings.py:87-90)")
     pg.add_argument("--dry-run", action="store_true")
 
+    vf = sub.add_parser(
+        "verify",
+        help="source-vs-target integrity check: per-table checksum compare "
+             "of the changelog fold against the replicated store "
+             "(reference README.md:259-278 cross-DB verification)",
+    )
+    vf.add_argument("--changelog-dir", required=True, help="parquet changelog directory")
+    vf.add_argument("--target-dir", required=True, help="replication warehouse root")
+
     lc = sub.add_parser("ledger-compact", help="rewrite the ledger to one file")
     lc.add_argument("--target-dir", required=True)
     lc.add_argument("--keep-after", default=None,
@@ -193,6 +202,17 @@ def main(argv: list[str] | None = None) -> int:
         _emit({"job": "purge",
                **runner.purge_changelog(args.changelog_dir, keep_days=args.keep_days)})
         return 0
+
+    if args.cmd == "verify":
+        from .streaming.runner import ReplicationRunner, RunConfig
+
+        runner = ReplicationRunner(spark, RunConfig(target_dir=args.target_dir))
+        changelog = spark.read.parquet(args.changelog_dir)
+        bad = 0
+        for verdict in runner.verify_replication(changelog):
+            bad += 0 if verdict["digest_match"] else 1
+            _emit({"job": "verify", **verdict})
+        return 0 if bad == 0 else 3
 
     if args.cmd == "ledger-compact":
         from .streaming.runner import ReplicationRunner, RunConfig

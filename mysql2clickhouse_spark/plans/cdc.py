@@ -266,6 +266,60 @@ def cdc_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_from_json(env)
 
 
+def cdc_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DB integrity check — the reference mounts MySQL INTO
+    ClickHouse (``CREATE DATABASE ... ENGINE = MySQL``) explicitly for
+    source-vs-target data verification (README.md:259-278).  Engine
+    re-expression: pt-table-checksum-style per-table digest compare
+    (``operators/checksum.py``) — each side folds map-side to one row
+    per table and only those tiny aggregates are joined, so neither
+    table crosses the network at 100 TB.
+
+    Two tagged comparisons:
+
+    - ``compare='replica'``: the merge-fold SOURCE state (what the
+      MySQL table holds after the changelog) vs the INS-UPD append
+      store's latest-state READ MODEL (what a ClickHouse consumer
+      sees).  These genuinely diverge on every key whose terminal op
+      is DELETE — the version store keeps the last pre-delete image by
+      design (_settings.py:124-138) — so the checker is certified to
+      FIRE on a real divergence, per table, with count and digest
+      mismatches surfaced.
+    - ``compare='selfcheck'``: the same source state computed through
+      two independent plan forms (window replay vs skew-immune
+      max_by argmax).  Must MATCH — certifying the checker is quiet on
+      equal states and the two mutate forms agree against SQL ground
+      truth.
+    """
+    from ..operators.checksum import checksum_compare, row_digest, table_checksums
+
+    cl = _cl(spark, sf_dir)
+
+    def digest(seq_col: str):
+        return row_digest([
+            F.col("key"),
+            F.col(seq_col),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.floor(F.col("value") * 100).cast("bigint"),
+            F.col("event_type"),
+        ])
+
+    src = apply_mutate(cl, ["key"], form="window")
+    dst = latest_by_key(apply_insert_as_update(cl, ["key"]), ["key"], "dateid")
+    replica = checksum_compare(
+        table_checksums(src, digest("seq")),
+        table_checksums(dst, digest("dateid")),
+    ).select(F.lit("replica").alias("compare"), "*")
+
+    src_argmax = apply_mutate(cl, ["key"], form="argmax")
+    self_check = checksum_compare(
+        table_checksums(src, digest("seq")),
+        table_checksums(src_argmax, digest("seq")),
+    ).select(F.lit("selfcheck").alias("compare"), "*")
+
+    return replica.unionByName(self_check)
+
+
 QUERIES = {
     "cdc_apply_append": cdc_apply_append,
     "cdc_apply_ins_upd": cdc_apply_ins_upd,
@@ -280,12 +334,69 @@ QUERIES = {
     "cdc_binlog_purge": cdc_binlog_purge,
     "cdc_json_roundtrip": cdc_json_roundtrip,
     "cdc_replication_e2e": cdc_replication_e2e,
+    "cdc_consistency_check": cdc_consistency_check,
 }
+
+#: DuckDB twin of ``operators.checksum.row_digest`` over the canonical
+#: changelog columns — same md5/substr/hex-parse arithmetic, verified
+#: bit-identical cross-engine.
+_DIGEST_SQL = (
+    "CAST(('0x' || substr(md5(concat_ws('|', key, {seq}, "
+    "strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(FLOOR(value*100) AS BIGINT), "
+    "event_type)), 1, 15)) AS BIGINT)"
+)
+
+_CONSISTENCY_SQL = f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+src AS (
+    SELECT table_name, {_DIGEST_SQL.format(seq='seq')} AS d
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM c
+    ) WHERE rn = 1 AND op <> 'D'
+),
+dst AS (
+    SELECT table_name, {_DIGEST_SQL.format(seq='seq')} AS d
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM c WHERE op IN ('I', 'U')
+    ) WHERE rn = 1
+),
+ssum AS (
+    SELECT table_name, count(*) AS n, CAST(SUM(d % 1000000007) AS BIGINT) AS s,
+           bit_xor(d) AS x
+    FROM src GROUP BY table_name
+),
+dsum AS (
+    SELECT table_name, count(*) AS n, CAST(SUM(d % 1000000007) AS BIGINT) AS s,
+           bit_xor(d) AS x
+    FROM dst GROUP BY table_name
+),
+replica AS (
+    SELECT 'replica' AS compare,
+           COALESCE(ssum.table_name, dsum.table_name) AS table_name,
+           COALESCE(ssum.n, 0) AS n_src, COALESCE(dsum.n, 0) AS n_dst,
+           COALESCE(ssum.n, 0) = COALESCE(dsum.n, 0) AS count_match,
+           COALESCE(ssum.n, 0) = COALESCE(dsum.n, 0)
+               AND ssum.s IS NOT DISTINCT FROM dsum.s
+               AND ssum.x IS NOT DISTINCT FROM dsum.x AS digest_match
+    FROM ssum FULL OUTER JOIN dsum ON ssum.table_name = dsum.table_name
+),
+selfcheck AS (
+    -- window vs argmax mutate forms are the same state in SQL: the
+    -- oracle asserts Spark's two plans both equal this ground truth
+    SELECT 'selfcheck' AS compare, table_name, n AS n_src, n AS n_dst,
+           TRUE AS count_match, TRUE AS digest_match
+    FROM ssum
+)
+SELECT * FROM replica UNION ALL SELECT * FROM selfcheck
+"""
 
 ORACLE = {
     # envelope build+parse is lossless, so the round-trip equals the
     # changelog view itself
     "cdc_json_roundtrip": CHANGELOG_VIEW_SQL,
+    "cdc_consistency_check": _CONSISTENCY_SQL,
     # final stored state per policy: ins_upd tables = argmax over I/U
     # versions; mutate table = argmax over all events, deletes terminal
     "cdc_replication_e2e": f"""

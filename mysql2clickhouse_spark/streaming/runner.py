@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import DEFAULT_POLICY, REGISTRY, TablePolicy
 from ..fs import fs_for
-from ..operators.apply import apply_insert_as_update, apply_mutate
+from ..operators.apply import apply_insert_as_update, apply_mutate, latest_by_key
 from ..operators.dedup import dedup_in_window
 from ..operators.drift import SchemaDriftError, diff_schemas
 from ..operators.filters import filter_pos_range, split_old_deletes, split_poison
@@ -1282,3 +1282,96 @@ class ReplicationRunner:
             deduped.unpersist()
         self._swap_partitions(staging, path, months)
         return stats
+
+    def verify_replication(self, changelog: DataFrame) -> list[dict]:
+        """Source-vs-target integrity check — the reference's
+        cross-DB verification use case (README.md:259-278: MySQL
+        mounted into ClickHouse "для проверки целостности данных").
+
+        For every table routed by the given changelog: fold the
+        changelog to the EXPECTED state per the table's policy
+        (insert_as_update → argmax over I/U versions; mutate → merge
+        fold, deletes terminal), read the STORED table through the
+        same read model, and compare per-table row counts plus two
+        order-insensitive row digests (``operators/checksum.py``).
+        pt-table-checksum shape: each side folds map-side to ONE row,
+        so at 100 TB no table data crosses the network for the check —
+        the only collect is the per-table verdict list.
+
+        Digest canonicalization is schema-driven over the COMMON
+        columns of the two read models (timestamps formatted to
+        seconds, floating payloads floored at cent precision, the rest
+        cast to string), so the check works for any policy table, not
+        just the fixture schema.  Returns one dict per table;
+        ``digest_match`` False flags a divergent table for the bounded
+        ``operators.checksum.row_diff`` drill-down.
+
+        The expected fold replays the RAW changelog: rows the runner
+        deliberately did not apply (F6-rejected old deletes, poison
+        quarantine) therefore surface as divergence — that is the
+        point of an integrity check; the operator reconciles flagged
+        tables against the rejects table and the run reports.
+        """
+        from ..operators.checksum import checksum_compare, row_digest, table_checksums
+
+        def _canon(df: DataFrame, cols: list[str]) -> list:
+            out = []
+            by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            for c in cols:
+                t = by_name[c]
+                if t.startswith("timestamp"):
+                    out.append(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+                elif t in ("double", "float"):
+                    out.append(F.floor(F.col(c) * 100).cast("bigint"))
+                else:
+                    out.append(F.col(c).cast("string"))
+            return out
+
+        verdicts: list[dict] = []
+        tables = [
+            r["table_name"]
+            for r in changelog.select("table_name").distinct().orderBy("table_name").collect()
+        ]
+        for tbl in tables:
+            policy = REGISTRY.get(tbl, DEFAULT_POLICY)
+            tslice = changelog.filter(F.col("table_name") == tbl)
+            keys = self._resolve_cols(policy, tslice)
+            try:
+                stored = self.spark.read.parquet(self.table_path(tbl))
+            except AnalysisException as e:
+                if _missing_path(e):
+                    verdicts.append(
+                        {"table_name": tbl, "n_src": tslice.count(), "n_dst": 0,
+                         "count_match": False, "digest_match": False,
+                         "error": "target table missing"}
+                    )
+                    continue
+                raise
+            if policy.apply_mode in ("append", "insert_as_update"):
+                expected = latest_by_key(
+                    apply_insert_as_update(tslice, keys), keys, "dateid", form="window"
+                )
+                actual = latest_by_key(stored, keys, "dateid", form="window")
+            else:
+                expected = apply_mutate(tslice, keys, form="argmax")
+                actual = stored
+            cols = sorted(
+                (set(expected.columns) & set(actual.columns))
+                - {"op", "yyyymm", "file_seq", "schema_name", "table_name"}
+            )
+            src_sums = table_checksums(
+                expected.withColumn("__tbl", F.lit(tbl)),
+                row_digest(_canon(expected, cols)),
+                table_col="__tbl",
+            )
+            dst_sums = table_checksums(
+                actual.withColumn("__tbl", F.lit(tbl)),
+                row_digest(_canon(actual, cols)),
+                table_col="__tbl",
+            )
+            row = checksum_compare(src_sums, dst_sums).collect()[0]
+            verdicts.append(
+                {"table_name": tbl, "n_src": row["n_src"], "n_dst": row["n_dst"],
+                 "count_match": row["count_match"], "digest_match": row["digest_match"]}
+            )
+        return verdicts

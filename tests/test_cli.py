@@ -187,3 +187,30 @@ def test_cli_purge_and_ledger_compact(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert rep["job"] == "ledger-compact" and rep["files_after"] == 1
+
+
+def test_cli_verify_green_then_red(spark, tmp_path, capsys):
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    _stage_changelog(spark, cl)
+    assert main(["run", "--changelog-dir", cl, "--target-dir", wh,
+                 "--max-minutes", "1"]) == 0
+    capsys.readouterr()
+
+    rc = main(["verify", "--changelog-dir", cl, "--target-dir", wh])
+    lines = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert rc == 0
+    assert {r["table_name"] for r in lines} == {"visits", "events_state"}
+    assert all(r["digest_match"] for r in lines)
+
+    # tamper with one table -> nonzero exit and a flagged verdict line
+    path = os.path.join(wh, "tables", "events_state")
+    stored = spark.read.parquet(path)
+    stored.limit(1).withColumn("value", stored["value"] + 1.0).write.mode(
+        "append"
+    ).partitionBy("yyyymm").parquet(path)
+    rc = main(["verify", "--changelog-dir", cl, "--target-dir", wh])
+    lines = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert rc == 3
+    flagged = {r["table_name"]: r["digest_match"] for r in lines}
+    assert flagged["events_state"] is False and flagged["visits"] is True

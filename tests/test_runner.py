@@ -841,3 +841,81 @@ def test_compact_ledger_folds_files_and_keeps_resume(spark, tmp_path):
     st = runner.compact_ledger(keep_created_after="2024-03-01 02:00:00")
     assert st["rows"] < rows_before
     assert runner.resume_seq() == resume_before  # argmax row is newest
+
+
+def test_verify_replication_matches_then_flags_corruption(spark, tmp_path):
+    """Source-vs-target integrity check (reference README.md:259-278):
+    after a clean replication every table's checksums agree; after the
+    target is tampered with, ONLY the tampered table is flagged."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+
+    verdicts = {v["table_name"]: v for v in runner.verify_replication(cl)}
+    assert set(verdicts) == {"visits", "events_state"}
+    assert all(v["digest_match"] and v["count_match"] for v in verdicts.values())
+
+    # tamper: duplicate one stored state row of the mutate-mode table
+    # (append through partitionBy so the row lands inside a partition
+    # dir the reader actually picks up)
+    path = runner.table_path("events_state")
+    stored = spark.read.parquet(path)
+    extra = stored.limit(1).withColumn("value", F.col("value") + 1000.0)
+    extra.write.mode("append").partitionBy("yyyymm").parquet(path)
+
+    verdicts = {v["table_name"]: v for v in runner.verify_replication(cl)}
+    assert not verdicts["events_state"]["count_match"]
+    assert not verdicts["events_state"]["digest_match"]
+    assert verdicts["visits"]["digest_match"]  # isolation: untouched table stays green
+
+
+def test_verify_replication_value_corruption_caught_by_digest(spark, tmp_path):
+    """A same-count value edit slips past the row count but not the
+    digest accumulators (the pt-table-checksum property)."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+
+    path = runner.table_path("events_state")
+    stored = spark.read.parquet(path).cache()
+    stored.count()
+    edited = stored.withColumn(
+        "value", F.when(F.col("key") == 1, F.col("value") + 7.0).otherwise(F.col("value"))
+    )
+    staging = path + "__edit"
+    edited.write.mode("overwrite").parquet(staging)
+    import shutil
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    stored.unpersist()
+
+    verdicts = {v["table_name"]: v for v in runner.verify_replication(cl)}
+    assert verdicts["events_state"]["count_match"]
+    assert not verdicts["events_state"]["digest_match"]
+
+
+def test_verify_replication_missing_table_reported(spark, tmp_path):
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark)
+    runner.run_once(cl)
+    import shutil
+    shutil.rmtree(runner.table_path("visits"))
+    verdicts = {v["table_name"]: v for v in runner.verify_replication(cl)}
+    assert verdicts["visits"]["error"] == "target table missing"
+    assert not verdicts["visits"]["digest_match"]
+
+
+def test_checksum_row_diff_classifies_divergence(spark):
+    """Drill-down op for tables the checksum flagged: only_src /
+    only_dst / value_diff classification on the business key."""
+    from mysql2clickhouse_spark.operators.checksum import row_diff, row_digest
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "key bigint, v string"
+    )
+    dst = spark.createDataFrame(
+        [(2, "b"), (3, "X"), (4, "d")], "key bigint, v string"
+    )
+    d = row_digest([F.col("v")])
+    got = {r["key"]: r["diff"] for r in row_diff(src, dst, ["key"], d).collect()}
+    assert got == {1: "only_src", 3: "value_diff", 4: "only_dst"}
