@@ -69,6 +69,9 @@ CORE_QUERY_KEYS = (
     "cdc_binlog_purge",          # Q6 guard
     "cdc_json_roundtrip",        # S1 JSON envelope
     "cdc_replication_e2e",       # the runner end-to-end (B1-B4, S5/S6)
+    "cdc_consistency_check",     # source-vs-target checksum verify
+                                 # (reference README.md:259-278; slot freed
+                                 # by the r6 stream_suite fold)
     # --- dedup family ---
     "dedup_exact",
     "dedup_cert_suite",          # suite: minhash/simhash/semdedup twins
@@ -96,8 +99,10 @@ CORE_QUERY_KEYS = (
     "corpus_export_suite",       # suite: parquet + jsonl.gz export certs
                                  # (replaced corpus_export_shards, r4)
     # --- structured streaming ---
-    "stream_latest_state",
-    "stream_windowed_counts",
+    "stream_suite",              # suite: stateful latest + watermarked
+                                 # windows + stream-stream interval join
+                                 # (rotation r6: replaced the two bare
+                                 # stream_* slots)
 )
 
 

@@ -367,8 +367,77 @@ def stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: event-time reach of the stream-stream join (u.ts within this many
+#: minutes AFTER its insert's i.ts) — the reference's arrival shape is
+#: "visit row, then its action rows shortly after"
+JOIN_WINDOW_MIN = 30
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — §2.7's remaining concept:
+    the INSERT stream of the ``visits`` table joined to its UPDATE
+    stream on key with an event-time range condition
+    ``u_ts ∈ [i_ts, i_ts + 30 min]`` (the reference's arrival shape:
+    a visit row lands, its action rows follow within the visit).
+
+    Both sides carry watermarks and the join carries the time-range
+    predicate, which is exactly what lets Spark bound the join state:
+    an insert's state row is evictable once the watermark passes
+    ``i_ts + 30 min``, an update's once it passes ``u_ts`` — state is
+    sized by the watermark horizon, not the stream length (the 100 TB
+    contract for stream-stream joins; without the range condition the
+    state grows forever).
+
+    Oracle determinism: the bounded changelog is staged ONE file per
+    side, so availableNow processes everything in the first micro-batch
+    and no watermark eviction can race arrival order — the emitted set
+    equals the batch interval join EXACTLY.  Multi-batch invariance
+    under an ample watermark is pinned in tests/test_streaming.py
+    (arrival order is event-time-monotone there, mirroring binlog
+    tailing, where position order IS time order)."""
+    cl = changelog_from_events(load_table(spark, sf_dir, "events")).filter(
+        F.col("table_name") == "visits"
+    )
+    base = scratch_dir("m2c_stream_ssj_")
+    i_dir = os.path.join(base, "ins")
+    u_dir = os.path.join(base, "upd")
+    cl.filter("op = 'I'").coalesce(1).write.mode("overwrite").parquet(i_dir)
+    cl.filter("op = 'U'").coalesce(1).write.mode("overwrite").parquet(u_dir)
+
+    ins = (
+        spark.readStream.schema(CHANGELOG_DDL).parquet(i_dir)
+        .select("key", F.col("seq").alias("i_seq"), F.col("ts").alias("i_ts"))
+        .withWatermark("i_ts", WATERMARK)
+    )
+    upd = (
+        spark.readStream.schema(CHANGELOG_DDL).parquet(u_dir)
+        .select(
+            F.col("key").alias("u_key"),
+            F.col("seq").alias("u_seq"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", WATERMARK)
+    )
+    joined = ins.join(
+        upd,
+        F.expr(
+            f"key = u_key AND u_ts >= i_ts "
+            f"AND u_ts <= i_ts + INTERVAL {JOIN_WINDOW_MIN} MINUTES"
+        ),
+    ).select("key", "i_seq", "u_seq", "i_ts", "u_ts")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_latest_state
+    try:
+        sink = _run_to_sink(joined, base, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink)
+
+
 QUERIES = {
     "stream_latest_state": stream_latest_state,
+    "stream_stream_join": stream_stream_join,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_replay": stream_dedup_replay,
@@ -377,6 +446,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    # single-batch availableNow run == the batch interval join exactly
+    "stream_stream_join": f"""
+WITH c AS ({CHANGELOG_VIEW_SQL}),
+i AS (SELECT key, seq AS i_seq, ts AS i_ts FROM c
+      WHERE op = 'I' AND table_name = 'visits'),
+u AS (SELECT key AS u_key, seq AS u_seq, ts AS u_ts FROM c
+      WHERE op = 'U' AND table_name = 'visits')
+SELECT key, i_seq, u_seq, i_ts, u_ts
+FROM i JOIN u ON key = u_key
+  AND u_ts >= i_ts AND u_ts <= i_ts + INTERVAL {JOIN_WINDOW_MIN} MINUTE
+""",
     # streaming incremental ingest == one-shot recompute, planted recall
     # clears the bound: fixed expected outcomes (hash-family twin)
     "stream_neardup_index": """

@@ -26,6 +26,11 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
   (rotation note, round 5: REPLACED the bare ``events_approx_profile``
   registry slot when the DataSketches-HLL, GK-quantile, and
   heavy-hitter ops landed)
+- ``stream_suite``       = stream_latest_state + stream_windowed_counts
+                           + stream_stream_join
+  (rotation note, round 6: REPLACED the two bare stream_* slots when
+  the stream-stream join landed; the freed slot admitted
+  ``cdc_consistency_check``)
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
                            + corpus_export_tar + multimodal_export_tar
   (rotation notes: round 4 — this suite REPLACED the bare
@@ -44,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import cdc, corpus, curation, extensions, quality
+from . import cdc, corpus, curation, extensions, quality, streaming_queries
 from .cdc import (
     cdc_apply_append,
     cdc_apply_ins_upd,
@@ -280,8 +285,65 @@ def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.unionByName(tf)
 
 
+def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuinely-streaming §2.7 oracle rows folded into one driver
+    slot, tagged by member — each runs a REAL StreamingQuery inside the
+    callable: the ``applyInPandasWithState`` latest-state fold, the
+    watermarked tumbling-window counts, and the watermarked
+    stream-stream interval join.  Null-padded wide union so every
+    member keeps its native column types in the value hash.
+
+    (rotation note, round 6: REPLACED the bare ``stream_latest_state``
+    and ``stream_windowed_counts`` registry slots, admitting the new
+    ``stream_stream_join`` without widening the ≤50 surface; the freed
+    slot went to ``cdc_consistency_check``.)"""
+    from .streaming_queries import (
+        stream_latest_state,
+        stream_stream_join,
+        stream_windowed_counts,
+    )
+
+    def nb():
+        return F.lit(None).cast("bigint")
+
+    def nts():
+        return F.lit(None).cast("timestamp")
+
+    def ns():
+        return F.lit(None).cast("string")
+
+    ls = stream_latest_state(spark, sf_dir).select(
+        F.lit("latest_state").alias("member"),
+        "key", "seq", "ts", "value", "event_type", "deleted",
+        nts().alias("win_start"), nts().alias("win_end"),
+        ns().alias("table_name"), nb().alias("cnt"),
+        nb().alias("i_seq"), nb().alias("u_seq"),
+        nts().alias("i_ts"), nts().alias("u_ts"),
+    )
+    wc = stream_windowed_counts(spark, sf_dir).select(
+        F.lit("windowed_counts").alias("member"),
+        nb().alias("key"), nb().alias("seq"), nts().alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        ns().alias("event_type"), ns().alias("deleted"),
+        "win_start", "win_end", "table_name", "cnt",
+        nb().alias("i_seq"), nb().alias("u_seq"),
+        nts().alias("i_ts"), nts().alias("u_ts"),
+    )
+    sj = stream_stream_join(spark, sf_dir).select(
+        F.lit("stream_join").alias("member"),
+        "key", nb().alias("seq"), nts().alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        ns().alias("event_type"), ns().alias("deleted"),
+        nts().alias("win_start"), nts().alias("win_end"),
+        ns().alias("table_name"), nb().alias("cnt"),
+        "i_seq", "u_seq", "i_ts", "u_ts",
+    )
+    return ls.unionByName(wc).unionByName(sj)
+
+
 QUERIES = {
     "q45_retention": q45_retention,
+    "stream_suite": stream_suite,
     "cdc_apply_suite": cdc_apply_suite,
     "cdc_insupd_suite": cdc_insupd_suite,
     "dedup_cert_suite": dedup_cert_suite,
@@ -396,5 +458,30 @@ UNION ALL
 SELECT 'media_tar' AS fmt, n_media AS n_kept, total_bytes AS total_tokens,
        manifest_consistent
 FROM ({extensions.ORACLE["multimodal_export_tar"]}) __mm
+""",
+    "stream_suite": f"""
+SELECT 'latest_state' AS member, key, seq, ts, value, event_type, deleted,
+       CAST(NULL AS TIMESTAMP) AS win_start, CAST(NULL AS TIMESTAMP) AS win_end,
+       CAST(NULL AS VARCHAR) AS table_name, CAST(NULL AS BIGINT) AS cnt,
+       CAST(NULL AS BIGINT) AS i_seq, CAST(NULL AS BIGINT) AS u_seq,
+       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts
+FROM ({streaming_queries.ORACLE["stream_latest_state"]}) __ls
+UNION ALL
+SELECT 'windowed_counts' AS member, CAST(NULL AS BIGINT) AS key,
+       CAST(NULL AS BIGINT) AS seq, CAST(NULL AS TIMESTAMP) AS ts,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS VARCHAR) AS deleted,
+       win_start, win_end, table_name, cnt,
+       CAST(NULL AS BIGINT) AS i_seq, CAST(NULL AS BIGINT) AS u_seq,
+       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts
+FROM ({streaming_queries.ORACLE["stream_windowed_counts"]}) __wc
+UNION ALL
+SELECT 'stream_join' AS member, key, CAST(NULL AS BIGINT) AS seq,
+       CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS value,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS deleted,
+       CAST(NULL AS TIMESTAMP) AS win_start, CAST(NULL AS TIMESTAMP) AS win_end,
+       CAST(NULL AS VARCHAR) AS table_name, CAST(NULL AS BIGINT) AS cnt,
+       i_seq, u_seq, i_ts, u_ts
+FROM ({streaming_queries.ORACLE["stream_stream_join"]}) __sj
 """,
 }

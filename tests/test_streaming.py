@@ -219,3 +219,52 @@ def test_session_window_boundary_semantics(spark):
     assert rows[1]["count"] == 1 and rows[2]["count"] == 2
     merged = out.filter(F.col("k") == 1).collect()[0]
     assert str(merged["end"]) == "2024-01-01 01:00:00"  # last event + gap
+
+
+def test_stream_stream_join_multibatch_equals_batch_join(spark, tmp_path):
+    """Stream-stream inner join across MULTIPLE micro-batches (one file
+    per trigger, event-time-ordered arrival — the binlog-tail shape)
+    equals the batch interval join, with watermarks on both sides and
+    the time-range condition bounding the join state."""
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # inserts at minute 0/40/80; updates 5 and 35 min after each insert
+    ins_rows = [(k, 100 + k, t0 + dt.timedelta(minutes=40 * k)) for k in range(3)]
+    upd_rows = []
+    for k, _seq, its in ins_rows:
+        upd_rows.append((k, 500 + k, its + dt.timedelta(minutes=5)))    # in window
+        upd_rows.append((k, 600 + k, its + dt.timedelta(minutes=35)))   # out of window
+    ins = spark.createDataFrame(ins_rows, "key bigint, i_seq bigint, i_ts timestamp")
+    upd = spark.createDataFrame(upd_rows, "u_key bigint, u_seq bigint, u_ts timestamp")
+
+    i_dir, u_dir = str(tmp_path / "ins"), str(tmp_path / "upd")
+    # 2 files per side => several micro-batches under maxFilesPerTrigger=1
+    ins.repartition(2).write.parquet(i_dir)
+    upd.repartition(2).write.parquet(u_dir)
+
+    si = (
+        spark.readStream.schema("key bigint, i_seq bigint, i_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(i_dir)
+        .withWatermark("i_ts", "3 hours")
+    )
+    su = (
+        spark.readStream.schema("u_key bigint, u_seq bigint, u_ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(u_dir)
+        .withWatermark("u_ts", "3 hours")
+    )
+    joined = si.join(
+        su,
+        F.expr("key = u_key AND u_ts >= i_ts AND u_ts <= i_ts + INTERVAL 30 MINUTES"),
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r["key"], r["u_seq"]) for r in spark.read.parquet(sink).collect()}
+    # exactly the in-window update per insert; the 35-min updates excluded
+    assert got == {(0, 500), (1, 501), (2, 502)}
