@@ -118,6 +118,67 @@ def train_bpe(
     return merges, words
 
 
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale BPE ENCODE + certified DECODE round-trip.
+
+    Applying a trained tokenizer is a broadcast lookup, not a re-run of
+    the merges: explode the doc into position-tagged words, join the
+    (vocabulary-sized, broadcast) word→symbols table, and rebuild the
+    ordered token stream per doc with one aggregation — ``collect_list``
+    order is not deterministic, so order is restored structurally by
+    ``array_sort`` on the position tag.  One explode, one broadcast
+    join, one shuffle on ``doc_id``; nothing corpus-sized is ever
+    collected or re-merged.
+
+    Output per doc: ``n_words``, ``n_tokens`` (emitted subword count,
+    ``</w>`` markers riding on each word's last symbol), ``tokens``
+    (the encoded sequence), and ``roundtrip_text`` — the DECODE of the
+    encoded stream (symbols concatenated per word, markers stripped,
+    words re-joined).  Because BPE merges only ever concatenate
+    adjacent symbols of the SAME word, the decode must equal the
+    canonicalized input (lower, trimmed, single-spaced) byte-for-byte;
+    a digest compare of ``roundtrip_text`` against the raw table is a
+    full losslessness certificate for the encode path."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " +"),
+        lambda w: F.length(w) > 0,
+    )
+    ex = docs.select(id_col, F.posexplode_outer(words).alias("pos", "word"))
+    j = ex.join(F.broadcast(vocab.select("word", "spaced")), "word", "left")
+    per_doc = j.groupBy(id_col).agg(
+        F.count("word").alias("n_words"),
+        F.coalesce(F.sum(F.size(F.split("spaced", " "))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "spaced"))).alias("__ws"),
+    )
+    spaced_seq = F.filter(
+        F.transform("__ws", lambda s: s["spaced"]), lambda x: x.isNotNull()
+    )
+    tokens = F.flatten(F.transform(spaced_seq, lambda sp: F.split(sp, " ")))
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            spaced_seq,
+            lambda sp: F.replace(
+                F.replace(sp, F.lit(" "), F.lit("")), F.lit(END_WORD), F.lit("")
+            ),
+        ),
+    )
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "n_tokens",
+        tokens.alias("tokens"),
+        rebuilt.alias("roundtrip_text"),
+    )
+
+
 def tokenize_counts(
     docs: DataFrame,
     vocab: DataFrame,

@@ -596,6 +596,36 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale application of the trained BPE tokenizer
+    (``functions/bpe.py encode_docs``) with a per-doc LOSSLESSNESS
+    certificate: the encoded token stream is DECODED back (symbols
+    concatenated, ``</w>`` markers stripped, words re-joined) and its
+    md5 must equal the md5 of the canonicalized raw text — which the
+    oracle computes INDEPENDENTLY from the documents table, so any
+    encode bug (dropped word, wrong merge application, order scramble
+    in the rebuild) breaks the value hash on that doc's row.
+
+    ``tokens_in_bounds`` pins the emission arithmetic per doc:
+    n_words ≤ n_tokens ≤ non-space chars + n_words (each word emits at
+    least 1 and at most len(word)+1 symbols)."""
+    from ..functions.bpe import encode_docs, train_bpe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    _merges, vocab = train_bpe(d, n_merges=BPE_N_MERGES)
+    enc = encode_docs(d, vocab)
+    nonspace = F.length(F.replace(F.col("roundtrip_text"), F.lit(" "), F.lit("")))
+    return enc.select(
+        "doc_id",
+        "n_words",
+        F.md5("roundtrip_text").alias("roundtrip_md5"),
+        (
+            (F.col("n_words") <= F.col("n_tokens"))
+            & (F.col("n_tokens") <= nonspace + F.col("n_words"))
+        ).alias("tokens_in_bounds"),
+    )
+
+
 def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate corpus profile per (actual, guessed) language — the
     confusion table of the heuristic language-ID."""
@@ -1311,6 +1341,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "text_stats": text_stats,
     "text_bpe_train": text_bpe_train,
+    "text_bpe_encode": text_bpe_encode,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "text_lang_profile": text_lang_profile,
     "corpus_curation": corpus_curation,
@@ -1548,6 +1579,16 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(CAST({_TOKENS_SQL} AS BIGINT)) AS BIGINT) AS n_words,
        CAST({BPE_N_MERGES} AS BIGINT) AS n_merges,
        CAST(true AS BOOLEAN) AS compression_ok
+FROM documents
+""",
+    # the decode of the encoded stream must byte-equal the canonical
+    # text, whose digest DuckDB computes straight off the raw table
+    "text_bpe_encode": f"""
+SELECT doc_id,
+       CAST({_TOKENS_SQL} AS BIGINT) AS n_words,
+       md5(regexp_replace(lower(trim(coalesce(text, ''))), ' +', ' ', 'g'))
+           AS roundtrip_md5,
+       CAST(true AS BOOLEAN) AS tokens_in_bounds
 FROM documents
 """,
     "text_lang_profile": f"""

@@ -84,3 +84,35 @@ def test_tokenize_counts_bounds_and_compression(spark):
     # every word is >= 1 token; merges can only shrink the symbol count
     assert total_words <= n_sub < total_chars_plus_marker
     vocab.unpersist()
+
+
+def test_encode_docs_roundtrip_and_token_stream(spark):
+    """encode_docs: the emitted token stream is order-correct, the
+    decode byte-equals the canonical text, and token counts agree with
+    tokenize_counts."""
+    from mysql2clickhouse_spark.functions.bpe import encode_docs
+
+    rows = [
+        (1, "low lower  Lowest low"),      # double space collapses
+        (2, None),                          # null text -> empty roundtrip
+        (3, "   "),                         # whitespace-only
+        (4, "new newer low"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges, vocab = train_bpe(d, n_merges=10, min_count=2)
+    enc = {r["doc_id"]: r for r in encode_docs(d, vocab).collect()}
+
+    assert enc[1]["roundtrip_text"] == "low lower lowest low"
+    assert enc[2]["roundtrip_text"] == "" and enc[2]["n_tokens"] == 0
+    assert enc[3]["roundtrip_text"] == "" and enc[3]["n_words"] == 0
+    assert enc[4]["roundtrip_text"] == "new newer low"
+
+    # token stream concatenates back to word+</w> per word, in order
+    toks = enc[1]["tokens"]
+    joined = "".join(toks)
+    assert joined == "low</w>lower</w>lowest</w>low</w>"
+    # and counts line up with tokenize_counts
+    tc = {r["doc_id"]: r for r in tokenize_counts(d, vocab).collect()}
+    for i in (1, 4):
+        assert enc[i]["n_tokens"] == tc[i]["n_subwords"]
+        assert enc[i]["n_words"] == tc[i]["n_words"]
