@@ -474,6 +474,73 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic training-order shuffle -----------------------------------
+
+#: fixed shuffle seed (part of the digest input, so reshuffling = new seed)
+SHUFFLE_SEED = "seed42"
+SHUFFLE_SHARDS = 16
+SHUFFLE_HEAD = 3
+
+
+def shuffle_key_col(id_col: Column) -> Column:
+    """Deterministic 60-bit shuffle key from a seeded md5 of the doc id
+    — replay-stable, cluster-size-independent, and exactly expressible
+    in ANSI SQL (the same arithmetic as ``operators.checksum``)."""
+    canon = F.concat_ws("|", F.lit(SHUFFLE_SEED), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+
+
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-seed GLOBAL SHUFFLE into training shards —
+    the "shuffle before sharding" step every training pipeline runs so
+    a sequential shard reader never sees source/topic locality.
+
+    The permutation is pure data arithmetic (seeded md5 → bigint key;
+    shard = key mod N; within-shard order = the key), NOT Spark's
+    ``rand()``/``repartition`` randomness — so the order is stable
+    under replay, retries, and cluster resizes, and the oracle
+    recomputes the ENTIRE permutation independently.  Certification
+    per (shard, source): row counts (the shuffle must mix every source
+    into every shard), the shard's key-xor digest, and the ordered
+    HEAD of the shard (first {SHUFFLE_HEAD} doc_ids in shuffled order)
+    — pinning the order itself, not just membership.
+
+    Scale: one stateless projection, ONE shuffle on the shard key,
+    per-shard aggregation; ranks are per-shard windows (never global).
+    The physical write is ``repartition(shard) →
+    sortWithinPartitions(key)`` — the export path's discipline."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    key = shuffle_key_col(F.col("doc_id"))
+    t = d.select(
+        "doc_id",
+        "source",
+        key.alias("skey"),
+        F.pmod(key, F.lit(SHUFFLE_SHARDS)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    ranked = t.withColumn("rk", F.row_number().over(w))
+    heads = (
+        ranked.filter(F.col("rk") <= SHUFFLE_HEAD)
+        .groupBy("shard")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            ).alias("head_ids")
+        )
+    )
+    stats = t.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(skey)").alias("xor_key"),
+    )
+    return stats.join(heads, "shard").select(
+        "shard", "source", "n_docs", "xor_key", "head_ids"
+    )
+
+
 # --- training-shard export --------------------------------------------------
 
 EXPORT_ROWS_PER_FILE = 200  # small on purpose: forces a multi-shard layout
@@ -618,6 +685,7 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_kcenter": corpus_sample_kcenter,
+    "corpus_shuffle_order": corpus_shuffle_order,
     "corpus_mixing_weights": corpus_mixing_weights,
     "corpus_chunk_sliding": corpus_chunk_sliding,
 }
@@ -863,6 +931,29 @@ SELECT doc_id, n_tokens,
              ELSE CAST(ceil((n_tokens - {CHUNK_TOKENS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
         END - 1) * {CHUNK_STRIDE} AS last_chunk_start
 FROM t
+""",
+    # the full permutation recomputed independently: same seeded-md5
+    # key, same mod-shard, same (key, doc_id) order
+    "corpus_shuffle_order": f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS skey
+    FROM documents
+),
+s AS (SELECT *, skey % {SHUFFLE_SHARDS} AS shard FROM t),
+heads AS (
+    SELECT shard,
+           array_to_string(list(doc_id ORDER BY skey, doc_id)[1:{SHUFFLE_HEAD}], ',')
+               AS head_ids
+    FROM s GROUP BY shard
+),
+stats AS (
+    SELECT shard, source, count(*) AS n_docs, bit_xor(skey) AS xor_key
+    FROM s GROUP BY shard, source
+)
+SELECT stats.shard, source, n_docs, xor_key, head_ids
+FROM stats JOIN heads ON stats.shard = heads.shard
 """,
     "corpus_sample_stratified": f"""
 SELECT lang, count(*) AS n_total,
