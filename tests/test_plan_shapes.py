@@ -382,3 +382,44 @@ def test_quarantine_plan_build_launches_no_job(spark):
     # and the plan is still a correct prune: every bucket here has ~143
     # members > cap 10, so everything is quarantined
     assert pruned.count() == 0
+
+
+def test_runtime_bloom_filter_injects_for_selective_fact_join(spark, sf_dir):
+    """100 TB semi-join reduction: when a selective dimension joins a
+    fact too big to broadcast, Catalyst's runtime bloom filter must
+    inject (bloom_filter_agg on the dim side, might_contain on the
+    fact scan) so the fact shuffle carries only candidate keys.
+
+    Locally the fact is far below the 10 GB application-side scan
+    threshold, so the test lowers that knob (a size gate, not a
+    semantics switch) to emulate the at-scale decision; the session's
+    bloom-filter optimization itself must already be on."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            fact.join(o, fact.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
