@@ -435,9 +435,73 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch IN-STREAM — the 100 TB distinct-users-per-hour
+    shape: exact ``countDistinct`` is unsupported (and unaffordable) in
+    streaming aggregation, so the stream carries
+    ``approx_count_distinct`` (HyperLogLog++, register merges commute
+    across micro-batches and map-side partials), watermarked tumbling
+    windows, append mode, closer-finalized like
+    ``stream_windowed_counts``.
+
+    Certification follows the tolerance-twin pattern
+    (``events_approx_profile``): the sink read-back joins a BATCH exact
+    per-window distinct over the same changelog, emitting the exact
+    value (which DuckDB reproduces) plus the in-envelope boolean
+    (rsd 5% → assert 10%; register merges are deterministic for fixed
+    data, so the boolean is stable, not flaky).
+
+    The closer sentinel flows THROUGH the aggregation on purpose: a
+    pre-agg filter would be pushed below the EventTimeWatermark node
+    and the closer would never advance the watermark (observed: the
+    last 3 windows withheld).  Harmless in-state — the closer sits 4 h
+    past every real event, so its own window [closer, closer+1h) never
+    finalizes and the read-back's inner join against the exact batch
+    twin excludes anything stray.
+
+    Envelope: relative 10% PLUS an absolute slack of 4 — hourly windows
+    at small scale hold ~10 distinct keys, where HLL++'s error is a
+    couple of REGISTERS, not a percentage (observed: n_exact=5 →
+    n_hll=4, a 20% relative miss that is exactly 1 off)."""
+    cl_dir = _stage_changelog(spark, sf_dir, n_files=1, closer=True)
+    stream = spark.readStream.schema(CHANGELOG_DDL).parquet(cl_dir)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"))
+        .agg(F.approx_count_distinct("key", rsd=0.05).alias("n_hll"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_hll",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # see stream_latest_state
+    try:
+        sink = _run_to_sink(agg, os.path.dirname(cl_dir), "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    streamed = spark.read.parquet(sink)
+    exact = (
+        changelog_from_events(load_table(spark, sf_dir, "events"))
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"))
+        .agg(F.countDistinct("key").alias("n_exact"))
+    )
+    return streamed.join(exact, "win_start").select(
+        "win_start",
+        "win_end",
+        "n_exact",
+        (
+            F.abs(F.col("n_hll") - F.col("n_exact"))
+            <= 0.10 * F.col("n_exact") + 4
+        ).alias("hll_ok"),
+    )
+
+
 QUERIES = {
     "stream_latest_state": stream_latest_state,
     "stream_stream_join": stream_stream_join,
+    "stream_windowed_distinct": stream_windowed_distinct,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_replay": stream_dedup_replay,
@@ -446,6 +510,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    # every real window finalizes; the HLL estimate must land inside
+    # its envelope, and the exact distinct is recomputed per window
+    "stream_windowed_distinct": f"""
+        SELECT date_trunc('hour', ts) AS win_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+               CAST(COUNT(DISTINCT key) AS BIGINT) AS n_exact,
+               CAST(TRUE AS BOOLEAN) AS hll_ok
+        FROM ({CHANGELOG_VIEW_SQL}) c
+        GROUP BY 1, 2
+    """,
     # single-batch availableNow run == the batch interval join exactly
     "stream_stream_join": f"""
 WITH c AS ({CHANGELOG_VIEW_SQL}),

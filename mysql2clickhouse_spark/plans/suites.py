@@ -27,10 +27,10 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
   registry slot when the DataSketches-HLL, GK-quantile, and
   heavy-hitter ops landed)
 - ``stream_suite``       = stream_latest_state + stream_windowed_counts
-                           + stream_stream_join
+                           + stream_stream_join + stream_windowed_distinct
   (rotation note, round 6: REPLACED the two bare stream_* slots when
-  the stream-stream join landed; the freed slot admitted
-  ``cdc_consistency_check``)
+  the stream-stream join and in-stream HLL sketch landed; the freed
+  slot admitted ``cdc_consistency_check``)
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
                            + corpus_export_tar + multimodal_export_tar
   (rotation notes: round 4 — this suite REPLACED the bare
@@ -289,18 +289,21 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuinely-streaming §2.7 oracle rows folded into one driver
     slot, tagged by member — each runs a REAL StreamingQuery inside the
     callable: the ``applyInPandasWithState`` latest-state fold, the
-    watermarked tumbling-window counts, and the watermarked
-    stream-stream interval join.  Null-padded wide union so every
-    member keeps its native column types in the value hash.
+    watermarked tumbling-window counts, the watermarked stream-stream
+    interval join, and the in-stream HLL distinct-per-window sketch.
+    Null-padded wide union so every member keeps its native column
+    types in the value hash.
 
     (rotation note, round 6: REPLACED the bare ``stream_latest_state``
     and ``stream_windowed_counts`` registry slots, admitting the new
-    ``stream_stream_join`` without widening the ≤50 surface; the freed
-    slot went to ``cdc_consistency_check``.)"""
+    ``stream_stream_join`` and ``stream_windowed_distinct`` without
+    widening the ≤50 surface; the freed slot went to
+    ``cdc_consistency_check``.)"""
     from .streaming_queries import (
         stream_latest_state,
         stream_stream_join,
         stream_windowed_counts,
+        stream_windowed_distinct,
     )
 
     def nb():
@@ -312,6 +315,9 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ns():
         return F.lit(None).cast("string")
 
+    def nbool():
+        return F.lit(None).cast("boolean")
+
     ls = stream_latest_state(spark, sf_dir).select(
         F.lit("latest_state").alias("member"),
         "key", "seq", "ts", "value", "event_type", "deleted",
@@ -319,6 +325,7 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns().alias("table_name"), nb().alias("cnt"),
         nb().alias("i_seq"), nb().alias("u_seq"),
         nts().alias("i_ts"), nts().alias("u_ts"),
+        nbool().alias("ok"),
     )
     wc = stream_windowed_counts(spark, sf_dir).select(
         F.lit("windowed_counts").alias("member"),
@@ -328,6 +335,7 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_start", "win_end", "table_name", "cnt",
         nb().alias("i_seq"), nb().alias("u_seq"),
         nts().alias("i_ts"), nts().alias("u_ts"),
+        nbool().alias("ok"),
     )
     sj = stream_stream_join(spark, sf_dir).select(
         F.lit("stream_join").alias("member"),
@@ -337,8 +345,20 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nts().alias("win_start"), nts().alias("win_end"),
         ns().alias("table_name"), nb().alias("cnt"),
         "i_seq", "u_seq", "i_ts", "u_ts",
+        nbool().alias("ok"),
     )
-    return ls.unionByName(wc).unionByName(sj)
+    wd = stream_windowed_distinct(spark, sf_dir).select(
+        F.lit("windowed_distinct").alias("member"),
+        nb().alias("key"), nb().alias("seq"), nts().alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        ns().alias("event_type"), ns().alias("deleted"),
+        "win_start", "win_end", ns().alias("table_name"),
+        F.col("n_exact").alias("cnt"),
+        nb().alias("i_seq"), nb().alias("u_seq"),
+        nts().alias("i_ts"), nts().alias("u_ts"),
+        F.col("hll_ok").alias("ok"),
+    )
+    return ls.unionByName(wc).unionByName(sj).unionByName(wd)
 
 
 QUERIES = {
@@ -464,7 +484,8 @@ SELECT 'latest_state' AS member, key, seq, ts, value, event_type, deleted,
        CAST(NULL AS TIMESTAMP) AS win_start, CAST(NULL AS TIMESTAMP) AS win_end,
        CAST(NULL AS VARCHAR) AS table_name, CAST(NULL AS BIGINT) AS cnt,
        CAST(NULL AS BIGINT) AS i_seq, CAST(NULL AS BIGINT) AS u_seq,
-       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts
+       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts,
+       CAST(NULL AS BOOLEAN) AS ok
 FROM ({streaming_queries.ORACLE["stream_latest_state"]}) __ls
 UNION ALL
 SELECT 'windowed_counts' AS member, CAST(NULL AS BIGINT) AS key,
@@ -473,7 +494,8 @@ SELECT 'windowed_counts' AS member, CAST(NULL AS BIGINT) AS key,
        CAST(NULL AS VARCHAR) AS deleted,
        win_start, win_end, table_name, cnt,
        CAST(NULL AS BIGINT) AS i_seq, CAST(NULL AS BIGINT) AS u_seq,
-       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts
+       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts,
+       CAST(NULL AS BOOLEAN) AS ok
 FROM ({streaming_queries.ORACLE["stream_windowed_counts"]}) __wc
 UNION ALL
 SELECT 'stream_join' AS member, key, CAST(NULL AS BIGINT) AS seq,
@@ -481,7 +503,18 @@ SELECT 'stream_join' AS member, key, CAST(NULL AS BIGINT) AS seq,
        CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS VARCHAR) AS deleted,
        CAST(NULL AS TIMESTAMP) AS win_start, CAST(NULL AS TIMESTAMP) AS win_end,
        CAST(NULL AS VARCHAR) AS table_name, CAST(NULL AS BIGINT) AS cnt,
-       i_seq, u_seq, i_ts, u_ts
+       i_seq, u_seq, i_ts, u_ts, CAST(NULL AS BOOLEAN) AS ok
 FROM ({streaming_queries.ORACLE["stream_stream_join"]}) __sj
+UNION ALL
+SELECT 'windowed_distinct' AS member, CAST(NULL AS BIGINT) AS key,
+       CAST(NULL AS BIGINT) AS seq, CAST(NULL AS TIMESTAMP) AS ts,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS VARCHAR) AS deleted,
+       win_start, win_end, CAST(NULL AS VARCHAR) AS table_name,
+       n_exact AS cnt,
+       CAST(NULL AS BIGINT) AS i_seq, CAST(NULL AS BIGINT) AS u_seq,
+       CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts,
+       hll_ok AS ok
+FROM ({streaming_queries.ORACLE["stream_windowed_distinct"]}) __wd
 """,
 }
