@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vf.add_argument("--changelog-dir", required=True, help="parquet changelog directory")
     vf.add_argument("--target-dir", required=True, help="replication warehouse root")
+    vf.add_argument("--diff", action="store_true",
+                    help="row-level drill-down (only_src/only_dst/value_diff "
+                         "keys) for each FLAGGED table — bounded to tables "
+                         "the checksum already failed")
+    vf.add_argument("--diff-limit", type=int, default=20,
+                    help="max divergent keys printed per flagged table")
 
     lc = sub.add_parser("ledger-compact", help="rewrite the ledger to one file")
     lc.add_argument("--target-dir", required=True)
@@ -208,11 +214,16 @@ def main(argv: list[str] | None = None) -> int:
 
         runner = ReplicationRunner(spark, RunConfig(target_dir=args.target_dir))
         changelog = spark.read.parquet(args.changelog_dir)
-        bad = 0
+        flagged = []
         for verdict in runner.verify_replication(changelog):
-            bad += 0 if verdict["digest_match"] else 1
+            if not verdict["digest_match"]:
+                flagged.append(verdict["table_name"])
             _emit({"job": "verify", **verdict})
-        return 0 if bad == 0 else 3
+        if args.diff:
+            for tbl in flagged:
+                for row in runner.diff_table(changelog, tbl, limit=args.diff_limit):
+                    _emit({"job": "verify-diff", **row})
+        return 0 if not flagged else 3
 
     if args.cmd == "ledger-compact":
         from .streaming.runner import ReplicationRunner, RunConfig

@@ -127,6 +127,25 @@ def _missing_path(err: AnalysisException) -> bool:
     )
 
 
+def _canon_cols(df: DataFrame, cols: list[str]) -> list:
+    """Schema-driven canonicalization for the integrity-check digest:
+    timestamps formatted to seconds, floating payloads floored at cent
+    precision, everything else cast to string — each choice exactly
+    expressible in ANSI SQL / other engines' dialects so an independent
+    side can compute the same digest (``operators/checksum.py``)."""
+    out = []
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        t = by_name[c]
+        if t.startswith("timestamp"):
+            out.append(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+        elif t in ("double", "float"):
+            out.append(F.floor(F.col(c) * 100).cast("bigint"))
+        else:
+            out.append(F.col(c).cast("string"))
+    return out
+
+
 class ReplicationRunner:
     def __init__(self, spark: SparkSession, config: RunConfig):
         self.spark = spark
@@ -1314,59 +1333,30 @@ class ReplicationRunner:
         """
         from ..operators.checksum import checksum_compare, row_digest, table_checksums
 
-        def _canon(df: DataFrame, cols: list[str]) -> list:
-            out = []
-            by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-            for c in cols:
-                t = by_name[c]
-                if t.startswith("timestamp"):
-                    out.append(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
-                elif t in ("double", "float"):
-                    out.append(F.floor(F.col(c) * 100).cast("bigint"))
-                else:
-                    out.append(F.col(c).cast("string"))
-            return out
-
         verdicts: list[dict] = []
         tables = [
             r["table_name"]
             for r in changelog.select("table_name").distinct().orderBy("table_name").collect()
         ]
         for tbl in tables:
-            policy = REGISTRY.get(tbl, DEFAULT_POLICY)
-            tslice = changelog.filter(F.col("table_name") == tbl)
-            keys = self._resolve_cols(policy, tslice)
-            try:
-                stored = self.spark.read.parquet(self.table_path(tbl))
-            except AnalysisException as e:
-                if _missing_path(e):
-                    verdicts.append(
-                        {"table_name": tbl, "n_src": tslice.count(), "n_dst": 0,
-                         "count_match": False, "digest_match": False,
-                         "error": "target table missing"}
-                    )
-                    continue
-                raise
-            if policy.apply_mode in ("append", "insert_as_update"):
-                expected = latest_by_key(
-                    apply_insert_as_update(tslice, keys), keys, "dateid", form="window"
+            frames = self._verify_frames(changelog, tbl)
+            if frames is None:
+                n_src = changelog.filter(F.col("table_name") == tbl).count()
+                verdicts.append(
+                    {"table_name": tbl, "n_src": n_src, "n_dst": 0,
+                     "count_match": False, "digest_match": False,
+                     "error": "target table missing"}
                 )
-                actual = latest_by_key(stored, keys, "dateid", form="window")
-            else:
-                expected = apply_mutate(tslice, keys, form="argmax")
-                actual = stored
-            cols = sorted(
-                (set(expected.columns) & set(actual.columns))
-                - {"op", "yyyymm", "file_seq", "schema_name", "table_name"}
-            )
+                continue
+            expected, actual, cols, _keys = frames
             src_sums = table_checksums(
                 expected.withColumn("__tbl", F.lit(tbl)),
-                row_digest(_canon(expected, cols)),
+                row_digest(_canon_cols(expected, cols)),
                 table_col="__tbl",
             )
             dst_sums = table_checksums(
                 actual.withColumn("__tbl", F.lit(tbl)),
-                row_digest(_canon(actual, cols)),
+                row_digest(_canon_cols(actual, cols)),
                 table_col="__tbl",
             )
             row = checksum_compare(src_sums, dst_sums).collect()[0]
@@ -1375,3 +1365,50 @@ class ReplicationRunner:
                  "count_match": row["count_match"], "digest_match": row["digest_match"]}
             )
         return verdicts
+
+    def _verify_frames(self, changelog: DataFrame, tbl: str):
+        """(expected, actual, digest cols, keys) for one table's
+        integrity check, or None if the target table is missing."""
+        policy = REGISTRY.get(tbl, DEFAULT_POLICY)
+        tslice = changelog.filter(F.col("table_name") == tbl)
+        keys = self._resolve_cols(policy, tslice)
+        try:
+            stored = self.spark.read.parquet(self.table_path(tbl))
+        except AnalysisException as e:
+            if _missing_path(e):
+                return None
+            raise
+        if policy.apply_mode in ("append", "insert_as_update"):
+            expected = latest_by_key(
+                apply_insert_as_update(tslice, keys), keys, "dateid", form="window"
+            )
+            actual = latest_by_key(stored, keys, "dateid", form="window")
+        else:
+            expected = apply_mutate(tslice, keys, form="argmax")
+            actual = stored
+        cols = sorted(
+            (set(expected.columns) & set(actual.columns))
+            - {"op", "yyyymm", "file_seq", "schema_name", "table_name"}
+        )
+        return expected, actual, cols, keys
+
+    def diff_table(self, changelog: DataFrame, tbl: str, limit: int = 20) -> list[dict]:
+        """Row-level drill-down for a table ``verify_replication``
+        flagged: full outer join on the business key, each divergent
+        key classified only_src / only_dst / value_diff.  Run per
+        flagged table only — this is the bounded second pass the
+        checksum fold exists to avoid as a primary check."""
+        from ..operators.checksum import row_diff, row_digest
+
+        frames = self._verify_frames(changelog, tbl)
+        if frames is None:
+            return [{"table_name": tbl, "error": "target table missing"}]
+        expected, actual, cols, keys = frames
+        value_cols = [c for c in cols if c not in keys]
+        diff = row_diff(
+            expected, actual, keys, row_digest(_canon_cols(expected, value_cols))
+        )
+        return [
+            {"table_name": tbl, **{k: r[k] for k in keys}, "diff": r["diff"]}
+            for r in diff.orderBy(*keys).limit(limit).collect()
+        ]

@@ -209,8 +209,14 @@ def test_cli_verify_green_then_red(spark, tmp_path, capsys):
     stored.limit(1).withColumn("value", stored["value"] + 1.0).write.mode(
         "append"
     ).partitionBy("yyyymm").parquet(path)
-    rc = main(["verify", "--changelog-dir", cl, "--target-dir", wh])
+    rc = main(["verify", "--changelog-dir", cl, "--target-dir", wh, "--diff"])
     lines = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
     assert rc == 3
-    flagged = {r["table_name"]: r["digest_match"] for r in lines}
+    verdicts = [r for r in lines if r["job"] == "verify"]
+    flagged = {r["table_name"]: r["digest_match"] for r in verdicts}
     assert flagged["events_state"] is False and flagged["visits"] is True
+    # --diff drills down ONLY on the flagged table and classifies the
+    # tampered key (duplicated row with a new value => value_diff)
+    diffs = [r for r in lines if r["job"] == "verify-diff"]
+    assert diffs and all(r["table_name"] == "events_state" for r in diffs)
+    assert {r["diff"] for r in diffs} == {"value_diff"}
