@@ -305,7 +305,12 @@ def cdc_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
 
     src = apply_mutate(cl, ["key"], form="window")
-    dst = latest_by_key(apply_insert_as_update(cl, ["key"]), ["key"], "dateid")
+    # argmax latest: the replica read model must survive Zipf-hot keys
+    # (window forms funnel a hot key's versions into one task); dateid
+    # is strictly increasing per key so the fold is tie-free
+    dst = latest_by_key(
+        apply_insert_as_update(cl, ["key"]), ["key"], "dateid", form="argmax"
+    )
     replica = checksum_compare(
         table_checksums(src, digest("seq")),
         table_checksums(dst, digest("dateid")),

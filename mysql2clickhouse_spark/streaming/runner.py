@@ -1379,10 +1379,15 @@ class ReplicationRunner:
                 return None
             raise
         if policy.apply_mode in ("append", "insert_as_update"):
+            # argmax form on both folds: the verify pass must survive
+            # the same Zipf-hot keys the runner's merge path does (a
+            # window form funnels every version of a hot key into one
+            # task); dateid is strictly increasing per key, so the
+            # max_by is tie-free and result-identical
             expected = latest_by_key(
-                apply_insert_as_update(tslice, keys), keys, "dateid", form="window"
+                apply_insert_as_update(tslice, keys), keys, "dateid", form="argmax"
             )
-            actual = latest_by_key(stored, keys, "dateid", form="window")
+            actual = latest_by_key(stored, keys, "dateid", form="argmax")
         else:
             expected = apply_mutate(tslice, keys, form="argmax")
             actual = stored
