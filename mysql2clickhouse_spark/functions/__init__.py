@@ -12,6 +12,7 @@ from .minhash import (  # noqa: F401
     with_hashed_shingles,
     with_hset,
     minhash_signatures,
+    minhash_signatures_arrow,
     with_minhash_signature,
     lsh_candidate_pairs,
     verified_near_dups,

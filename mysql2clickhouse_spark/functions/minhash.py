@@ -4,9 +4,12 @@ n-gram Jaccard — native column expressions + joins end-to-end.
 Design for 100 TB:
 - the corpus is scanned ONCE into integer shingle-hash sets (``hset``);
   every later stage works on ints, never re-reading text;
-- signatures are a per-row nested ``transform`` over a literal
-  permutation array — computed inside the scan stage, zero shuffles
-  (the expression stays compact, so codegen holds);
+- signatures have TWO bit-identical forms: ``minhash_signatures``
+  (explode + 48 codegen'd min aggregates — JVM-only, one exchange) and
+  ``minhash_signatures_arrow`` (per-partition numpy fold, ZERO shuffle
+  — 2.5× faster on the sign stage at sf0.1, the default in the fused
+  dedup pipeline and the incremental index; equality pinned in
+  ``test_arrow_signer_bit_identical_to_aggregate_form``);
 - LSH banding (b bands × r rows) turns the O(n²) pair space into a
   groupBy on (band_idx, band_hash); candidate rate scales as J^r per
   band — r=8 keeps homogeneous corpora (high ambient Jaccard) from
@@ -25,6 +28,8 @@ from __future__ import annotations
 import logging
 from collections import deque
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -297,6 +302,69 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_arrow(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``minhash_signatures`` — BIT-IDENTICAL
+    values (same ``(a, b)`` params, same ``(h·a + b) mod P`` int64
+    arithmetic, same per-doc min), different execution:
+
+    - per-row, per-partition: NO shuffle at all (the explode+groupBy
+      form ships one 48-value row per doc through an exchange);
+    - the permutation loop runs as numpy array ops over the batch's
+      concatenated hash sets with ``np.minimum.reduceat`` folding each
+      doc's segment — C loops instead of codegen'd per-row expression
+      trees.  Measured 2.5× over the aggregate form on the sf0.1
+      corpus (1.65 s → 0.66 s warm), equality-checked row-for-row.
+
+    Memory is bounded by the Arrow batch (default 10k rows): the
+    concatenated hash array and one per-permutation temp, ~2 × 64 MB
+    at 800 shingles/doc — constant per task regardless of corpus size.
+    Same empty-doc contract: rows with an empty ``hset`` produce NO
+    output row (they must never reach the LSH bands).
+
+    int64 safety: h < 2^31 and a < 2^31 ⇒ h·a < 2^62; + b < 2^31 never
+    overflows."""
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(num_perm, seed)
+    A = np.array([p[0] for p in params], dtype=np.int64)
+    B = np.array([p[1] for p in params], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _sign(hsets: pd.Series) -> pd.Series:
+        n = len(hsets)
+        lens = hsets.map(len).to_numpy()
+        if lens.sum() == 0:  # all-empty batch (callers filter, but be safe)
+            return pd.Series([None] * n)
+        H = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in hsets.to_numpy()]
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        nonempty = lens > 0
+        # reduceat over only the non-empty segment starts: an empty
+        # row's start equals the next row's start, so consecutive
+        # non-empty starts delimit exactly one doc's hashes
+        idx = starts[nonempty]
+        out = np.empty((n, num_perm), dtype=np.int64)
+        for j in range(num_perm):
+            v = (H * A[j] + B[j]) % MERSENNE_P
+            out[nonempty, j] = np.minimum.reduceat(v, idx)[
+                : int(nonempty.sum())
+            ]
+        return pd.Series(
+            [row.tolist() if ne else None for row, ne in zip(out, nonempty)]
+        )
+
+    return hashed.filter(F.size("hset") > 0).select(
+        id_col, _sign("hset").alias("minhash")
+    )
+
+
 def with_minhash_signature(
     df: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,
@@ -398,10 +466,12 @@ def verified_near_dups(
     release_cache("minhash.verified_near_dups")  # BEFORE persist — see session.py
     base = hashed.select(id_col, "hset").persist()
     base.count()
-    # the signature aggregation's own exchange already hash-partitions
-    # the (one row per doc) table on the id — the estimate-filter joins
-    # reuse that partitioning for their build side for free
-    sigs = minhash_signatures(base, id_col, num_perm, seed).persist()
+    # Arrow signer: per-partition vectorized, zero-shuffle, values
+    # bit-identical to the aggregate form (measured 2.5× on the sign
+    # stage at sf0.1; the estimate-filter joins shuffle the persisted
+    # one-row-per-doc sigs table, which costs less than the aggregate
+    # form's own exchange used to)
+    sigs = minhash_signatures_arrow(base, id_col, num_perm, seed).persist()
     sigs.count()
     rotate_cache("minhash.verified_near_dups", base, sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)

@@ -59,7 +59,7 @@ from ..functions.minhash import (
     DEFAULT_ROWS,
     estimated_jaccard_col,
     jaccard_col,
-    minhash_signatures,
+    minhash_signatures_arrow,
     with_hset,
 )
 from ..session import release_cache, rotate_cache
@@ -126,7 +126,10 @@ class MinHashIndex:
     def _batch_tables(self, batch: DataFrame) -> DataFrame:
         """(doc_id, hset, minhash) for the new batch — ONE text scan."""
         hashed = with_hset(batch, self.text_col, self.k).select(self.id_col, "hset")
-        sigs = minhash_signatures(hashed, self.id_col, self.num_perm, self.seed)
+        # arrow signer: zero-shuffle per-batch signing, values
+        # bit-identical to the aggregate form (stored sigs stay
+        # compatible across engine versions)
+        sigs = minhash_signatures_arrow(hashed, self.id_col, self.num_perm, self.seed)
         # empty-hset docs have no signature rows (policy: they must not
         # reach the bands) but their hset row is still stored for verify
         return hashed.join(sigs, self.id_col, "left")

@@ -363,3 +363,35 @@ def test_ann_lsh_guard_none_disables_and_default_is_on(spark):
     ).collect()
     assert any(r.cid < 60 for r in off)  # guard off: clones retrievable
     assert all(abs(r.sim - 1.0) < 1e-6 for r in off if r.cid < 60)
+
+
+def test_arrow_signer_bit_identical_to_aggregate_form(spark, docs_with_mutants):
+    """minhash_signatures_arrow must produce EXACTLY the aggregate
+    form's values (same params, same int64 arithmetic, same min) and
+    the same empty-doc policy — the banding pipeline and the persisted
+    neardup_index store both depend on cross-form compatibility."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.functions.minhash import (
+        minhash_signatures,
+        minhash_signatures_arrow,
+        with_hset,
+    )
+
+    docs = docs_with_mutants.limit(30).select("doc_id", "text")
+    degenerate = spark.createDataFrame(
+        [(9000001, None), (9000002, "")],  # null/empty text => empty hset
+        "doc_id bigint, text string",
+    )
+    hashed = with_hset(docs.unionByName(degenerate))
+    agg = minhash_signatures(hashed)
+    arr = minhash_signatures_arrow(hashed)
+    assert agg.count() == arr.count()  # empty docs dropped by BOTH
+    mismatches = (
+        agg.join(arr.withColumnRenamed("minhash", "m2"), "doc_id")
+        .filter(F.col("minhash") != F.col("m2"))
+        .count()
+    )
+    assert mismatches == 0
+    ids = {r["doc_id"] for r in arr.select("doc_id").collect()}
+    assert ids.isdisjoint({9000001, 9000002})
