@@ -81,7 +81,7 @@ def minhash_stage_split(spark, sf_dir: str) -> dict[str, float]:
         estimated_jaccard_col,
         jaccard_col,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_arrow,
         with_hset,
     )
     from mysql2clickhouse_spark.plans.extensions import _docs_with_mutants
@@ -96,7 +96,8 @@ def minhash_stage_split(spark, sf_dir: str) -> dict[str, float]:
     out["hset"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    sigs = minhash_signatures(base, "doc_id").persist()
+    # the signer the pipeline actually runs (round 6: arrow form)
+    sigs = minhash_signatures_arrow(base, "doc_id").persist()
     sigs.count()
     out["sign"] = round(time.perf_counter() - t0, 3)
 
