@@ -1,0 +1,252 @@
+"""Persistent INCREMENTAL IVF index — the ANN-index lifecycle a 100 TB
+embedding pipeline actually runs, as opposed to the per-query index
+builds in ``plans/extensions.py``.
+
+The reference's analog is the replication loop itself: state accretes
+per batch into a queryable store rather than being recomputed per
+question (matomo2clickhouse.py run loop; same discipline as
+``operators/neardup_index.py`` on the text side).
+
+Layout under ``path``:
+
+- ``centroids/``  — (list_id, centroid array<double>) — n_list rows,
+  written ONCE at build and then FROZEN.  Never retrained on add:
+  faiss's own discipline (``IVF.add`` assigns against the trained
+  quantizer), and the property that makes the index incrementally
+  correct — a batch added later lands in exactly the list a one-shot
+  build would have put it in, so stream-ingest == one-shot build
+  ROW-IDENTICALLY (pinned by the ``ann_ivf_incremental`` oracle row).
+- ``lists/``      — unit vectors ``(cid, c_vec) partitionBy(list_id)``
+  — the inverted lists as a table.  ``add_batch`` APPENDS one file set
+  per touched list; ``search`` opens only the probed list directories
+  (partition-pruned, like ``ivf_topk_partitioned``); ``compact`` is
+  the journaled small-files rewrite.
+
+Scale: ``add_batch`` is one GEMM projection (Arrow batch × frozen
+centroid matrix) + a partitioned append — O(batch), no shuffle beyond
+the write split, never touches stored rows.  ``search`` reads
+``nprobe × |queries|`` list partitions.  The only driver-side state is
+the (n_list × dim) centroid matrix — KB-sized control plane.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..fs import fs_for
+from ..functions.similarity import (
+    _dot,
+    train_ivf_centroids,
+    unit_vec_col,
+    with_ivf_lists,
+)
+
+_SWAP_MARKER = "_SWAP_COMMIT"
+
+
+class IVFIndex:
+    """A persisted IVF index over an append-only embedding store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        n_list: int = 32,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.path = path
+        self.dim, self.n_list, self.seed = dim, n_list, seed
+        self.id_col, self.vec_col = id_col, vec_col
+        self.fs = fs_for(spark, path)
+
+    @property
+    def centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    @property
+    def lists_path(self) -> str:
+        return os.path.join(self.path, "lists")
+
+    def exists(self) -> bool:
+        return self.fs.is_dir(self.centroids_path)
+
+    # --- centroids (frozen quantizer) -----------------------------------
+    def build(self, corpus: DataFrame) -> "IVFIndex":
+        """Train the coarse quantizer on a BOUNDED sample of ``corpus``
+        (same trainer as every IVF plan — the collect is capped
+        regardless of corpus size), persist it, then ingest ``corpus``
+        as the first batch.  Idempotent guard: building over an
+        existing index is a hard error — retraining would silently
+        orphan every stored vector's list assignment."""
+        if self.exists():
+            raise ValueError(f"IVF index already exists at {self.path}")
+        C = train_ivf_centroids(
+            corpus, self.dim, self.n_list,
+            id_col=self.id_col, vec_col=self.vec_col, seed=self.seed,
+        )
+        rows = [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])]
+        (
+            self.spark.createDataFrame(
+                rows, "list_id int, centroid array<double>"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(self.centroids_path)
+        )
+        self.add_batch(corpus)
+        return self
+
+    def _centroids(self) -> np.ndarray:
+        rows = (
+            self.spark.read.parquet(self.centroids_path)
+            .orderBy("list_id")
+            .collect()
+        )
+        return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    # --- ingest ----------------------------------------------------------
+    def add_batch(self, batch: DataFrame) -> int:
+        """Assign the batch against the FROZEN centroids (one Arrow
+        GEMM, nprobe=1) and append to the partitioned lists store.
+        Returns rows added.  O(batch): stored rows are never read."""
+        self.recover()
+        C = self._centroids()
+        from pyspark.sql import Observation
+
+        assigned = with_ivf_lists(
+            batch.select(
+                F.col(self.id_col).alias("cid"),
+                unit_vec_col(F.col(self.vec_col)).alias("c_vec"),
+            ),
+            C, nprobe=1, vec_col="c_vec",
+        )
+        obs = Observation()
+        (
+            assigned.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(self.lists_path)
+        )
+        return int(obs.get["n"])
+
+    # --- query -----------------------------------------------------------
+    def search(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 8
+    ) -> DataFrame:
+        """Partition-pruned probe: assign queries to their ``nprobe``
+        nearest lists, collect the probed list-id set (control plane,
+        |queries|·nprobe ints), read ONLY those list directories, exact
+        rerank inside, per-query top-k.  Same arithmetic and tie-break
+        as ``ivf_topk_partitioned`` — a store built via N add_batch
+        calls answers identically to a one-shot build."""
+        C = self._centroids()
+        qb = with_ivf_lists(
+            queries.select(
+                F.col(self.id_col).alias("qid"),
+                unit_vec_col(F.col(self.vec_col)).alias("q_vec"),
+            ),
+            C, nprobe=nprobe, vec_col="q_vec",
+        )
+        probed = sorted(
+            r["list_id"] for r in qb.select("list_id").distinct().collect()
+        )
+        idx = (
+            self.spark.read.parquet(self.lists_path)
+            .filter(F.col("list_id").isin(probed))
+            .withColumn("list_id", F.col("list_id").cast("int"))
+        )
+        scored = (
+            idx.join(F.broadcast(qb), "list_id")
+            .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
+            .select("qid", "cid", "sim")
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .withColumn("sim", F.round("sim", 4))
+        )
+
+    # --- maintenance -------------------------------------------------------
+    def _staging(self) -> str:
+        return self.lists_path + "__compactidx"
+
+    def recover(self) -> int:
+        """Roll forward a committed-but-interrupted compaction swap and
+        clear debris (torn staging markers, a stale live-path marker) —
+        called at ``add_batch``/``compact`` entry; same contract as
+        ``MinHashIndex.recover`` / the runner's ``recover_all``."""
+        rolled = 0
+        staging = self._staging()
+        marker = os.path.join(staging, _SWAP_MARKER)
+        if self.fs.exists(marker):
+            try:
+                json.loads(self.fs.read_text(marker))
+            except ValueError:
+                self.fs.rmtree(marker)  # torn ⇒ pre-commit debris
+            else:
+                if self.fs.exists(self.lists_path):
+                    self.fs.rmtree(self.lists_path)
+                self.fs.rename(staging, self.lists_path)
+                rolled += 1
+        stale = os.path.join(self.lists_path, _SWAP_MARKER)
+        if self.fs.exists(stale):
+            self.fs.rmtree(stale)
+        return rolled
+
+    def compact(self, rows_per_file: int = 2_000_000) -> dict:
+        """Journaled small-files rewrite of the lists store: every
+        ``add_batch`` appends one file set per touched list, so after N
+        batches a probe opens O(N) files per list directory.  Recompute
+        into staging (file count sized from ONE row count, partitions
+        preserved), commit with the atomic ``_SWAP_COMMIT`` marker,
+        delete-and-rename; a crash either leaves the live store
+        untouched or rolls forward at next entry."""
+        self.recover()
+        if not self.fs.is_dir(self.lists_path):
+            return {"files_before": 0, "files_after": 0, "rows": 0}
+        files_before = self._n_data_files()
+        df = self.spark.read.parquet(self.lists_path)
+        n = df.count()
+        nfiles = max(1, math.ceil(n / rows_per_file))
+        staging = self._staging()
+        (
+            df.repartition(nfiles, "list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(staging)
+        )
+        self.fs.write_text_atomic(
+            os.path.join(staging, _SWAP_MARKER), '{"whole": true}'
+        )
+        self.fs.rmtree(self.lists_path)
+        self.fs.rename(staging, self.lists_path)
+        marker = os.path.join(self.lists_path, _SWAP_MARKER)
+        if self.fs.exists(marker):
+            self.fs.rmtree(marker)
+        return {
+            "files_before": files_before,
+            "files_after": self._n_data_files(),
+            "rows": n,
+        }
+
+    def _n_data_files(self) -> int:
+        """Report-only parquet census (local paths only, like
+        ``MinHashIndex._data_files``)."""
+        if not os.path.isdir(self.lists_path):
+            return 0
+        total = 0
+        for _root, _dirs, files in os.walk(self.lists_path):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total

@@ -769,6 +769,92 @@ def ann_ivf_partitioned_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance (operators/ann_index.py): the
+    corpus lands in a persisted IVF store across THREE add_batch calls
+    (build trains the frozen quantizer on batch 0's bounded sample),
+    then the store is compacted and searched.  Certifies, as one
+    oracle row:
+
+    - ``n_indexed`` — every corpus vector is in the store (DuckDB
+      recounts from the embeddings table);
+    - ``n_mismatch = 0`` — the stream-ingested store answers
+      IDENTICALLY to an in-memory IVF probe using the SAME frozen
+      centroids over the whole corpus (frozen-quantizer contract:
+      a batch added later lands exactly where a one-shot build would
+      have put it);
+    - ``files_reduced`` — ``compact()`` shrank the per-list file count
+      the batch appends created;
+    - ``post_compact_identical`` — the compacted store still answers
+      identically (the journaled rewrite moved bytes, not rows).
+    """
+    from ..functions.similarity import unit_vec_col, with_ivf_lists
+    from ..operators.ann_index import IVFIndex
+    from ..session import scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+
+    idx = IVFIndex(spark, scratch_dir("m2c_ivfidx_") + "/index", dim=EMB_DIM, n_list=32)
+    b0 = c.filter(F.pmod("vec_id", F.lit(3)) == 0)
+    idx.build(b0)
+    n = b0.count()
+    for m in (1, 2):
+        n += idx.add_batch(c.filter(F.pmod("vec_id", F.lit(3)) == m))
+
+    got = idx.search(q, k=TOPK, nprobe=8).persist()
+
+    # in-memory comparator sharing the store's FROZEN centroids
+    C = idx._centroids()
+    cb = with_ivf_lists(
+        c.select(F.col("vec_id").alias("cid"), unit_vec_col(F.col("embedding")).alias("c_vec")),
+        C, nprobe=1, vec_col="c_vec",
+    )
+    qb = with_ivf_lists(
+        q.select(F.col("vec_id").alias("qid"), unit_vec_col(F.col("embedding")).alias("q_vec")),
+        C, nprobe=8, vec_col="q_vec",
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        cb.join(F.broadcast(qb), "list_id")
+        .withColumn("sim", F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ))
+        .select("qid", "cid", "sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    want = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .withColumn("sim", F.round("sim", 4))
+    )
+    n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    n_rows = got.count()
+
+    before = idx.compact()
+    again = idx.search(q, k=TOPK, nprobe=8)
+    post_identical = (
+        again.exceptAll(got).isEmpty() and got.exceptAll(again).isEmpty()
+    )
+    got.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                n_rows,
+                n_mismatch,
+                bool(before["files_after"] <= before["files_before"]),
+                bool(post_identical),
+            )
+        ],
+        "n_indexed bigint, n_rows bigint, n_mismatch bigint,"
+        " files_reduced boolean, post_compact_identical boolean",
+    )
+
+
 KNN_K = 3
 
 
@@ -1359,6 +1445,7 @@ QUERIES = {
     "ann_knn_graph_lsh": ann_knn_graph_lsh,
     "ann_knn_graph_recall": ann_knn_graph_recall,
     "ann_ivf_partitioned": ann_ivf_partitioned,
+    "ann_ivf_incremental": ann_ivf_incremental,
     "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
     "embedding_standardize": embedding_standardize,
@@ -1746,5 +1833,16 @@ FROM embeddings
     "ann_ivf_partitioned_equiv": f"""
 SELECT CAST({N_QUERIES * TOPK} AS BIGINT) AS n_rows,
        CAST(0 AS BIGINT) AS n_mismatch
+""",
+    # frozen-quantizer contract: the stream-ingested store answers
+    # identically to the in-memory probe, before AND after compaction;
+    # n_indexed recounted from the raw table
+    "ann_ivf_incremental": f"""
+SELECT CAST(count(*) - {N_QUERIES} AS BIGINT) AS n_indexed,
+       CAST({N_QUERIES * TOPK} AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(TRUE AS BOOLEAN) AS files_reduced,
+       CAST(TRUE AS BOOLEAN) AS post_compact_identical
+FROM embeddings
 """,
 }

@@ -20,6 +20,8 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + dedup_simhash_pairs_exact + semdedup_recall
 - ``ann_recall_suite``   = ann_{lsh,ivf,pq,ivfpq}_recall
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
+                           + ann_ivf_incremental (round 6: persisted
+                           incremental IVF store lifecycle)
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
 - ``sketch_suite``       = events_approx_profile + events_hll_distinct
                            + events_quantile_sketch + text_topk_sketch
@@ -176,6 +178,21 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ivf_partitioned").alias("method"),
             F.col("n_rows").cast("bigint").alias("n"),
             (F.col("n_mismatch") == 0).alias("ok"),
+        )
+    )
+    # round 6: incremental IVF store lifecycle (build → 3 batches →
+    # compact → identical answers under the frozen quantizer)
+    from .extensions import ann_ivf_incremental
+
+    rows.append(
+        ann_ivf_incremental(spark, sf_dir).select(
+            F.lit("ivf_incremental").alias("method"),
+            F.col("n_indexed").cast("bigint").alias("n"),
+            (
+                (F.col("n_mismatch") == 0)
+                & F.col("files_reduced")
+                & F.col("post_compact_identical")
+            ).alias("ok"),
         )
     )
     out = rows[0]
@@ -431,6 +448,10 @@ UNION ALL
 SELECT 'ivf_partitioned' AS method, CAST(n_rows AS BIGINT) AS n,
        (n_mismatch = 0) AS ok
 FROM ({extensions.ORACLE["ann_ivf_partitioned_equiv"]}) __pe
+UNION ALL
+SELECT 'ivf_incremental' AS method, CAST(n_indexed AS BIGINT) AS n,
+       (n_mismatch = 0 AND files_reduced AND post_compact_identical) AS ok
+FROM ({extensions.ORACLE["ann_ivf_incremental"]}) __inc
 """,
     "text_ranking_suite": f"""
 SELECT 'bm25' AS method, CAST(doc_id AS BIGINT) AS k1,

@@ -1,0 +1,106 @@
+"""Persistent incremental IVF index (operators/ann_index.py):
+frozen-quantizer equivalence, append-only accumulation, journaled
+compaction with crash roll-forward — the ANN-side mirror of
+test_neardup_index.py."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.operators.ann_index import _SWAP_MARKER, IVFIndex
+
+DIM = 8
+
+
+def _emb(spark, n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+@pytest.fixture()
+def corpus(spark):
+    return _emb(spark)
+
+
+def test_incremental_build_equals_oneshot(spark, corpus, tmp_path):
+    """N add_batch calls against the frozen quantizer answer
+    identically to ingesting everything at build time."""
+    q = _emb(spark, n=4, seed=9)
+
+    inc = IVFIndex(spark, str(tmp_path / "inc"), dim=DIM, n_list=4)
+    inc.build(corpus.filter(F.pmod("vec_id", F.lit(3)) == 0))
+    for m in (1, 2):
+        inc.add_batch(corpus.filter(F.pmod("vec_id", F.lit(3)) == m))
+
+    # one-shot with the SAME centroids: copy them, ingest all at once
+    one = IVFIndex(spark, str(tmp_path / "one"), dim=DIM, n_list=4)
+    os.makedirs(str(tmp_path / "one"))
+    spark.read.parquet(inc.centroids_path).coalesce(1).write.parquet(
+        one.centroids_path
+    )
+    one.add_batch(corpus)
+
+    a = inc.search(q, k=3, nprobe=2)
+    b = one.search(q, k=3, nprobe=2)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.count() == 4 * 3
+
+
+def test_build_over_existing_index_refuses(spark, corpus, tmp_path):
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus)
+    with pytest.raises(ValueError, match="already exists"):
+        idx.build(corpus)
+
+
+def test_compact_reduces_files_and_preserves_answers(spark, corpus, tmp_path):
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus.filter("vec_id < 20"))
+    for lo, hi in ((20, 40), (40, 60)):
+        idx.add_batch(corpus.filter(f"vec_id >= {lo} and vec_id < {hi}"))
+    q = _emb(spark, n=3, seed=11)
+    before = idx.search(q, k=3, nprobe=2).collect()
+    report = idx.compact(rows_per_file=1000)
+    assert report["files_after"] <= report["files_before"]
+    assert report["rows"] == 60
+    after = idx.search(q, k=3, nprobe=2).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_interrupted_compact_rolls_forward_at_next_entry(spark, corpus, tmp_path):
+    """Crash AFTER the staging commit marker but BEFORE the swap: the
+    next add_batch entry must roll the compaction forward, losing
+    nothing."""
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus.filter("vec_id < 40"))
+    n_before = spark.read.parquet(idx.lists_path).count()
+
+    # stage a full compacted copy + commit marker, as if we crashed
+    # between marker write and the rmtree/rename
+    staging = idx._staging()
+    spark.read.parquet(idx.lists_path).write.partitionBy("list_id").parquet(staging)
+    idx.fs.write_text_atomic(os.path.join(staging, _SWAP_MARKER), '{"whole": true}')
+
+    added = idx.add_batch(corpus.filter("vec_id >= 40"))  # entry triggers recover
+    assert added == 20
+    assert not os.path.exists(staging)
+    assert not os.path.exists(os.path.join(idx.lists_path, _SWAP_MARKER))
+    assert spark.read.parquet(idx.lists_path).count() == n_before + 20
+
+
+def test_torn_marker_treated_as_debris(spark, corpus, tmp_path):
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus)
+    staging = idx._staging()
+    os.makedirs(staging)
+    with open(os.path.join(staging, _SWAP_MARKER), "w") as f:
+        f.write('{"whole"')  # torn json => pre-commit debris
+    assert idx.recover() == 0
+    assert not os.path.exists(os.path.join(staging, _SWAP_MARKER))
+    # live store untouched
+    assert spark.read.parquet(idx.lists_path).count() == 60
