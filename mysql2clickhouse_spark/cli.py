@@ -127,6 +127,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="journaled small-files rewrite of the sig/band "
                          "stores (run between ingest sessions)")
 
+    ai = sub.add_parser("annindex", help="persistent incremental IVF index")
+    ai.add_argument("--index-dir", required=True, help="index root")
+    ai.add_argument("--dim", type=int, default=64)
+    ai.add_argument("--n-list", type=int, default=32)
+    ai.add_argument("--add-dir", default=None,
+                    help="parquet batch (vec_id, embedding) to ingest; first "
+                         "ingest trains + freezes the quantizer")
+    ai.add_argument("--search-dir", default=None,
+                    help="parquet queries (vec_id, embedding) to search")
+    ai.add_argument("--k", type=int, default=10)
+    ai.add_argument("--nprobe", type=int, default=8)
+    ai.add_argument("--compact", action="store_true",
+                    help="journaled small-files rewrite of the lists store")
+    ai.add_argument("--output", default=None,
+                    help="write search results as parquet here (else print top rows)")
+
     ex = sub.add_parser("export", help="curate and write training shards + manifest")
     ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
     ex.add_argument("--out-dir", required=True)
@@ -269,6 +285,40 @@ def main(argv: list[str] | None = None) -> int:
             pairs.write.mode("overwrite").parquet(args.pairs_out)
             out["pairs_out"] = args.pairs_out
         _emit(out)
+        return 0
+
+    if args.cmd == "annindex":
+        from .operators.ann_index import IVFIndex
+
+        idx = IVFIndex(spark, args.index_dir, dim=args.dim, n_list=args.n_list)
+        acted = False
+        if args.compact:
+            _emit({"job": "annindex-compact", **idx.compact()})
+            acted = True
+        if args.add_dir:
+            batch = spark.read.parquet(args.add_dir)
+            if idx.exists():
+                n = idx.add_batch(batch)
+            else:
+                idx.build(batch)
+                n = batch.count()
+            _emit({"job": "annindex-add", "rows_added": n})
+            acted = True
+        if args.search_dir:
+            res = idx.search(
+                spark.read.parquet(args.search_dir), k=args.k, nprobe=args.nprobe
+            )
+            if args.output:
+                res.write.mode("overwrite").parquet(args.output)
+                _emit({"job": "annindex-search", "rows": spark.read.parquet(args.output).count(),
+                       "output": args.output})
+            else:
+                for row in res.limit(50).collect():
+                    _emit({"job": "annindex-search", **row.asDict()})
+            acted = True
+        if not acted:
+            _emit({"error": "annindex needs --add-dir, --search-dir and/or --compact"})
+            return 2
         return 0
 
     if args.cmd == "export":

@@ -220,3 +220,36 @@ def test_cli_verify_green_then_red(spark, tmp_path, capsys):
     diffs = [r for r in lines if r["job"] == "verify-diff"]
     assert diffs and all(r["table_name"] == "events_state" for r in diffs)
     assert {r["diff"] for r in diffs} == {"value_diff"}
+
+
+def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
+    """annindex: first --add-dir trains+freezes the quantizer, later
+    adds accumulate, --search returns per-query top-k, --compact packs
+    the lists store."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    emb.filter("vec_id < 20").write.parquet(b1)
+    emb.filter("vec_id >= 20").write.parquet(b2)
+    qdir = str(tmp_path / "q")
+    emb.filter("vec_id < 2").write.parquet(qdir)
+    idx = str(tmp_path / "idx")
+
+    assert main(["annindex", "--index-dir", idx, "--dim", "8", "--n-list", "4",
+                 "--add-dir", b1]) == 0
+    assert main(["annindex", "--index-dir", idx, "--dim", "8", "--n-list", "4",
+                 "--add-dir", b2]) == 0
+    capsys.readouterr()
+    assert main(["annindex", "--index-dir", idx, "--dim", "8", "--n-list", "4",
+                 "--search-dir", qdir, "--k", "3", "--nprobe", "2",
+                 "--compact"]) == 0
+    lines = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    comp = [r for r in lines if r["job"] == "annindex-compact"]
+    hits = [r for r in lines if r["job"] == "annindex-search"]
+    assert comp and comp[0]["rows"] == 40
+    assert len(hits) == 2 * 3 and {r["qid"] for r in hits} == {0, 1}
+    # no arguments at all -> usage error
+    assert main(["annindex", "--index-dir", idx]) == 2
