@@ -474,6 +474,45 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- adaptive (percentile) quality gate --------------------------------------
+
+#: fraction of the corpus dropped by the adaptive gate (bottom decile)
+GATE_PCT = 0.10
+
+
+def corpus_quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE quality gate: drop the corpus's bottom decile by
+    quality score, with the threshold COMPUTED FROM THE CORPUS rather
+    than fixed — the form production filters take when the upstream
+    crawl mix drifts (a constant like ``CURATE_MIN_QUALITY`` silently
+    starts dropping 40% of a worse crawl or 0% of a better one; a
+    percentile gate holds the reject budget).
+
+    Plan: one exact-percentile aggregation over the score column (a
+    1-row frame, broadcast back as a scalar — never a global sort of
+    the corpus), then the gate is a stateless predicate and the
+    per-language report one aggregation.  At 100 TB swap the exact
+    percentile for ``percentile_approx`` (t-digest, mergeable) and the
+    oracle to a tolerance twin — the exact form here is the ground
+    truth (``events_value_percentiles`` pins the Spark/DuckDB
+    interpolation parity this relies on)."""
+    d = _docs(spark, sf_dir)
+    q = quality_score_cols(F.col("text"))
+    feat = d.select("doc_id", "lang", q["quality_score"].alias("qs"))
+    thr = feat.agg(
+        F.round(F.expr(f"percentile(qs, {GATE_PCT})"), 4).alias("thr")
+    )
+    return (
+        feat.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("qs") >= F.col("thr")).cast("bigint")).alias("n_kept"),
+            F.min("thr").alias("threshold"),
+        )
+    )
+
+
 # --- deterministic training-order shuffle -----------------------------------
 
 #: fixed shuffle seed (part of the digest input, so reshuffling = new seed)
@@ -686,6 +725,7 @@ QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_kcenter": corpus_sample_kcenter,
     "corpus_shuffle_order": corpus_shuffle_order,
+    "corpus_quality_gate_adaptive": corpus_quality_gate_adaptive,
     "corpus_mixing_weights": corpus_mixing_weights,
     "corpus_chunk_sliding": corpus_chunk_sliding,
 }
@@ -931,6 +971,27 @@ SELECT doc_id, n_tokens,
              ELSE CAST(ceil((n_tokens - {CHUNK_TOKENS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
         END - 1) * {CHUNK_STRIDE} AS last_chunk_start
 FROM t
+""",
+    # same score expression, same exact-percentile interpolation
+    # (quantile_cont == Spark percentile, pinned by
+    # events_value_percentiles), same >= gate
+    "corpus_quality_gate_adaptive": f"""
+WITH feat AS (
+    SELECT lang,
+           round(least(1.0, CAST({_TOKENS_COUNT_SQL} AS DOUBLE) / 64.0) * 0.5
+                 + least(1.0, CASE WHEN {_TOKENS_COUNT_SQL} > 0
+                         THEN ((length(' ' || text || ' ')
+                                - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0)
+                               / {_TOKENS_COUNT_SQL} ELSE 0.0 END * 10.0) * 0.5, 4)
+               AS qs
+    FROM documents
+),
+t AS (SELECT round(quantile_cont(qs, {GATE_PCT}), 4) AS thr FROM feat)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN qs >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       min(thr) AS threshold
+FROM feat, t
+GROUP BY lang
 """,
     # the full permutation recomputed independently: same seeded-md5
     # key, same mod-shard, same (key, doc_id) order
