@@ -919,3 +919,68 @@ def test_checksum_row_diff_classifies_divergence(spark):
     d = row_digest([F.col("v")])
     got = {r["key"]: r["diff"] for r in row_diff(src, dst, ["key"], d).collect()}
     assert got == {1: "only_src", 3: "value_diff", 4: "only_dst"}
+
+
+def test_checksum_properties_order_invariance_and_sensitivity(spark):
+    """Property sweep of the checksum fold (hypothesis-driven rows):
+    - ORDER INVARIANCE: any permutation/partitioning of the same rows
+      yields identical (n, sum, xor) per table;
+    - SENSITIVITY: perturbing any single row's value flips the verdict
+      for exactly that table."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mysql2clickhouse_spark.operators.checksum import (
+        checksum_compare,
+        row_digest,
+        table_checksums,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["t1", "t2"]),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+
+    @given(rows_strategy, st.randoms())
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def run(rows, rnd):
+        df = spark.createDataFrame(rows, "table_name string, key bigint, v bigint")
+        d = row_digest([F.col("key").cast("string"), F.col("v").cast("string")])
+        base = {
+            r["table_name"]: (r["n_rows"], r["sum_digest"], r["xor_digest"])
+            for r in table_checksums(df, d).collect()
+        }
+        # permutation + repartition: identical fold
+        shuffled = rows[:]
+        rnd.shuffle(shuffled)
+        df2 = spark.createDataFrame(
+            shuffled, "table_name string, key bigint, v bigint"
+        ).repartition(3)
+        again = {
+            r["table_name"]: (r["n_rows"], r["sum_digest"], r["xor_digest"])
+            for r in table_checksums(df2, d).collect()
+        }
+        assert base == again
+        # single-row perturbation: flagged table mismatches, others match
+        i = rnd.randrange(len(rows))
+        tampered = rows[:]
+        tbl, key, v = tampered[i]
+        tampered[i] = (tbl, key, v + 1)
+        df3 = spark.createDataFrame(tampered, "table_name string, key bigint, v bigint")
+        verdicts = {
+            r["table_name"]: r["digest_match"]
+            for r in checksum_compare(
+                table_checksums(df, d), table_checksums(df3, d)
+            ).collect()
+        }
+        assert verdicts[tbl] is False
+        for other in verdicts:
+            if other != tbl:
+                assert verdicts[other] is True
+
+    run()
