@@ -984,3 +984,70 @@ def test_checksum_properties_order_invariance_and_sensitivity(spark):
                 assert verdicts[other] is True
 
     run()
+
+
+def test_compact_small_files_tightens_rowgroup_stats(spark, tmp_path):
+    """Data-layout evidence for the ORDER BY clustering analog: after
+    compact_small_files, each parquet file's (min, max) range on the
+    CLUSTERING KEY is disjoint — the property that lets a key-predicate
+    scan skip whole files/row-groups at 100 TB.  The fixture routes to
+    an UNREGISTERED table (DEFAULT_POLICY: append mode, order
+    (key, seq)), so every appended run fragment spans the whole key
+    space (keys cycle mod 97) and the before-ranges all overlap."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    for lo in range(0, 200, 50):
+        rows = [
+            ("I", "clicks", (lo + i) % 97, lo + i, (lo + i) // 50,
+             T0 + dt.timedelta(minutes=lo + i), float(i), "e")
+            for i in range(50)
+        ]
+        runner.run_once(spark.createDataFrame(rows, SCHEMA))
+
+    path = runner.table_path("clicks")
+
+    def key_ranges():
+        out = []
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(_os.path.join(root, f))
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for c in range(g.num_columns):
+                        col = g.column(c)
+                        if col.path_in_schema == "key" and col.statistics:
+                            los.append(col.statistics.min)
+                            his.append(col.statistics.max)
+                if los:
+                    out.append((min(los), max(his)))
+        return sorted(out)
+
+    def n_overlaps(ranges):
+        return sum(
+            1
+            for i, (lo, hi) in enumerate(ranges)
+            for lo2, hi2 in ranges[i + 1:]
+            if lo2 <= hi and lo <= hi2
+        )
+
+    before = key_ranges()
+    assert len(before) >= 4 and n_overlaps(before) > 0
+
+    st = runner.compact_small_files("clicks", [202403], target_rows_per_file=60)
+    assert st["rows"] == 200
+
+    after = key_ranges()
+    assert len(after) >= 2  # still multiple files, so disjointness is non-trivial
+    # range-partitioned + sorted on (key, seq): a file boundary can at
+    # most SHARE one key value with its neighbor, never properly overlap
+    assert all(
+        not (lo2 < hi and lo < hi2)
+        for i, (lo, hi) in enumerate(after)
+        for lo2, hi2 in after[i + 1:]
+    )
