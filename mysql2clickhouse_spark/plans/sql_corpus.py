@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import register_views
-from . import corpus
+from . import cdc, corpus
 
 #: §2.5 statements that are pure SQL on both engines (every ``q*``
 #: corpus entry; the cdc_* / streaming families go through the runner
@@ -172,6 +172,56 @@ SELECT event_type, count(1) AS n,
        round(percentile(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type
 """,
+    # the round-6 integrity check as one declarative statement: hex
+    # parse is conv(..,16,10) here vs DuckDB's '0x' cast, everything
+    # else (md5, concat_ws, strftime twin, bit_xor, mod-sum) is shared
+    # arithmetic — proven digest-identical in operators/checksum.py
+    "cdc_consistency_check": """
+WITH c AS (SELECT * FROM changelog),
+src AS (
+    SELECT table_name, key, seq, ts, value, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM c
+    ) WHERE rn = 1 AND op <> 'D'
+),
+dst AS (
+    SELECT table_name, key, seq, ts, value, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM c WHERE op IN ('I', 'U')
+    ) WHERE rn = 1
+),
+sd AS (SELECT table_name,
+              CAST(conv(substring(md5(concat_ws('|', key, seq,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+                   CAST(FLOOR(value*100) AS BIGINT), event_type)), 1, 15), 16, 10)
+                   AS BIGINT) AS d
+       FROM src),
+dd AS (SELECT table_name,
+              CAST(conv(substring(md5(concat_ws('|', key, seq,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+                   CAST(FLOOR(value*100) AS BIGINT), event_type)), 1, 15), 16, 10)
+                   AS BIGINT) AS d
+       FROM dst),
+ssum AS (SELECT table_name, count(*) AS n, sum(d % 1000000007) AS s, bit_xor(d) AS x
+         FROM sd GROUP BY table_name),
+dsum AS (SELECT table_name, count(*) AS n, sum(d % 1000000007) AS s, bit_xor(d) AS x
+         FROM dd GROUP BY table_name),
+replica AS (
+    SELECT 'replica' AS compare,
+           coalesce(ssum.table_name, dsum.table_name) AS table_name,
+           coalesce(ssum.n, 0) AS n_src, coalesce(dsum.n, 0) AS n_dst,
+           coalesce(ssum.n, 0) = coalesce(dsum.n, 0) AS count_match,
+           coalesce(ssum.n, 0) = coalesce(dsum.n, 0)
+               AND ssum.s <=> dsum.s AND ssum.x <=> dsum.x AS digest_match
+    FROM ssum FULL OUTER JOIN dsum ON ssum.table_name = dsum.table_name
+),
+selfcheck AS (
+    SELECT 'selfcheck' AS compare, table_name, n AS n_src, n AS n_dst,
+           TRUE AS count_match, TRUE AS digest_match
+    FROM ssum
+)
+SELECT * FROM replica UNION ALL SELECT * FROM selfcheck
+""",
 }
 
 
@@ -181,6 +231,12 @@ def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
     spark.sql(
         f"CREATE OR REPLACE TEMP VIEW versioned AS {corpus.VERSIONED_SQL}"
+    )
+    # the changelog adapter is itself dual-dialect text
+    from ..sources.changelog import CHANGELOG_VIEW_SQL
+
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW changelog AS {CHANGELOG_VIEW_SQL}"
     )
 
 
@@ -208,9 +264,10 @@ def sql_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_corpus_views(spark, sf_dir)
+    df_forms = {**corpus.QUERIES, **cdc.QUERIES}
     tagged = []
     for name, sql in {**SQL_CORPUS, **SQL_CORPUS_SPARK}.items():
-        for frame, w in ((spark.sql(sql), 1), (corpus.QUERIES[name](spark, sf_dir), -1)):
+        for frame, w in ((spark.sql(sql), 1), (df_forms[name](spark, sf_dir), -1)):
             # keep null-valued fields in the JSON: with the default
             # (nulls omitted) two rows differing only in WHICH column is
             # null would hash identically and evade the parity net
@@ -266,7 +323,10 @@ ORACLE = {
         f" TRUE AS row_identical"
         for name, sql in {
             **SQL_CORPUS,
-            **{n: corpus.ORACLE[n] for n in SQL_CORPUS_SPARK},
+            **{
+                n: {**corpus.ORACLE, **cdc.ORACLE}[n]
+                for n in SQL_CORPUS_SPARK
+            },
         }.items()
     ),
 }

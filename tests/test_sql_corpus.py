@@ -30,12 +30,18 @@ def test_sql_corpus_covers_every_qstar_and_events_plan():
     events = {n for n in corpus.QUERIES if n.startswith("events_")}
     # every events plan has a twin in ONE of the two surfaces; those
     # whose oracle text is already dual-dialect (runs unmodified on
-    # both engines) sit in SQL_CORPUS instead of SQL_CORPUS_SPARK
-    assert events == set(SQL_CORPUS_SPARK) | (set(SQL_CORPUS) & events), (
+    # both engines) sit in SQL_CORPUS instead of SQL_CORPUS_SPARK.
+    # Spark-dialect statements backed by cdc-family DataFrame plans
+    # (round 6: the consistency check) are allowed alongside.
+    spark_dialect_events = {n for n in SQL_CORPUS_SPARK if n.startswith("events_")}
+    assert events == spark_dialect_events | (set(SQL_CORPUS) & events), (
         "every events_* plan needs an SQL twin (and vice versa)"
     )
     # no statement not backed by a DataFrame plan sneaks in
-    assert set(SQL_CORPUS) | set(SQL_CORPUS_SPARK) <= set(corpus.QUERIES)
+    from mysql2clickhouse_spark.plans import cdc
+
+    backed = set(corpus.QUERIES) | set(cdc.QUERIES)
+    assert set(SQL_CORPUS) | set(SQL_CORPUS_SPARK) <= backed
     assert not set(SQL_CORPUS) & set(SQL_CORPUS_SPARK)
 
 
