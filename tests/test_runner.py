@@ -1051,3 +1051,27 @@ def test_compact_small_files_tightens_rowgroup_stats(spark, tmp_path):
         for i, (lo, hi) in enumerate(after)
         for lo2, hi2 in after[i + 1:]
     )
+
+
+def test_verify_replication_surfaces_quarantined_rows_as_divergence(spark, tmp_path):
+    """Documented behavior: the expected fold replays the RAW changelog,
+    so rows the runner deliberately quarantined (poison) surface as a
+    flagged table — the operator reconciles against the rejects table."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    cl = mk_changelog(spark, n=50)
+    poison = spark.createDataFrame(
+        [("X", "events_state", 7, 1000, 20, T0, 1.0, "e")], SCHEMA  # unknown op
+    )
+    runner.run_once(cl.unionByName(poison))
+
+    verdicts = {v["table_name"]: v for v in runner.verify_replication(
+        cl.unionByName(poison)
+    )}
+    # the poison row's table diverges (raw fold counts it, store doesn't)...
+    assert not verdicts["events_state"]["digest_match"]
+    # ...and reconciling against the rejects table closes the gap
+    rejects = spark.read.parquet(str(tmp_path / "wh" / "rejects"))
+    assert rejects.count() == 1
+    # verify against the changelog MINUS quarantined rows: green again
+    clean = {v["table_name"]: v for v in runner.verify_replication(cl)}
+    assert all(v["digest_match"] for v in clean.values())
