@@ -68,8 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--target-dir", required=True)
     m.add_argument("--table", required=True)
     m.add_argument("--months", type=int, nargs="+", required=True)
-    m.add_argument("--job", choices=["dedup", "small-files", "daily-aggregate"],
+    m.add_argument("--job",
+                   choices=["dedup", "small-files", "daily-aggregate", "backfill"],
                    default="dedup")
+    m.add_argument("--window", type=int, default=3,
+                   help="backfill: months per overlapping pass")
+    m.add_argument("--overlap", type=int, default=1,
+                   help="backfill: months shared between passes")
     m.add_argument("--dry-run", action="store_true")
 
     # data dir resolves from $SPARK_GRAFT_SF_DIR (the bench.py
@@ -207,6 +212,12 @@ def main(argv: list[str] | None = None) -> int:
         runner = ReplicationRunner(
             spark, RunConfig(target_dir=args.target_dir, dry_run=args.dry_run)
         )
+        if args.job == "backfill":
+            _emit({"job": "backfill",
+                   **runner.backfill_dedup(args.table, args.months,
+                                           window=args.window,
+                                           overlap=args.overlap)})
+            return 0
         job = {
             "dedup": runner.compact_table,
             "small-files": runner.compact_small_files,

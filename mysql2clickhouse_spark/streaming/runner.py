@@ -1302,6 +1302,95 @@ class ReplicationRunner:
         self._swap_partitions(staging, path, months)
         return stats
 
+    def backfill_dedup(
+        self,
+        tbl: str,
+        months: list[int],
+        window: int = 3,
+        overlap: int = 1,
+        keys: list[str] | None = None,
+        version_col: str = "dateid",
+    ) -> dict:
+        """Overlap-and-slide dedup BACKFILL over a month backlog — the
+        reference's manual procedure for clearing a deep duplicate
+        history without one giant memory-bound mutation
+        (doc_old_duplicates.md:100-106: "периоды должны перекрываться"
+        — clean 100-50 days, then 60-10, then 20-0; audit the residual;
+        shift the windows and repeat if duplicates remain).
+
+        Why overlapping windows: ``compact_table`` dedups WITHIN its
+        month window (that bound is the whole point — it caps the
+        per-pass working set, the reference's 17.6 GiB mutation-OOM
+        lesson), so a key whose versions straddle a window boundary
+        keeps one "latest" per disjoint slice.  Overlap lets the next
+        window see the previous window's boundary survivor and
+        supersede it.  Passes run OLDEST→NEWEST like the reference.
+
+        A sliding sweep still cannot join versions separated by a gap
+        wider than the window, so the procedure ends the way the
+        reference's does — with an AUDIT ("проверить сколько осталось
+        дублей").  Where the reference re-slides blindly, the engine
+        can do better: the audit names the residual keys, and ONE
+        targeted pass compacts exactly the months holding their
+        versions.  After that the residual is structurally 0 (that
+        pass sees every surviving version of every residual key), and
+        the returned stats prove it.
+
+        Each pass is the partition-scoped, crash-safe ``compact_table``
+        (journaled swap; a crash mid-sweep re-runs idempotently).
+        Returns ``{"passes": [...], "residual_after_sweep",
+        "retry_months", "residual_final", "rows_removed"}``.
+        """
+        months = sorted(months)
+        path = self.table_path(tbl)
+        policy = REGISTRY.get(tbl, DEFAULT_POLICY)
+        passes: list[dict] = []
+        removed = 0
+        step = max(1, window - overlap)
+        i = 0
+        while i < len(months):
+            win = months[i : i + window]
+            st = self.compact_table(tbl, win, keys=keys, version_col=version_col)
+            passes.append({"months": win, "rows_removed": st["rows_removed"]})
+            removed += st["rows_removed"]
+            if i + window >= len(months):
+                break
+            i += step
+
+        def residual():
+            stored = self.spark.read.parquet(path).filter(
+                F.col("yyyymm").isin(months)
+            )
+            kcols = keys or self._resolve_cols(policy, stored)
+            dup_keys = (
+                stored.groupBy(*kcols)
+                .agg(F.count(F.lit(1)).alias("n"), F.collect_set("yyyymm").alias("mm"))
+                .filter(F.col("n") > 1)
+            )
+            rows = dup_keys.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("mm")))).alias(
+                    "months"
+                ),
+            ).collect()[0]
+            return rows["k"], [int(m) for m in (rows["months"] or [])]
+
+        n_dup, dup_months = residual()
+        stats = {
+            "passes": passes,
+            "residual_after_sweep": n_dup,
+            "retry_months": dup_months if n_dup else [],
+        }
+        if n_dup:
+            st = self.compact_table(tbl, dup_months, keys=keys, version_col=version_col)
+            removed += st["rows_removed"]
+            n_final, _ = residual()
+            stats["residual_final"] = n_final
+        else:
+            stats["residual_final"] = 0
+        stats["rows_removed"] = removed
+        return stats
+
     def verify_replication(self, changelog: DataFrame) -> list[dict]:
         """Source-vs-target integrity check — the reference's
         cross-DB verification use case (README.md:259-278: MySQL

@@ -1075,3 +1075,47 @@ def test_verify_replication_surfaces_quarantined_rows_as_divergence(spark, tmp_p
     # verify against the changelog MINUS quarantined rows: green again
     clean = {v["table_name"]: v for v in runner.verify_replication(cl)}
     assert all(v["digest_match"] for v in clean.values())
+
+
+def test_backfill_dedup_overlap_slide_and_targeted_retry(spark, tmp_path):
+    """The reference's overlap-and-slide backfill
+    (doc_old_duplicates.md:100-106): sliding window passes clear
+    boundary-straddling duplicates; versions separated by a gap WIDER
+    than the window survive the sweep, the audit names them, and the
+    targeted retry pass compacts exactly their months to zero
+    residual."""
+    import os
+
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    months = [202401, 202402, 202403, 202404]
+    rows = []
+    # key 1: versions in adjacent months 1,2 (boundary dup — the sweep
+    # itself must clear it); key 2: months 1 and 4 (gap > window);
+    # key 3: duplicate versions inside one month
+    for key, mlist in ((1, [202401, 202402]), (2, [202401, 202404]),
+                       (3, [202403, 202403])):
+        for j, m in enumerate(mlist):
+            ts = dt.datetime(2024, m % 100, 5 + j)
+            rows.append((key, key * 100 + j, ts, float(j), "e", m))
+    df = spark.createDataFrame(
+        rows, "key bigint, dateid bigint, ts timestamp, value double,"
+        " event_type string, yyyymm int"
+    )
+    path = runner.table_path("visits")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.write.partitionBy("yyyymm").parquet(path)
+
+    st = runner.backfill_dedup("visits", months, window=2, overlap=1)
+    # the sweep alone left key 2 duplicated (its months never share a window)
+    assert st["residual_after_sweep"] == 1
+    assert st["retry_months"] == [202401, 202404]
+    assert st["residual_final"] == 0
+    # every key folded to its single latest version
+    final = spark.read.parquet(path)
+    assert final.count() == 3
+    got = {r["key"]: r["dateid"] for r in final.collect()}
+    assert got == {1: 101, 2: 201, 3: 301}
+    # passes slid with overlap: [1,2],[2,3],[3,4]
+    assert [p["months"] for p in st["passes"]] == [
+        [202401, 202402], [202402, 202403], [202403, 202404]
+    ]
