@@ -95,7 +95,9 @@ CORE_QUERY_KEYS = (
     # --- curation pipeline ---
     "corpus_curation",
     "corpus_decontaminate",
-    "corpus_pack_sequences",
+    "corpus_prep_suite",        # suite: pack + shuffle-order + adaptive
+                                # gate + BPE encode (rotation r6:
+                                # replaced bare corpus_pack_sequences)
     "corpus_export_suite",       # suite: parquet + jsonl.gz export certs
                                  # (replaced corpus_export_shards, r4)
     # --- structured streaming ---

@@ -33,6 +33,10 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
   (rotation note, round 6: REPLACED the two bare stream_* slots when
   the stream-stream join and in-stream HLL sketch landed; the freed
   slot admitted ``cdc_consistency_check``)
+- ``corpus_prep_suite``  = corpus_pack_sequences + corpus_shuffle_order
+                           + corpus_quality_gate_adaptive + text_bpe_encode
+  (rotation note, round 6: REPLACED the bare ``corpus_pack_sequences``
+  slot when the three new training-prep ops landed)
 - ``corpus_export_suite``= corpus_export_shards + corpus_export_jsonl
                            + corpus_export_tar + multimodal_export_tar
   (rotation notes: round 4 — this suite REPLACED the bare
@@ -378,9 +382,78 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ls.unionByName(wc).unionByName(sj).unionByName(wd)
 
 
+def corpus_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-PREP stage family as one tagged driver slot: token-
+    budget sequence packing, the deterministic fixed-seed training-order
+    shuffle, the adaptive percentile quality gate, and corpus-scale BPE
+    encode with its decode-round-trip certificate.  Null-padded wide
+    union (native types preserved per member).
+
+    (rotation note, round 6: REPLACED the bare ``corpus_pack_sequences``
+    slot, admitting the three new prep ops to the ≤50 hard signal.)"""
+    from .curation import (
+        corpus_pack_sequences,
+        corpus_quality_gate_adaptive,
+        corpus_shuffle_order,
+    )
+    from .extensions import text_bpe_encode
+
+    def nb():
+        return F.lit(None).cast("bigint")
+
+    def ns():
+        return F.lit(None).cast("string")
+
+    def nd():
+        return F.lit(None).cast("double")
+
+    def nbool():
+        return F.lit(None).cast("boolean")
+
+    pack = corpus_pack_sequences(spark, sf_dir).select(
+        F.lit("pack").alias("member"),
+        F.col("shard").cast("bigint").alias("k1"),
+        F.col("seq_id").cast("bigint").alias("k2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("seq_tokens").cast("bigint").alias("n2"),
+        ns().alias("s1"), ns().alias("s2"), nd().alias("d1"),
+        nbool().alias("ok"),
+    )
+    shuf = corpus_shuffle_order(spark, sf_dir).select(
+        F.lit("shuffle").alias("member"),
+        F.col("shard").cast("bigint").alias("k1"),
+        nb().alias("k2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("xor_key").cast("bigint").alias("n2"),
+        F.col("source").alias("s1"),
+        F.col("head_ids").alias("s2"),
+        nd().alias("d1"), nbool().alias("ok"),
+    )
+    gate = corpus_quality_gate_adaptive(spark, sf_dir).select(
+        F.lit("quality_gate").alias("member"),
+        nb().alias("k1"), nb().alias("k2"),
+        F.col("n_total").cast("bigint").alias("n1"),
+        F.col("n_kept").cast("bigint").alias("n2"),
+        F.col("lang").alias("s1"), ns().alias("s2"),
+        F.col("threshold").cast("double").alias("d1"),
+        nbool().alias("ok"),
+    )
+    enc = text_bpe_encode(spark, sf_dir).select(
+        F.lit("bpe_encode").alias("member"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("n_words").cast("bigint").alias("k2"),
+        nb().alias("n1"), nb().alias("n2"),
+        F.col("roundtrip_md5").alias("s1"), ns().alias("s2"),
+        nd().alias("d1"),
+        F.col("tokens_in_bounds").alias("ok"),
+    )
+    return pack.unionByName(shuf).unionByName(gate).unionByName(enc)
+
+
 QUERIES = {
     "q45_retention": q45_retention,
     "stream_suite": stream_suite,
+    "corpus_prep_suite": corpus_prep_suite,
     "cdc_apply_suite": cdc_apply_suite,
     "cdc_insupd_suite": cdc_insupd_suite,
     "dedup_cert_suite": dedup_cert_suite,
@@ -537,5 +610,33 @@ SELECT 'windowed_distinct' AS member, CAST(NULL AS BIGINT) AS key,
        CAST(NULL AS TIMESTAMP) AS i_ts, CAST(NULL AS TIMESTAMP) AS u_ts,
        hll_ok AS ok
 FROM ({streaming_queries.ORACLE["stream_windowed_distinct"]}) __wd
+""",
+    "corpus_prep_suite": f"""
+SELECT 'pack' AS member, CAST(shard AS BIGINT) AS k1,
+       CAST(seq_id AS BIGINT) AS k2, CAST(n_docs AS BIGINT) AS n1,
+       CAST(seq_tokens AS BIGINT) AS n2,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS BOOLEAN) AS ok
+FROM ({curation.ORACLE["corpus_pack_sequences"]}) __pk
+UNION ALL
+SELECT 'shuffle' AS member, CAST(shard AS BIGINT) AS k1,
+       CAST(NULL AS BIGINT) AS k2, CAST(n_docs AS BIGINT) AS n1,
+       CAST(xor_key AS BIGINT) AS n2, source AS s1, head_ids AS s2,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS BOOLEAN) AS ok
+FROM ({curation.ORACLE["corpus_shuffle_order"]}) __sh
+UNION ALL
+SELECT 'quality_gate' AS member, CAST(NULL AS BIGINT) AS k1,
+       CAST(NULL AS BIGINT) AS k2, CAST(n_total AS BIGINT) AS n1,
+       CAST(n_kept AS BIGINT) AS n2, lang AS s1,
+       CAST(NULL AS VARCHAR) AS s2, CAST(threshold AS DOUBLE) AS d1,
+       CAST(NULL AS BOOLEAN) AS ok
+FROM ({curation.ORACLE["corpus_quality_gate_adaptive"]}) __qg
+UNION ALL
+SELECT 'bpe_encode' AS member, CAST(doc_id AS BIGINT) AS k1,
+       CAST(n_words AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS n1,
+       CAST(NULL AS BIGINT) AS n2, roundtrip_md5 AS s1,
+       CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS DOUBLE) AS d1,
+       tokens_in_bounds AS ok
+FROM ({extensions.ORACLE["text_bpe_encode"]}) __be
 """,
 }
