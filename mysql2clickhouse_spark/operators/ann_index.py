@@ -42,10 +42,14 @@ from pyspark.sql.window import Window
 
 from ..fs import fs_for
 from ..functions.similarity import (
+    _adc_score_col,
     _dot,
+    _pq_query_luts,
     train_ivf_centroids,
+    train_pq_codebooks,
     unit_vec_col,
     with_ivf_lists,
+    with_pq_codes,
 )
 
 _SWAP_MARKER = "_SWAP_COMMIT"
@@ -63,12 +67,19 @@ class IVFIndex:
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        pq_m: int | None = None,
+        pq_ksub: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.dim, self.n_list, self.seed = dim, n_list, seed
         self.id_col, self.vec_col = id_col, vec_col
+        self.pq_m, self.pq_ksub = pq_m, pq_ksub
         self.fs = fs_for(spark, path)
+
+    @property
+    def codebooks_path(self) -> str:
+        return os.path.join(self.path, "codebooks")
 
     @property
     def centroids_path(self) -> str:
@@ -104,6 +115,27 @@ class IVFIndex:
             .write.mode("overwrite")
             .parquet(self.centroids_path)
         )
+        if self.pq_m:
+            # PQ codebooks trained on the same bounded sample discipline
+            # and FROZEN with the quantizer: codes stay comparable across
+            # every later add_batch
+            books = train_pq_codebooks(
+                corpus, self.dim, m=self.pq_m, ksub=self.pq_ksub,
+                id_col=self.id_col, vec_col=self.vec_col, seed=self.seed,
+            )
+            brows = [
+                (j, c, [float(x) for x in books[j, c]])
+                for j in range(books.shape[0])
+                for c in range(books.shape[1])
+            ]
+            (
+                self.spark.createDataFrame(
+                    brows, "j int, c int, centroid array<double>"
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(self.codebooks_path)
+            )
         self.add_batch(corpus)
         return self
 
@@ -114,6 +146,19 @@ class IVFIndex:
             .collect()
         )
         return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    def _codebooks(self) -> np.ndarray:
+        rows = (
+            self.spark.read.parquet(self.codebooks_path)
+            .orderBy("j", "c")
+            .collect()
+        )
+        m = max(r["j"] for r in rows) + 1
+        ksub = max(r["c"] for r in rows) + 1
+        books = np.empty((m, ksub, len(rows[0]["centroid"])), dtype=np.float64)
+        for r in rows:
+            books[r["j"], r["c"]] = r["centroid"]
+        return books
 
     # --- ingest ----------------------------------------------------------
     def add_batch(self, batch: DataFrame) -> int:
@@ -131,6 +176,12 @@ class IVFIndex:
             ),
             C, nprobe=1, vec_col="c_vec",
         )
+        if self.pq_m:
+            # codes ride as ONE MORE COLUMN of the same lists table:
+            # parquet's columnar layout gives the 32× scan cut for free —
+            # an ADC pass projecting (cid, codes) never reads the float
+            # pages (pinned by ReadSchema in test_ann_index.py)
+            assigned = with_pq_codes(assigned, self._codebooks(), vec_col="c_vec")
         obs = Observation()
         (
             assigned.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -174,6 +225,76 @@ class IVFIndex:
         w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
         return (
             scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .withColumn("sim", F.round("sim", 4))
+        )
+
+    def search_pq(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        refine_factor: int = 4,
+    ) -> DataFrame:
+        """PQ/ADC probe over the stored codes + EXACT refine — faiss's
+        ``IVFx,PQy + refine`` lifecycle against the persisted store.
+
+        The candidate pass projects ONLY ``(list_id, cid, codes)``:
+        parquet column pruning skips the float pages, so the scan costs
+        m bytes per row instead of dim×4.  Per (query, row) the ADC
+        score is m lookup-adds into the query's broadcast LUT; the
+        per-query top ``refine_factor·k`` candidates then join back to
+        the float column (second pruned read, candidate-filtered) for
+        exact cosine and the final top-k.  Requires ``pq_m`` at build.
+        """
+        if not self.pq_m:
+            raise ValueError("index was built without pq_m — use search()")
+        C = self._centroids()
+        books = self._codebooks()
+        m, ksub, _ = books.shape
+        qb = with_ivf_lists(
+            queries.select(
+                F.col(self.id_col).alias("qid"),
+                unit_vec_col(F.col(self.vec_col)).alias("q_vec"),
+            ),
+            C, nprobe=nprobe, vec_col="q_vec",
+        )
+        probed = sorted(
+            r["list_id"] for r in qb.select("list_id").distinct().collect()
+        )
+        luts = _pq_query_luts(queries, books, self.id_col, self.vec_col).join(
+            qb.select("qid", "list_id"), "qid"
+        )
+        code_scan = (
+            self.spark.read.parquet(self.lists_path)
+            .filter(F.col("list_id").isin(probed))
+            .select(F.col("list_id").cast("int").alias("list_id"), "cid", "codes")
+        )
+        adc = (
+            code_scan.join(F.broadcast(luts), "list_id")
+            .withColumn("adc", _adc_score_col(m, ksub))
+            .select("qid", "cid", "adc")
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid").asc())
+        cands = (
+            adc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= refine_factor * k)
+            .select("qid", "cid")
+        )
+        floats = (
+            self.spark.read.parquet(self.lists_path)
+            .filter(F.col("list_id").isin(probed))
+            .select("cid", "c_vec")
+        )
+        refined = (
+            cands.join(floats, "cid")
+            .join(F.broadcast(qb.select("qid", "q_vec").distinct()), "qid")
+            .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
+            .select("qid", "cid", "sim")
+        )
+        w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+        return (
+            refined.withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= k)
             .withColumn("sim", F.round("sim", 4))
         )

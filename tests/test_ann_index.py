@@ -104,3 +104,38 @@ def test_torn_marker_treated_as_debris(spark, corpus, tmp_path):
     assert not os.path.exists(os.path.join(staging, _SWAP_MARKER))
     # live store untouched
     assert spark.read.parquet(idx.lists_path).count() == 60
+
+
+def test_pq_store_adc_search_recall_and_column_pruning(spark, corpus, tmp_path):
+    """PQ-coded store: codes ride as one more column of the lists table
+    (parquet column pruning gives the compact ADC scan), the ADC +
+    exact-refine search recovers most of the exact top-k, and
+    incremental adds stay code-compatible (frozen codebooks)."""
+    q = _emb(spark, n=4, seed=9)
+    idx = IVFIndex(spark, str(tmp_path / "pq"), dim=DIM, n_list=4, pq_m=4)
+    idx.build(corpus.filter("vec_id < 30"))
+    idx.add_batch(corpus.filter("vec_id >= 30"))
+
+    got = idx.search_pq(q, k=3, nprobe=4, refine_factor=4)
+    exact = idx.search(q, k=3, nprobe=4)
+    g = {(r["qid"], r["cid"]) for r in got.collect()}
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    assert len(g) == 4 * 3
+    # refined PQ recall vs the float probe over the same lists
+    assert len(g & e) / len(e) >= 0.5
+    # the ADC stage's scan must NOT read the float column
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    scans = re.findall(r"ReadSchema: \S+", plan)
+    assert any("codes" in s and "c_vec" not in s for s in scans), scans
+
+    # search_pq on a float-only index refuses
+    flat = IVFIndex(spark, str(tmp_path / "flat"), dim=DIM, n_list=4)
+    flat.build(corpus)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="without pq_m"):
+        flat.search_pq(q)
