@@ -286,8 +286,11 @@ class IVFIndex:
             .filter(F.col("list_id").isin(probed))
             .select("cid", "c_vec")
         )
+        # candidates are refine_factor·k·|queries| rows — broadcast THEM
+        # so the float read streams through a map-side hash join instead
+        # of shuffling the probed partitions on cid
         refined = (
-            cands.join(floats, "cid")
+            floats.join(F.broadcast(cands), "cid")
             .join(F.broadcast(qb.select("qid", "q_vec").distinct()), "qid")
             .withColumn("sim", _dot(F.col("q_vec"), F.col("c_vec")))
             .select("qid", "cid", "sim")
