@@ -423,3 +423,19 @@ def test_runtime_bloom_filter_injects_for_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_consistency_check_folds_are_jvm_side_partial_aggregates(spark, sf_dir, queries):
+    """The integrity check's 100 TB contract: every per-table checksum
+    fold is a JVM-side hash aggregate with map-side partials (the
+    bit_xor/sum/count combine before the exchange), and no Python node
+    appears anywhere in the plan."""
+    plan = plan_of(spark, queries["cdc_consistency_check"](spark, sf_dir))
+    assert "partial_bit_xor" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only joins are the two checksum_compare FULL OUTERs over
+    # per-table aggregate frames (full outer cannot broadcast, so they
+    # appear as tiny SortMergeJoins) — never a row-level src⋈dst join.
+    # formatted explain prints each node twice (tree + detail).
+    assert plan.count("SortMergeJoin") == plan.count("SortMergeJoin FullOuter") <= 4
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
