@@ -436,6 +436,11 @@ def test_consistency_check_folds_are_jvm_side_partial_aggregates(spark, sf_dir, 
     # the only joins are the two checksum_compare FULL OUTERs over
     # per-table aggregate frames (full outer cannot broadcast, so they
     # appear as tiny SortMergeJoins) — never a row-level src⋈dst join.
-    # formatted explain prints each node twice (tree + detail).
-    assert plan.count("SortMergeJoin") == plan.count("SortMergeJoin FullOuter") <= 4
+    # the tree section names the join type ("SortMergeJoin FullOuter"),
+    # the detail section repeats each node bare — so 2 joins show as
+    # 2 typed + 2 bare mentions; every SMJ must be one of the FULL
+    # OUTER compares.
+    n_full_outer = plan.count("SortMergeJoin FullOuter")
+    assert n_full_outer <= 2
+    assert plan.count("SortMergeJoin") == 2 * n_full_outer
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
