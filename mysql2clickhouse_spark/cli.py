@@ -134,8 +134,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     ai = sub.add_parser("annindex", help="persistent incremental IVF index")
     ai.add_argument("--index-dir", required=True, help="index root")
-    ai.add_argument("--dim", type=int, default=64)
-    ai.add_argument("--n-list", type=int, default=32)
+    ai.add_argument("--dim", type=int, default=None,
+                    help="embedding dim (required for a NEW index; an "
+                         "existing index reads it from manifest.json)")
+    ai.add_argument("--n-list", type=int, default=None,
+                    help="coarse lists for a new index (default 32; "
+                         "existing index: from manifest)")
+    ai.add_argument("--pq-m", type=int, default=None,
+                    help="build with PQ codes: subquantizer count "
+                         "(existing index: from manifest)")
+    ai.add_argument("--pq-ksub", type=int, default=None,
+                    help="PQ codebook size per subquantizer (default 16)")
+    ai.add_argument("--pq-search", action="store_true",
+                    help="answer --search-dir via the PQ/ADC + exact-"
+                         "refine path instead of full-float rerank")
     ai.add_argument("--add-dir", default=None,
                     help="parquet batch (vec_id, embedding) to ingest; first "
                          "ingest trains + freezes the quantizer")
@@ -301,22 +313,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "annindex":
         from .operators.ann_index import IVFIndex
 
-        idx = IVFIndex(spark, args.index_dir, dim=args.dim, n_list=args.n_list)
+        idx = IVFIndex(spark, args.index_dir, dim=args.dim,
+                       n_list=args.n_list, pq_m=args.pq_m,
+                       pq_ksub=args.pq_ksub)
         acted = False
         if args.compact:
             _emit({"job": "annindex-compact", **idx.compact()})
             acted = True
         if args.add_dir:
             batch = spark.read.parquet(args.add_dir)
-            if idx.exists():
-                n = idx.add_batch(batch)
-            else:
-                idx.build(batch)
-                n = batch.count()
+            # build() returns the ingested row count from its internal
+            # add_batch Observation — no second scan of the input
+            n = idx.add_batch(batch) if idx.exists() else idx.build(batch)
             _emit({"job": "annindex-add", "rows_added": n})
             acted = True
         if args.search_dir:
-            res = idx.search(
+            search = idx.search_pq if args.pq_search else idx.search
+            res = search(
                 spark.read.parquet(args.search_dir), k=args.k, nprobe=args.nprobe
             )
             if args.output:

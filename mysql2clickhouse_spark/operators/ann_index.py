@@ -54,28 +54,71 @@ from ..functions.similarity import (
 
 _SWAP_MARKER = "_SWAP_COMMIT"
 
+# Index geometry persisted at build time and authoritative on reopen:
+# a PQ-built store reopened without pq_m (the CLI has no way to know)
+# would otherwise append code-less rows that later null out every ADC
+# score.  The manifest makes the store self-describing, faiss-style.
+_MANIFEST_FIELDS = ("dim", "n_list", "seed", "pq_m", "pq_ksub")
+
 
 class IVFIndex:
-    """A persisted IVF index over an append-only embedding store."""
+    """A persisted IVF index over an append-only embedding store.
+
+    Geometry (``dim``/``n_list``/``seed``/``pq_m``/``pq_ksub``) is
+    written to ``manifest.json`` at build time and loaded on open:
+    constructor args left as ``None`` adopt the stored values; an
+    explicit arg that CONTRADICTS the manifest fails fast (reopening a
+    PQ store as non-PQ, or with a different dim, can only corrupt it).
+    A new index (no manifest) requires ``dim`` and fills the other
+    fields with the documented defaults.
+    """
 
     def __init__(
         self,
         spark: SparkSession,
         path: str,
-        dim: int,
-        n_list: int = 32,
-        seed: int = 42,
+        dim: int | None = None,
+        n_list: int | None = None,
+        seed: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         pq_m: int | None = None,
-        pq_ksub: int = 16,
+        pq_ksub: int | None = None,
     ):
         self.spark = spark
         self.path = path
-        self.dim, self.n_list, self.seed = dim, n_list, seed
         self.id_col, self.vec_col = id_col, vec_col
-        self.pq_m, self.pq_ksub = pq_m, pq_ksub
         self.fs = fs_for(spark, path)
+        given = {"dim": dim, "n_list": n_list, "seed": seed,
+                 "pq_m": pq_m, "pq_ksub": pq_ksub}
+        stored = self._load_manifest()
+        if stored is not None:
+            for k in _MANIFEST_FIELDS:
+                if given[k] is not None and given[k] != stored.get(k):
+                    raise ValueError(
+                        f"IVF index at {path} was built with {k}="
+                        f"{stored.get(k)!r}; constructor passed {given[k]!r}"
+                        " — reopen with matching args or omit them"
+                    )
+            given = {k: stored.get(k) for k in _MANIFEST_FIELDS}
+        else:
+            if given["dim"] is None:
+                raise ValueError("dim is required to create a new IVF index")
+            defaults = {"n_list": 32, "seed": 42, "pq_ksub": 16, "pq_m": None}
+            for k, v in defaults.items():
+                if given[k] is None:
+                    given[k] = v
+        self.dim, self.n_list, self.seed = given["dim"], given["n_list"], given["seed"]
+        self.pq_m, self.pq_ksub = given["pq_m"], given["pq_ksub"]
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _load_manifest(self) -> dict | None:
+        if not self.fs.exists(self.manifest_path):
+            return None
+        return json.loads(self.fs.read_text(self.manifest_path))
 
     @property
     def codebooks_path(self) -> str:
@@ -93,13 +136,16 @@ class IVFIndex:
         return self.fs.is_dir(self.centroids_path)
 
     # --- centroids (frozen quantizer) -----------------------------------
-    def build(self, corpus: DataFrame) -> "IVFIndex":
+    def build(self, corpus: DataFrame) -> int:
         """Train the coarse quantizer on a BOUNDED sample of ``corpus``
         (same trainer as every IVF plan — the collect is capped
-        regardless of corpus size), persist it, then ingest ``corpus``
-        as the first batch.  Idempotent guard: building over an
-        existing index is a hard error — retraining would silently
-        orphan every stored vector's list assignment."""
+        regardless of corpus size), persist it + the geometry manifest,
+        then ingest ``corpus`` as the first batch; returns rows ingested
+        (the internal ``add_batch`` already counted them via its
+        Observation — callers must not re-count the input).  Idempotent
+        guard: building over an existing index is a hard error —
+        retraining would silently orphan every stored vector's list
+        assignment."""
         if self.exists():
             raise ValueError(f"IVF index already exists at {self.path}")
         C = train_ivf_centroids(
@@ -136,8 +182,11 @@ class IVFIndex:
                 .write.mode("overwrite")
                 .parquet(self.codebooks_path)
             )
-        self.add_batch(corpus)
-        return self
+        self.fs.write_text_atomic(
+            self.manifest_path,
+            json.dumps({k: getattr(self, k) for k in _MANIFEST_FIELDS}),
+        )
+        return self.add_batch(corpus)
 
     def _centroids(self) -> np.ndarray:
         rows = (
@@ -201,6 +250,9 @@ class IVFIndex:
         rerank inside, per-query top-k.  Same arithmetic and tie-break
         as ``ivf_topk_partitioned`` — a store built via N add_batch
         calls answers identically to a one-shot build."""
+        self.recover()  # a search-only invocation must also roll a
+        # committed-but-interrupted compaction swap forward, else the
+        # live lists path may simply be missing
         C = self._centroids()
         qb = with_ivf_lists(
             queries.select(
@@ -249,6 +301,7 @@ class IVFIndex:
         """
         if not self.pq_m:
             raise ValueError("index was built without pq_m — use search()")
+        self.recover()  # same roll-forward contract as search()
         C = self._centroids()
         books = self._codebooks()
         m, ksub, _ = books.shape

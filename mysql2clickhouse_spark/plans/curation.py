@@ -479,6 +479,16 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fraction of the corpus dropped by the adaptive gate (bottom decile)
 GATE_PCT = 0.10
 
+#: rank accuracy of the gate's quantile sketch: the Greenwald-Khanna
+#: summary holds O(GATE_ACCURACY·log n) tuples per partition and merges
+#: map-side, so the threshold aggregation is bounded-memory at ANY
+#: corpus size (the exact ``percentile`` aggregate, by contrast, merges
+#: a value→count map of every distinct score into ONE task).  Rank
+#: error ≤ n/GATE_ACCURACY: below ~5k rows the sketch is provably exact
+#: (error < 1 rank), which is what lets the certification oracle be an
+#: EQUALITY twin at test scale; at 100 TB it is a ±0.01% rank gate.
+GATE_ACCURACY = 10_000
+
 
 def corpus_quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAPTIVE quality gate: drop the corpus's bottom decile by
@@ -488,19 +498,27 @@ def corpus_quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts dropping 40% of a worse crawl or 0% of a better one; a
     percentile gate holds the reject budget).
 
-    Plan: one exact-percentile aggregation over the score column (a
-    1-row frame, broadcast back as a scalar — never a global sort of
-    the corpus), then the gate is a stateless predicate and the
-    per-language report one aggregation.  At 100 TB swap the exact
-    percentile for ``percentile_approx`` (t-digest, mergeable) and the
-    oracle to a tolerance twin — the exact form here is the ground
-    truth (``events_value_percentiles`` pins the Spark/DuckDB
-    interpolation parity this relies on)."""
+    The threshold source is ``percentile_approx`` (Greenwald-Khanna
+    sketch, ``GATE_ACCURACY`` rank accuracy): mergeable, map-side
+    combinable, bounded memory — the aggregate that survives a 100 TB
+    score column.  The sketch returns a data ELEMENT, so at
+    certification scale (rank error < 1) it equals DuckDB's
+    ``quantile_disc`` exactly and every output column hash-matches; the
+    exact-interpolation form lives on ONLY as the extended-registry
+    certification twin (``corpus_quality_gate_exact``) — the same
+    approx-primary / exact-twin discipline as ``sketch_suite``.
+
+    Plan: one sketch aggregation over the score column (a 1-row frame,
+    broadcast back as a scalar — never a global sort of the corpus),
+    then the gate is a stateless predicate and the per-language report
+    one aggregation."""
     d = _docs(spark, sf_dir)
     q = quality_score_cols(F.col("text"))
     feat = d.select("doc_id", "lang", q["quality_score"].alias("qs"))
     thr = feat.agg(
-        F.round(F.expr(f"percentile(qs, {GATE_PCT})"), 4).alias("thr")
+        F.round(
+            F.percentile_approx("qs", F.lit(GATE_PCT), F.lit(GATE_ACCURACY)), 4
+        ).alias("thr")
     )
     return (
         feat.crossJoin(F.broadcast(thr))
@@ -510,6 +528,58 @@ def corpus_quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("qs") >= F.col("thr")).cast("bigint")).alias("n_kept"),
             F.min("thr").alias("threshold"),
         )
+    )
+
+
+def corpus_quality_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CERTIFICATION TWIN of ``corpus_quality_gate_adaptive`` (extended
+    registry only): the exact-interpolation percentile threshold, plus
+    a per-language tolerance row proving the sketch gate's kept set
+    sits within the rank guarantee of the exact one.  The exact
+    ``percentile`` aggregate buffers every distinct score value into
+    the final merge task — deliberately NOT the primary path (the
+    scale-killer the approx form exists to avoid); it is allowlisted as
+    a documented certification twin by the exact-aggregate plan lint.
+
+    ``kept_within_tol`` bounds |n_kept_approx − n_kept_exact| by the
+    sketch's worst-case rank error (ceil(n·1/GATE_ACCURACY) + 1 for the
+    round-at-4-decimals boundary)."""
+    d = _docs(spark, sf_dir)
+    q = quality_score_cols(F.col("text"))
+    feat = d.select("doc_id", "lang", q["quality_score"].alias("qs"))
+    thr = feat.agg(
+        F.round(F.expr(f"percentile(qs, {GATE_PCT})"), 4).alias("thr_exact"),
+        F.round(
+            F.percentile_approx("qs", F.lit(GATE_PCT), F.lit(GATE_ACCURACY)), 4
+        ).alias("thr_approx"),
+        F.count(F.lit(1)).alias("n_corpus"),
+    )
+    per_lang = (
+        feat.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("qs") >= F.col("thr_exact")).cast("bigint")).alias(
+                "n_kept_exact"
+            ),
+            F.sum((F.col("qs") >= F.col("thr_approx")).cast("bigint")).alias(
+                "__n_kept_approx"
+            ),
+            F.min("thr_exact").alias("threshold_exact"),
+            F.min(F.ceil(F.col("n_corpus") / F.lit(GATE_ACCURACY)) + 1).alias(
+                "__tol"
+            ),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        "n_total",
+        "n_kept_exact",
+        "threshold_exact",
+        (
+            F.abs(F.col("__n_kept_approx") - F.col("n_kept_exact"))
+            <= F.col("__tol")
+        ).alias("kept_within_tol"),
     )
 
 
@@ -726,6 +796,7 @@ QUERIES = {
     "corpus_sample_kcenter": corpus_sample_kcenter,
     "corpus_shuffle_order": corpus_shuffle_order,
     "corpus_quality_gate_adaptive": corpus_quality_gate_adaptive,
+    "corpus_quality_gate_exact": corpus_quality_gate_exact,
     "corpus_mixing_weights": corpus_mixing_weights,
     "corpus_chunk_sliding": corpus_chunk_sliding,
 }
@@ -972,9 +1043,9 @@ SELECT doc_id, n_tokens,
         END - 1) * {CHUNK_STRIDE} AS last_chunk_start
 FROM t
 """,
-    # same score expression, same exact-percentile interpolation
-    # (quantile_cont == Spark percentile, pinned by
-    # events_value_percentiles), same >= gate
+    # same score expression; the sketch threshold returns a data
+    # ELEMENT and is exact below ~GATE_ACCURACY/2 rows, so the oracle
+    # is DISCRETE quantile equality (quantile_disc), not interpolation
     "corpus_quality_gate_adaptive": f"""
 WITH feat AS (
     SELECT lang,
@@ -986,10 +1057,39 @@ WITH feat AS (
                AS qs
     FROM documents
 ),
-t AS (SELECT round(quantile_cont(qs, {GATE_PCT}), 4) AS thr FROM feat)
+t AS (SELECT round(quantile_disc(qs, {GATE_PCT}), 4) AS thr FROM feat)
 SELECT lang, count(*) AS n_total,
        CAST(sum(CASE WHEN qs >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        min(thr) AS threshold
+FROM feat, t
+GROUP BY lang
+""",
+    # certification twin: exact interpolated threshold (quantile_cont
+    # == Spark percentile, pinned by events_value_percentiles) + the
+    # sketch-vs-exact kept-count tolerance row; the sketch side is
+    # reproduced with quantile_disc (exact at this scale)
+    "corpus_quality_gate_exact": f"""
+WITH feat AS (
+    SELECT lang,
+           round(least(1.0, CAST({_TOKENS_COUNT_SQL} AS DOUBLE) / 64.0) * 0.5
+                 + least(1.0, CASE WHEN {_TOKENS_COUNT_SQL} > 0
+                         THEN ((length(' ' || text || ' ')
+                                - length(replace(' ' || text || ' ', ' the ', ''))) / 5.0)
+                               / {_TOKENS_COUNT_SQL} ELSE 0.0 END * 10.0) * 0.5, 4)
+               AS qs
+    FROM documents
+),
+t AS (SELECT round(quantile_cont(qs, {GATE_PCT}), 4) AS thr_exact,
+             round(quantile_disc(qs, {GATE_PCT}), 4) AS thr_approx,
+             count(*) AS n_corpus
+      FROM feat)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN qs >= thr_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
+       min(thr_exact) AS threshold_exact,
+       abs(CAST(sum(CASE WHEN qs >= thr_approx THEN 1 ELSE 0 END) AS BIGINT)
+           - CAST(sum(CASE WHEN qs >= thr_exact THEN 1 ELSE 0 END) AS BIGINT))
+           <= min(CAST(ceil(n_corpus / {GATE_ACCURACY}.0) AS BIGINT) + 1)
+           AS kept_within_tol
 FROM feat, t
 GROUP BY lang
 """,

@@ -139,3 +139,59 @@ def test_pq_store_adc_search_recall_and_column_pruning(spark, corpus, tmp_path):
 
     with _pytest.raises(ValueError, match="without pq_m"):
         flat.search_pq(q)
+
+
+def test_manifest_makes_store_self_describing(spark, corpus, tmp_path):
+    """A PQ-built store reopened WITHOUT pq_m (the CLI reopen path)
+    adopts the persisted geometry: later add_batch rows carry codes and
+    search_pq keeps working — the silent-null-ADC corruption the
+    manifest exists to prevent."""
+    path = str(tmp_path / "pq")
+    built = IVFIndex(spark, path, dim=DIM, n_list=4, pq_m=4)
+    assert built.build(corpus.filter("vec_id < 30")) == 30
+
+    reopened = IVFIndex(spark, path)  # no args beyond the path
+    assert (reopened.dim, reopened.n_list, reopened.pq_m, reopened.pq_ksub) == (
+        DIM, 4, 4, 16,
+    )
+    assert reopened.add_batch(corpus.filter("vec_id >= 30")) == 30
+    res = reopened.search_pq(_emb(spark, n=2, seed=7), k=3, nprobe=4)
+    rows = res.collect()
+    assert len(rows) == 2 * 3
+    assert all(r["sim"] is not None for r in rows)
+
+
+def test_manifest_conflict_fails_fast(spark, corpus, tmp_path):
+    path = str(tmp_path / "idx")
+    IVFIndex(spark, path, dim=DIM, n_list=4, pq_m=4).build(corpus)
+    with pytest.raises(ValueError, match="dim"):
+        IVFIndex(spark, path, dim=DIM + 1)
+    with pytest.raises(ValueError, match="pq_m"):
+        IVFIndex(spark, path, pq_m=8)
+    # matching explicit args are fine
+    IVFIndex(spark, path, dim=DIM, n_list=4, pq_m=4, pq_ksub=16)
+
+
+def test_new_index_requires_dim(spark, tmp_path):
+    with pytest.raises(ValueError, match="dim is required"):
+        IVFIndex(spark, str(tmp_path / "fresh"))
+
+
+def test_search_only_invocation_rolls_swap_forward(spark, corpus, tmp_path):
+    """Crash between compact()'s commit marker and the rename, then a
+    SEARCH-ONLY reopen (CLI --search-dir alone): search() must recover
+    the committed swap instead of failing on the missing lists path."""
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus)
+    q = _emb(spark, n=2, seed=5)
+    want = sorted(map(tuple, idx.search(q, k=3, nprobe=2).collect()))
+
+    staging = idx._staging()
+    spark.read.parquet(idx.lists_path).write.partitionBy("list_id").parquet(staging)
+    idx.fs.write_text_atomic(os.path.join(staging, _SWAP_MARKER), '{"whole": true}')
+    idx.fs.rmtree(idx.lists_path)  # the live path is GONE post-commit
+
+    fresh = IVFIndex(spark, str(tmp_path / "idx"))
+    got = sorted(map(tuple, fresh.search(q, k=3, nprobe=2).collect()))
+    assert got == want
+    assert not os.path.exists(staging)

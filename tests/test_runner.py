@@ -903,6 +903,54 @@ def test_verify_replication_missing_table_reported(spark, tmp_path):
     verdicts = {v["table_name"]: v for v in runner.verify_replication(cl)}
     assert verdicts["visits"]["error"] == "target table missing"
     assert not verdicts["visits"]["digest_match"]
+    # n_src keeps its folded-expected-state meaning on the missing-table
+    # row too: visits keys with I/U versions are 0,2,6,8 (key 4 only
+    # ever sees deletes) — four latest-state rows, not the ~100 raw
+    # changelog events behind them
+    assert verdicts["visits"]["n_src"] == 4
+    assert verdicts["visits"]["n_dst"] == 0
+
+
+def _mk_changelog_tables(spark, tables, n=240):
+    rows = []
+    for i in range(n):
+        key = i % 12
+        op = "I" if i % 5 in (0, 1) else ("U" if i % 5 in (2, 3) else "D")
+        tbl = tables[key % len(tables)]
+        rows.append((op, tbl, key, i, 0, T0 + dt.timedelta(minutes=i), float(i), "e"))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_verify_replication_job_count_constant_in_table_count(spark, tmp_path):
+    """The integrity check is a SINGLE PASS: tables fold grouped by
+    policy class with table_name as a grouping column, all groups'
+    checksum frames union into one compared collect.  The Spark job
+    count must therefore NOT grow with the number of tables — at a
+    catalog of hundreds, per-table sequential jobs over the same
+    changelog is exactly the shape this pins out."""
+    sc = spark.sparkContext
+
+    def jobs_for(tables, slot):
+        cl = _mk_changelog_tables(spark, tables)
+        runner = ReplicationRunner(
+            spark, RunConfig(target_dir=str(tmp_path / f"wh{slot}"))
+        )
+        runner.run_once(cl)
+        sc.setJobGroup(f"verify{slot}", "job-count pin")
+        try:
+            verdicts = runner.verify_replication(cl)
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(verdicts) == len(tables)
+        assert all(v["digest_match"] for v in verdicts)
+        return len(sc.statusTracker().getJobIdsForGroup(f"verify{slot}"))
+
+    small = jobs_for(["visits", "events_state"], 0)
+    # 3× the tables, both policy classes represented
+    big = jobs_for(
+        ["visits", "actions", "events_state", "site", "goal", "conversions"], 1
+    )
+    assert big == small, (small, big)
 
 
 def test_checksum_row_diff_classifies_divergence(spark):
