@@ -67,7 +67,14 @@ class LocalFS:
         reader can never observe a torn/empty file at ``path``. This is
         the required form for COMMIT MARKERS — the journaled swaps treat
         the marker's existence as the commit point, so a torn marker
-        written in place would read as committed-but-unparsable."""
+        written in place would read as committed-but-unparsable. The
+        parent directory is created if absent — a marker may be the
+        FIRST artifact of a store (e.g. the IVF manifest is written
+        before the centroids so a mid-build crash leaves an
+        exists()==False store that retries cleanly)."""
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         tmp = path + ".__tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)

@@ -148,6 +148,15 @@ class IVFIndex:
         assignment."""
         if self.exists():
             raise ValueError(f"IVF index already exists at {self.path}")
+        # manifest FIRST (derived purely from constructor state): a
+        # crash mid-build then leaves manifest-without-centroids, which
+        # reads as exists()==False and retries cleanly — the reverse
+        # order left centroids-without-manifest, an exists()==True
+        # store whose reopen demanded geometry the caller can't know
+        self.fs.write_text_atomic(
+            self.manifest_path,
+            json.dumps({k: getattr(self, k) for k in _MANIFEST_FIELDS}),
+        )
         C = train_ivf_centroids(
             corpus, self.dim, self.n_list,
             id_col=self.id_col, vec_col=self.vec_col, seed=self.seed,
@@ -182,10 +191,6 @@ class IVFIndex:
                 .write.mode("overwrite")
                 .parquet(self.codebooks_path)
             )
-        self.fs.write_text_atomic(
-            self.manifest_path,
-            json.dumps({k: getattr(self, k) for k in _MANIFEST_FIELDS}),
-        )
         return self.add_batch(corpus)
 
     def _centroids(self) -> np.ndarray:

@@ -51,6 +51,35 @@ def test_incremental_build_equals_oneshot(spark, corpus, tmp_path):
     assert a.count() == 4 * 3
 
 
+def test_crashed_build_leaves_retryable_store(spark, corpus, tmp_path, monkeypatch):
+    """The manifest is written BEFORE the centroids: a crash between
+    the two leaves manifest-without-centroids, which reads as
+    exists()==False and retries cleanly.  (The reverse order left
+    centroids-without-manifest — an exists()==True store whose reopen
+    demanded geometry the caller can't know.)"""
+    import mysql2clickhouse_spark.operators.ann_index as mod
+
+    path = str(tmp_path / "crash")
+    idx = IVFIndex(spark, path, dim=DIM, n_list=4)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during quantizer training")
+
+    monkeypatch.setattr(mod, "train_ivf_centroids", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.build(corpus)
+    # manifest landed, centroids did not -> store is NOT half-alive
+    assert os.path.exists(idx.manifest_path)
+    assert not idx.exists()
+    # reopen with no geometry args adopts the manifest; retry succeeds
+    monkeypatch.undo()
+    retry = IVFIndex(spark, path)
+    assert (retry.dim, retry.n_list) == (DIM, 4)
+    retry.build(corpus)
+    assert retry.exists()
+    assert retry.search(_emb(spark, n=2, seed=9), k=3, nprobe=2).count() == 2 * 3
+
+
 def test_build_over_existing_index_refuses(spark, corpus, tmp_path):
     idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
     idx.build(corpus)
