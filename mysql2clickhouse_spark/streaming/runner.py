@@ -1519,12 +1519,25 @@ class ReplicationRunner:
             else src_sums.limit(0)
         )
         rows = checksum_compare(src_sums, dst_sums).orderBy("table_name").collect()
+        # seed from the authoritative table list, not the compare rows:
+        # a table whose expected fold is EMPTY (delete-only changelog)
+        # and whose stored side is empty or missing appears in NEITHER
+        # checksum frame — the contract is still one verdict per table,
+        # so absent tables get an explicit n_src=0/n_dst=0 row (both
+        # states empty = vacuously consistent) plus the missing-table
+        # error when the target has no files at all
+        by_name = {r["table_name"]: r for r in rows}
         verdicts: list[dict] = []
-        for r in rows:
-            v = {"table_name": r["table_name"], "n_src": r["n_src"],
-                 "n_dst": r["n_dst"], "count_match": r["count_match"],
-                 "digest_match": r["digest_match"]}
-            if r["table_name"] in missing:
+        for tbl in tables:
+            r = by_name.get(tbl)
+            if r is None:
+                v = {"table_name": tbl, "n_src": 0, "n_dst": 0,
+                     "count_match": True, "digest_match": True}
+            else:
+                v = {"table_name": tbl, "n_src": r["n_src"],
+                     "n_dst": r["n_dst"], "count_match": r["count_match"],
+                     "digest_match": r["digest_match"]}
+            if tbl in missing:
                 v["error"] = "target table missing"
             verdicts.append(v)
         return verdicts

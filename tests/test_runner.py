@@ -911,6 +911,39 @@ def test_verify_replication_missing_table_reported(spark, tmp_path):
     assert verdicts["visits"]["n_dst"] == 0
 
 
+def test_verify_replication_delete_only_table_still_gets_verdict(spark, tmp_path):
+    """Contract: one verdict dict per routed table, even when a table's
+    expected fold is EMPTY (delete-only changelog under the mutate
+    policy — deletes are terminal) and its stored side is empty or
+    missing.  Such a table appears in NEITHER checksum frame, so the
+    verdict list is seeded from the table list, not the compare rows;
+    previously the row (and its missing-table error) silently vanished."""
+    runner = ReplicationRunner(spark, RunConfig(target_dir=str(tmp_path / "wh")))
+    rows = []
+    for i in range(40):
+        # visits: normal I/U mix; events_state (mutate policy): ONLY
+        # deletes -> expected fold is the empty state
+        if i % 2 == 0:
+            rows.append(("I", "visits", i % 6, i, 0,
+                         T0 + dt.timedelta(minutes=i), float(i), "e"))
+        else:
+            rows.append(("D", "events_state", i % 6, i, 0,
+                         T0 + dt.timedelta(minutes=i), float(i), "e"))
+    cl = spark.createDataFrame(rows, SCHEMA)
+
+    verdicts = {v["table_name"]: v for v in runner.verify_replication(cl)}
+    assert set(verdicts) == {"visits", "events_state"}
+    es = verdicts["events_state"]
+    # both states empty = vacuously consistent counts/digests, but the
+    # missing target is still surfaced as the error
+    assert es["n_src"] == 0 and es["n_dst"] == 0
+    assert es["count_match"] and es["digest_match"]
+    assert es["error"] == "target table missing"
+    # the non-empty table keeps its pre-existing missing-target shape
+    assert verdicts["visits"]["n_src"] > 0
+    assert verdicts["visits"]["error"] == "target table missing"
+
+
 def _mk_changelog_tables(spark, tables, n=240):
     rows = []
     for i in range(n):
