@@ -539,7 +539,9 @@ def corpus_quality_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` aggregate buffers every distinct score value into
     the final merge task — deliberately NOT the primary path (the
     scale-killer the approx form exists to avoid); it is allowlisted as
-    a documented certification twin by the exact-aggregate plan lint.
+    a documented certification twin by the exact-aggregate plan lint
+    (rule 3, ``plans/plancheck.py`` ``EXACT_AGG_ALLOWLIST`` — an
+    un-allowlisted exact percentile fails every registry CI pass).
 
     ``kept_within_tol`` bounds |n_kept_approx − n_kept_exact| by the
     sketch's worst-case rank error (ceil(n·1/GATE_ACCURACY) + 1 for the
@@ -587,15 +589,44 @@ def corpus_quality_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: fixed shuffle seed (part of the digest input, so reshuffling = new seed)
 SHUFFLE_SEED = "seed42"
-SHUFFLE_SHARDS = 16
+#: target docs per training shard. The shard count is DERIVED from the
+#: corpus row count (``shuffle_shards_for``) so per-shard write volume
+#: stays bounded as the corpus grows — a fixed 16-way split at 100 TB
+#: means ~6 TB per-shard write partitions, the scale-killer this
+#: replaces. 250k docs ≈ a few hundred MB of text per shard at typical
+#: web-doc sizes — one healthy output file batch per writer task.
+SHUFFLE_SHARD_ROWS = 250_000
+SHUFFLE_MIN_SHARDS = 16
+#: cap keeps the shard id comfortably inside the key's modulus headroom
+#: and the per-shard certification frame driver-tractable
+SHUFFLE_MAX_SHARDS = 1 << 20
 SHUFFLE_HEAD = 3
 
 
-def shuffle_key_col(id_col: Column) -> Column:
+def shuffle_shards_for(n_docs: int) -> int:
+    """Training-shard count for a corpus of ``n_docs`` documents:
+    ~``n/SHUFFLE_SHARD_ROWS``, clamped to [min, max] (the
+    ``_semdedup_k`` sizing pattern, ``plans/extensions.py``). Pure
+    arithmetic on the row count — replay-stable and exactly
+    reproducible in the SQL oracle via a scalar subquery."""
+    return max(
+        SHUFFLE_MIN_SHARDS,
+        min(SHUFFLE_MAX_SHARDS, n_docs // SHUFFLE_SHARD_ROWS + 1),
+    )
+
+
+def shuffle_key_col(id_col: Column, n_shards: int) -> Column:
     """Deterministic 60-bit shuffle key from a seeded md5 of the doc id
     — replay-stable, cluster-size-independent, and exactly expressible
-    in ANSI SQL (the same arithmetic as ``operators.checksum``)."""
-    canon = F.concat_ws("|", F.lit(SHUFFLE_SEED), id_col.cast("string"))
+    in ANSI SQL (the same arithmetic as ``operators.checksum``).
+
+    ``n_shards`` joins the digest input alongside the seed: growing the
+    corpus past a shard-count boundary produces a FRESH permutation,
+    not a correlated re-bucketing of the old one, and any recorded
+    digest is unambiguously tied to the geometry that produced it."""
+    canon = F.concat_ws(
+        "|", F.lit(SHUFFLE_SEED), F.lit(n_shards), id_col.cast("string")
+    )
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
 
 
@@ -617,14 +648,19 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one stateless projection, ONE shuffle on the shard key,
     per-shard aggregation; ranks are per-shard windows (never global).
     The physical write is ``repartition(shard) →
-    sortWithinPartitions(key)`` — the export path's discipline."""
+    sortWithinPartitions(key)`` — the export path's discipline. The
+    shard count is derived from the corpus row count
+    (``shuffle_shards_for``); the 1-row count that sizes it is bounded
+    control-plane work, and the oracle re-derives the same count from
+    the same data with a scalar subquery."""
     d = _docs(spark, sf_dir).select("doc_id", "source")
-    key = shuffle_key_col(F.col("doc_id"))
+    n_shards = shuffle_shards_for(d.count())
+    key = shuffle_key_col(F.col("doc_id"), n_shards)
     t = d.select(
         "doc_id",
         "source",
         key.alias("skey"),
-        F.pmod(key, F.lit(SHUFFLE_SHARDS)).alias("shard"),
+        F.pmod(key, F.lit(n_shards)).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     ranked = t.withColumn("rk", F.row_number().over(w))
@@ -1093,16 +1129,26 @@ SELECT lang, count(*) AS n_total,
 FROM feat, t
 GROUP BY lang
 """,
-    # the full permutation recomputed independently: same seeded-md5
-    # key, same mod-shard, same (key, doc_id) order
+    # the full permutation recomputed independently: same derived shard
+    # count (scalar subquery over the same table), same seeded-md5 key
+    # with the count in the canon, same mod-shard, same (key, doc_id)
+    # order
     "corpus_shuffle_order": f"""
-WITH t AS (
+WITH n AS (
+    SELECT GREATEST({SHUFFLE_MIN_SHARDS},
+                    LEAST({SHUFFLE_MAX_SHARDS},
+                          count(*) // {SHUFFLE_SHARD_ROWS} + 1)) AS shards
+    FROM documents
+),
+t AS (
     SELECT doc_id, source,
-           CAST(('0x' || substr(md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))
+           CAST(('0x' || substr(md5('{SHUFFLE_SEED}|'
+                    || CAST((SELECT shards FROM n) AS VARCHAR) || '|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))
                 AS BIGINT) AS skey
     FROM documents
 ),
-s AS (SELECT *, skey % {SHUFFLE_SHARDS} AS shard FROM t),
+s AS (SELECT *, skey % (SELECT shards FROM n) AS shard FROM t),
 heads AS (
     SELECT shard,
            array_to_string(list(doc_id ORDER BY skey, doc_id)[1:{SHUFFLE_HEAD}], ',')

@@ -107,8 +107,8 @@ def main() -> None:
 
     # --- shuffle order: documents replicated ---
     from mysql2clickhouse_spark.plans.curation import (
-        SHUFFLE_SHARDS,
         shuffle_key_col,
+        shuffle_shards_for,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -128,10 +128,11 @@ def main() -> None:
 
     def shuffle_order(mult: int):
         d = docs_k(mult)
-        key = shuffle_key_col(F.col("doc_id"))
+        n_shards = shuffle_shards_for(d.count())
+        key = shuffle_key_col(F.col("doc_id"), n_shards)
         (
             d.select("doc_id", "source", key.alias("skey"),
-                     F.pmod(key, F.lit(SHUFFLE_SHARDS)).alias("shard"))
+                     F.pmod(key, F.lit(n_shards)).alias("shard"))
             .groupBy("shard", "source")
             .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(skey)").alias("x"))
             .write.mode("overwrite").format("noop").save()
