@@ -20,8 +20,31 @@ documented brute-force certification twins all compile to
 BroadcastNestedLoopJoin). This one walks the PHYSICAL plan (still no
 execution — ``sparkPlan`` is planned, not run).
 
-``scripts/check_parity.py`` and the pytest oracle loop run both rules
-on every extended-registry query right after building its frame;
+Rule 3: NO exact unbounded-buffer aggregate outside the allowlisted
+certification twins. Two shapes:
+
+* exact ``percentile``/``median`` (JVM classes ``Percentile``,
+  ``Median``) ANYWHERE — grouped or not. The exact form buffers every
+  value of its group in one task's OpenHashMap before sorting; grouping
+  by a low-cardinality key (``event_type``: 5 groups) does not save it
+  — at 100 TB that is ~20 TB of doubles in one aggregation buffer. The
+  production path is always ``percentile_approx`` (Greenwald-Khanna /
+  t-digest: mergeable, bounded memory); the exact form is only
+  admissible as a certification twin that bounds the sketch's error at
+  test scale.
+* ``collect_list``/``collect_set`` in a GLOBAL (ungrouped) aggregate —
+  one task buffers the whole input. Grouped collects are NOT flagged:
+  per-entity arrays bounded by group payload (tokens per doc, events
+  per user, docs per shard) are the standard Spark pattern and their
+  bound is the operator author's documented responsibility.
+
+Queries that legitimately carry these shapes must be named in
+``EXACT_AGG_ALLOWLIST`` below with a justification; the callers pass
+``allow_exact_aggregates=name in EXACT_AGG_ALLOWLIST`` so an
+un-allowlisted exact aggregate fails CI, not review.
+
+``scripts/check_parity.py`` and the pytest oracle loop run all three
+rules on every extended-registry query right after building its frame;
 ``test_plan_shapes.py`` pins the detectors themselves plus the
 headline window queries.
 """
@@ -72,8 +95,86 @@ def cartesian_products(df: DataFrame) -> list[str]:
     return bad
 
 
-def lint(df: DataFrame) -> list[str]:
-    """All plan-lint findings for a frame (empty = clean)."""
-    return [
+#: Exact sort-buffer aggregate functions: buffer EVERY group value
+#: before a sort — never mergeable, never bounded. Flagged wherever
+#: they appear (rule 3 docstring has the why).
+_EXACT_SORT_AGGS = frozenset({"Percentile", "Median"})
+
+#: Exact array-buffer aggregates: flagged only in a GLOBAL aggregate
+#: (empty grouping = whole input in one task's buffer).
+_EXACT_BUFFER_AGGS = frozenset({"CollectList", "CollectSet"})
+
+#: Registry entries allowed to carry rule-3 shapes, each with its
+#: documented reason. Everything here is either a certification twin
+#: (exists to bound a sketch's error at test scale, never the
+#: production path) or a collect whose input is provably schema-bounded.
+EXACT_AGG_ALLOWLIST = frozenset(
+    {
+        # exact-interpolation percentile threshold: the documented
+        # certification twin of the percentile_approx quality gate
+        # (plans/curation.py corpus_quality_gate_exact docstring)
+        "corpus_quality_gate_exact",
+        # sketch-family exact twins: each emits the exact value DuckDB
+        # reproduces plus a bounded-error flag for the sketch estimate
+        "events_approx_profile",
+        "events_quantile_sketch",
+        "events_value_percentiles",
+        # sketch_suite folds the three twins above into tagged rows
+        "sketch_suite",
+        # the dual-dialect literal-SQL corpus embeds the SAME sketch
+        # twins as Spark-dialect statements (sql_corpus.py
+        # events_approx_profile / events_value_percentiles), so their
+        # exact percentiles surface in its union plan — same twins,
+        # same justification
+        "sql_corpus_parity",
+        # ungrouped collect of the 64-row per-DIMENSION stats frame —
+        # bounded by embedding dimensionality (schema), not corpus size
+        # (plans/extensions.py embedding_standardize)
+        "embedding_standardize",
+    }
+)
+
+
+def exact_aggregates(df: DataFrame) -> list[str]:
+    """Rule-3 findings: exact ``Percentile``/``Median`` anywhere, and
+    ``CollectList``/``CollectSet`` inside a GLOBAL (ungrouped)
+    Aggregate, in the optimized logical plan (JVM tree walk — no
+    execution, no job). Returns [] for a clean plan."""
+    bad: list[str] = []
+
+    def check(node) -> None:
+        if node.getClass().getSimpleName() != "Aggregate":
+            return
+        is_global = node.groupingExpressions().isEmpty()
+        aggs = node.aggregateExpressions()
+        for i in range(aggs.size()):
+            _walk(
+                aggs.apply(i),
+                lambda e: _check_agg_expr(e, is_global, bad),
+            )
+
+    _walk(df._jdf.queryExecution().optimizedPlan(), check)
+    return bad
+
+
+def _check_agg_expr(expr, is_global: bool, bad: list[str]) -> None:
+    name = expr.getClass().getSimpleName()
+    if name in _EXACT_SORT_AGGS:
+        scope = "global" if is_global else "grouped"
+        bad.append(f"{name} ({scope} exact sort-buffer): {expr.simpleString(200)}")
+    elif is_global and name in _EXACT_BUFFER_AGGS:
+        bad.append(f"{name} (global array-buffer): {expr.simpleString(200)}")
+
+
+def lint(df: DataFrame, allow_exact_aggregates: bool = False) -> list[str]:
+    """All plan-lint findings for a frame (empty = clean).
+
+    ``allow_exact_aggregates=True`` waives rule 3 only — callers pass
+    ``name in EXACT_AGG_ALLOWLIST`` so the waiver is a named, reviewed
+    list, not a default."""
+    findings = [
         f"UNPARTITIONED WINDOW: {s}" for s in unpartitioned_windows(df)
     ] + [f"CARTESIAN PRODUCT: {s}" for s in cartesian_products(df)]
+    if not allow_exact_aggregates:
+        findings += [f"EXACT AGGREGATE: {s}" for s in exact_aggregates(df)]
+    return findings

@@ -18,7 +18,10 @@ from mysql2clickhouse_spark.plans import (  # noqa: E402
     all_oracles_extended,
     all_queries_extended,
 )
-from mysql2clickhouse_spark.plans.plancheck import lint  # noqa: E402
+from mysql2clickhouse_spark.plans.plancheck import (  # noqa: E402
+    EXACT_AGG_ALLOWLIST,
+    lint,
+)
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
 
@@ -37,7 +40,9 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            findings = lint(df)
+            findings = lint(
+                df, allow_exact_aggregates=name in EXACT_AGG_ALLOWLIST
+            )
             if findings:
                 ok, msg = False, findings[0][:140]
             elif name in oracles:

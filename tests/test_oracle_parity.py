@@ -14,7 +14,11 @@ from mysql2clickhouse_spark.plans import (
     all_queries,
     all_queries_extended,
 )
-from mysql2clickhouse_spark.plans.plancheck import lint, unpartitioned_windows
+from mysql2clickhouse_spark.plans.plancheck import (
+    EXACT_AGG_ALLOWLIST,
+    lint,
+    unpartitioned_windows,
+)
 
 # the EXTENDED set: the curated driver registry plus every un-folded
 # variant/twin — demotion from the driver surface never loses coverage
@@ -33,11 +37,12 @@ def con(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
     # blanket scale lint, same policy as scripts/check_parity.py: NO
-    # unpartitioned Window and NO shuffled cartesian product anywhere
-    # in the extended registry (plan walks — no execution cost), so a
-    # lint-red query fails CI instead of hiding until the next
-    # check_parity sweep
-    findings = lint(df)
+    # unpartitioned Window, NO shuffled cartesian product, and NO
+    # exact unbounded-buffer aggregate outside the named allowlist,
+    # anywhere in the extended registry (plan walks — no execution
+    # cost), so a lint-red query fails CI instead of hiding until the
+    # next check_parity sweep
+    findings = lint(df, allow_exact_aggregates=name in EXACT_AGG_ALLOWLIST)
     assert not findings, f"{name}: {findings[0][:160]}"
     if name in ORACLES:
         ok, msg = compare(df, con, ORACLES[name])
@@ -80,6 +85,92 @@ def test_blanket_lint_catches_a_shuffled_cartesian_product(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert not lint(a.crossJoin(F.broadcast(b)))
+
+
+def test_blanket_lint_catches_exact_aggregates(spark):
+    """Gate self-test for lint rule 3: exact ``percentile`` is flagged
+    grouped AND global; a global ``collect_list`` is flagged; a GROUPED
+    collect_list (the bounded per-entity array pattern) passes; and the
+    allowlist waiver waives rule 3 only."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.plans.plancheck import exact_aggregates
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    # exact percentile: flagged global and grouped
+    assert any(
+        "Percentile" in f and "global" in f
+        for f in exact_aggregates(df.agg(F.expr("percentile(v, 0.5)")))
+    )
+    assert any(
+        "Percentile" in f and "grouped" in f
+        for f in exact_aggregates(
+            df.groupBy("k").agg(F.expr("percentile(v, 0.5)"))
+        )
+    )
+    # approx form: clean (the production path)
+    assert not exact_aggregates(
+        df.groupBy("k").agg(F.percentile_approx("v", 0.5, 1000))
+    )
+    # collect_list: flagged only in a GLOBAL aggregate
+    assert any(
+        "CollectList" in f
+        for f in exact_aggregates(df.agg(F.collect_list("v")))
+    )
+    assert not exact_aggregates(df.groupBy("k").agg(F.collect_list("v")))
+    # lint() surfaces rule 3 by default; the allowlist waiver drops it
+    bad = df.agg(F.expr("percentile(v, 0.5)").alias("p"))
+    assert any("EXACT AGGREGATE" in f for f in lint(bad))
+    assert not lint(bad, allow_exact_aggregates=True)
+    # ... but the waiver does NOT waive rules 1-2
+    from pyspark.sql.window import Window
+
+    still_bad = spark.range(10).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
+    assert any(
+        "UNPARTITIONED WINDOW" in f
+        for f in lint(still_bad, allow_exact_aggregates=True)
+    )
+
+
+def test_exact_agg_allowlist_names_real_registry_entries():
+    """Every allowlist entry must name a query in the extended
+    registry — a stale allowlist row is a silent waiver waiting for a
+    name collision."""
+    for name in EXACT_AGG_ALLOWLIST:
+        assert name in QUERIES, f"allowlisted {name} is not in the registry"
+
+
+def test_shuffle_shard_count_scaling_rule():
+    """Pin ``shuffle_shards_for``: ~n/SHUFFLE_SHARD_ROWS clamped to
+    [min, max], so per-shard write volume stays bounded as the corpus
+    grows (a fixed 16-way split at 100 TB meant ~6 TB per-shard write
+    partitions)."""
+    from mysql2clickhouse_spark.plans.curation import (
+        SHUFFLE_MAX_SHARDS,
+        SHUFFLE_MIN_SHARDS,
+        SHUFFLE_SHARD_ROWS,
+        shuffle_shards_for,
+    )
+
+    # test-scale corpora clamp to the floor (bench continuity with the
+    # old constant 16)
+    assert shuffle_shards_for(0) == SHUFFLE_MIN_SHARDS
+    assert shuffle_shards_for(5_000) == SHUFFLE_MIN_SHARDS
+    # past the floor the count tracks the corpus linearly: per-shard
+    # volume is pinned near SHUFFLE_SHARD_ROWS regardless of n
+    for n in (10_000_000, 1_000_000_000, 10_000_000_000):
+        shards = shuffle_shards_for(n)
+        if shards < SHUFFLE_MAX_SHARDS:
+            assert n / shards <= SHUFFLE_SHARD_ROWS
+            assert n / shards > SHUFFLE_SHARD_ROWS / 2
+    # monotone, and capped at the ceiling
+    assert shuffle_shards_for(10**15) == SHUFFLE_MAX_SHARDS
+    counts = [shuffle_shards_for(n) for n in range(0, 3_000_000, 97_000)]
+    assert counts == sorted(counts)
 
 
 def test_entry_smoke(spark):
