@@ -769,6 +769,44 @@ def ann_ivf_partitioned_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_frozen_reference(idx, c: DataFrame, q: DataFrame) -> DataFrame:
+    """In-memory one-shot IVF probe sharing a persisted store's FROZEN
+    centroids: assigns the WHOLE corpus ``c`` and queries ``q`` against
+    ``idx._centroids()`` and takes the per-query windowed top-k — the
+    answer a one-shot build over all of ``c`` would give. Because the
+    quantizer is frozen, a store populated by ANY batch/stream schedule
+    must answer identically (``ann_ivf_incremental`` pins the batch
+    loop, ``stream_ivf_ingest`` the foreachBatch stream — both against
+    this same reference, so batch-loop == stream transitively)."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.similarity import with_ivf_lists
+
+    C = idx._centroids()
+    cb = with_ivf_lists(
+        c.select(F.col("vec_id").alias("cid"), unit_vec_col(F.col("embedding")).alias("c_vec")),
+        C, nprobe=1, vec_col="c_vec",
+    )
+    qb = with_ivf_lists(
+        q.select(F.col("vec_id").alias("qid"), unit_vec_col(F.col("embedding")).alias("q_vec")),
+        C, nprobe=8, vec_col="q_vec",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "list_id")
+        .withColumn("sim", F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ))
+        .select("qid", "cid", "sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
+        .withColumn("sim", F.round("sim", 4))
+    )
+
+
 def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN-index maintenance (operators/ann_index.py): the
     corpus lands in a persisted IVF store across THREE add_batch calls
@@ -778,17 +816,18 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``n_indexed`` — every corpus vector is in the store (DuckDB
       recounts from the embeddings table);
-    - ``n_mismatch = 0`` — the stream-ingested store answers
-      IDENTICALLY to an in-memory IVF probe using the SAME frozen
-      centroids over the whole corpus (frozen-quantizer contract:
-      a batch added later lands exactly where a one-shot build would
-      have put it);
+    - ``n_mismatch = 0`` — the batch-ingested store answers
+      IDENTICALLY to ``ivf_frozen_reference``, the in-memory one-shot
+      probe using the SAME frozen centroids over the whole corpus
+      (frozen-quantizer contract: a batch added later lands exactly
+      where a one-shot build would have put it; the streaming twin
+      ``stream_ivf_ingest`` pins the same identity for foreachBatch
+      ingest);
     - ``files_reduced`` — ``compact()`` shrank the per-list file count
       the batch appends created;
     - ``post_compact_identical`` — the compacted store still answers
       identically (the journaled rewrite moved bytes, not rows).
     """
-    from ..functions.similarity import unit_vec_col, with_ivf_lists
     from ..operators.ann_index import IVFIndex
     from ..session import scratch_dir
 
@@ -804,33 +843,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n += idx.add_batch(c.filter(F.pmod("vec_id", F.lit(3)) == m))
 
     got = idx.search(q, k=TOPK, nprobe=8).persist()
-
-    # in-memory comparator sharing the store's FROZEN centroids
-    C = idx._centroids()
-    cb = with_ivf_lists(
-        c.select(F.col("vec_id").alias("cid"), unit_vec_col(F.col("embedding")).alias("c_vec")),
-        C, nprobe=1, vec_col="c_vec",
-    )
-    qb = with_ivf_lists(
-        q.select(F.col("vec_id").alias("qid"), unit_vec_col(F.col("embedding")).alias("q_vec")),
-        C, nprobe=8, vec_col="q_vec",
-    )
-    from pyspark.sql.window import Window as W
-
-    scored = (
-        cb.join(F.broadcast(qb), "list_id")
-        .withColumn("sim", F.aggregate(
-            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        ))
-        .select("qid", "cid", "sim")
-    )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
-    want = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK)
-        .withColumn("sim", F.round("sim", 4))
-    )
+    want = ivf_frozen_reference(idx, c, q)
     n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
     n_rows = got.count()
 

@@ -45,6 +45,8 @@ from ..catalog import REGISTRY
 from ..session import scratch_dir
 from ..sources.changelog import CHANGELOG_VIEW_SQL, changelog_from_events
 from ..sources.tables import load_table
+from .extensions import N_QUERIES as _ann_N_QUERIES
+from .extensions import TOPK as _ann_TOPK
 from ..streaming.windows import stateful_latest_state, windowed_event_counts
 
 #: the registry's table→apply-mode mapping as a SQL CASE — built from
@@ -367,6 +369,95 @@ def stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the PERSISTED incremental IVF store
+    (``operators/ann_index.py``) — the ANN×streaming composition of
+    ``stream_neardup_index``: ``build`` trains the frozen quantizer on
+    batch 0 BEFORE the stream starts (quantizer training is bounded
+    control-plane work, never per-batch), the remaining corpus lands as
+    parquet files consumed by a file stream, and ``foreachBatch``
+    REOPENS the store from its manifest (no geometry args — the
+    production shape: the ingest job knows only the path) and runs
+    ``add_batch`` — one Arrow GEMM + partitioned append per micro-batch,
+    O(batch), stored rows never read.
+
+    Certification row: ``n_indexed`` (every corpus vector arrived —
+    DuckDB recounts from the embeddings table), ``n_rows``,
+    ``n_mismatch = 0`` — the stream-ingested store answers IDENTICALLY
+    to ``ivf_frozen_reference`` (the in-memory ONE-SHOT probe over the
+    whole corpus under the same frozen centroids), and
+    ``manifest_adopted`` — the no-args reopen recovered the full
+    geometry. ``ann_ivf_incremental`` pins the explicit batch loop
+    against the same reference, so stream == one-shot == batch-loop,
+    exactly (frozen quantizer ⇒ assignment is pointwise ⇒ the store's
+    contents are batch-schedule-invariant).
+
+    Folded into ``ann_recall_suite`` as member ``ivf_stream`` (rotation
+    discipline: the un-folded original stays in the extended registry).
+    """
+    from ..operators.ann_index import IVFIndex
+    from ..session import scratch_dir
+    from .extensions import (
+        EMB_DIM,
+        N_QUERIES,
+        TOPK,
+        ivf_frozen_reference,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    b0 = c.filter(F.pmod("vec_id", F.lit(3)) == 0)
+    rest = c.filter(F.pmod("vec_id", F.lit(3)) != 0)
+
+    base = scratch_dir("m2c_stream_ivf_")
+    path = os.path.join(base, "index")
+    idx = IVFIndex(spark, path, dim=EMB_DIM, n_list=32)
+    n_total = idx.build(b0)
+
+    incoming = os.path.join(base, "incoming")
+    rest.repartition(3, "vec_id").write.mode("overwrite").parquet(incoming)
+    batch_counts: list[int] = []
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        # manifest-only reopen: dim/n_list/seed/pq all adopted from the
+        # store — the corruption class the manifest closed (round 7)
+        batch_counts.append(IVFIndex(spark, path).add_batch(batch))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(incoming).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    sq = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    n_total += sum(batch_counts)
+
+    reopened = IVFIndex(spark, path)
+    manifest_adopted = (
+        reopened.dim == EMB_DIM
+        and reopened.n_list == 32
+        and reopened.pq_m is None
+    )
+    got = reopened.search(q, k=TOPK, nprobe=8).persist()
+    want = ivf_frozen_reference(reopened, c, q)
+    n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    n_rows = got.count()
+    got.unpersist()
+    return spark.createDataFrame(
+        [(n_total, n_rows, n_mismatch, bool(manifest_adopted))],
+        "n_indexed bigint, n_rows bigint, n_mismatch bigint,"
+        " manifest_adopted boolean",
+    )
+
+
 #: event-time reach of the stream-stream join (u.ts within this many
 #: minutes AFTER its insert's i.ts) — the reference's arrival shape is
 #: "visit row, then its action rows shortly after"
@@ -507,6 +598,7 @@ QUERIES = {
     "stream_dedup_replay": stream_dedup_replay,
     "stream_enrich_join": stream_enrich_join,
     "stream_neardup_index": stream_neardup_index,
+    "stream_ivf_ingest": stream_ivf_ingest,
 }
 
 ORACLE = {
@@ -531,6 +623,16 @@ SELECT key, i_seq, u_seq, i_ts, u_ts
 FROM i JOIN u ON key = u_key
   AND u_ts >= i_ts AND u_ts <= i_ts + INTERVAL {JOIN_WINDOW_MIN} MINUTE
 """,
+    # foreachBatch ingest of the persisted IVF store == the one-shot
+    # frozen-centroid probe, geometry adopted from the manifest alone:
+    # fixed expected outcomes; n_indexed recounted from the raw table
+    "stream_ivf_ingest": f"""
+        SELECT CAST(count(*) - {_ann_N_QUERIES} AS BIGINT) AS n_indexed,
+               CAST({_ann_N_QUERIES * _ann_TOPK} AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_mismatch,
+               CAST(TRUE AS BOOLEAN) AS manifest_adopted
+        FROM embeddings
+    """,
     # streaming incremental ingest == one-shot recompute, planted recall
     # clears the bound: fixed expected outcomes (hash-family twin)
     "stream_neardup_index": """

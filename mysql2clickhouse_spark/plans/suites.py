@@ -22,6 +22,9 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
                            + ann_ivf_incremental (round 6: persisted
                            incremental IVF store lifecycle)
+                           + stream_ivf_ingest (round 8: foreachBatch
+                           streaming ingest of the same store ==
+                           one-shot under the frozen quantizer)
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
 - ``sketch_suite``       = events_approx_profile + events_hll_distinct
                            + events_quantile_sketch + text_topk_sketch
@@ -197,6 +200,18 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("files_reduced")
                 & F.col("post_compact_identical")
             ).alias("ok"),
+        )
+    )
+    # round 8: foreachBatch streaming ingest of the same persisted
+    # store — stream == one-shot == batch-loop under the frozen
+    # quantizer, geometry adopted from the manifest alone
+    from .streaming_queries import stream_ivf_ingest
+
+    rows.append(
+        stream_ivf_ingest(spark, sf_dir).select(
+            F.lit("ivf_stream").alias("method"),
+            F.col("n_indexed").cast("bigint").alias("n"),
+            ((F.col("n_mismatch") == 0) & F.col("manifest_adopted")).alias("ok"),
         )
     )
     out = rows[0]
@@ -525,6 +540,10 @@ UNION ALL
 SELECT 'ivf_incremental' AS method, CAST(n_indexed AS BIGINT) AS n,
        (n_mismatch = 0 AND files_reduced AND post_compact_identical) AS ok
 FROM ({extensions.ORACLE["ann_ivf_incremental"]}) __inc
+UNION ALL
+SELECT 'ivf_stream' AS method, CAST(n_indexed AS BIGINT) AS n,
+       (n_mismatch = 0 AND manifest_adopted) AS ok
+FROM ({streaming_queries.ORACLE["stream_ivf_ingest"]}) __st
 """,
     "text_ranking_suite": f"""
 SELECT 'bm25' AS method, CAST(doc_id AS BIGINT) AS k1,
