@@ -9,7 +9,13 @@ Design for 100 TB:
   ``minhash_signatures_arrow`` (per-partition numpy fold, ZERO shuffle
   — 2.5× faster on the sign stage at sf0.1, the default in the fused
   dedup pipeline and the incremental index; equality pinned in
-  ``test_arrow_signer_bit_identical_to_aggregate_form``);
+  ``test_arrow_signer_bit_identical_to_aggregate_form``). Zero-shuffle
+  cuts both ways: the Arrow form inherits the scan's file-layout
+  partitioning, so consumers that fan the cached sigs into several
+  stages must re-establish parallelism themselves —
+  ``verified_near_dups`` adds ONE explicit id repartition before its
+  persist (whole-query A/B in ``scripts/bench_signer_ab.py``:
+  arrow-as-scanned 4.05 s, aggregate 3.02 s, arrow+repartition 2.66 s);
 - LSH banding (b bands × r rows) turns the O(n²) pair space into a
   groupBy on (band_idx, band_hash); candidate rate scales as J^r per
   band — r=8 keeps homogeneous corpora (high ambient Jaccard) from
@@ -466,12 +472,24 @@ def verified_near_dups(
     release_cache("minhash.verified_near_dups")  # BEFORE persist — see session.py
     base = hashed.select(id_col, "hset").persist()
     base.count()
-    # Arrow signer: per-partition vectorized, zero-shuffle, values
-    # bit-identical to the aggregate form (measured 2.5× on the sign
-    # stage at sf0.1; the estimate-filter joins shuffle the persisted
-    # one-row-per-doc sigs table, which costs less than the aggregate
-    # form's own exchange used to)
-    sigs = minhash_signatures_arrow(base, id_col, num_perm, seed).persist()
+    # Arrow signer + ONE explicit repartition on the id before persist.
+    # The signer itself is per-partition vectorized and zero-shuffle
+    # (values bit-identical to the aggregate form), but zero-shuffle
+    # also means it INHERITS the corpus's file-layout partitioning —
+    # few fat partitions at typical parquet sizes — and the cached
+    # sigs feed the band groupBy and both estimate-filter joins from
+    # whatever parallelism the scan happened to have. The aggregate
+    # form's own exchange used to fix that as a side effect; doing it
+    # deliberately is cheaper than either accident (interleaved signer
+    # A/B at sf0.1, scripts/bench_signer_ab.py: arrow-as-scanned 4.05 s,
+    # aggregate 3.02 s, arrow+repartition 2.66 s whole-query min;
+    # BENCH_NOTES_r08.md). The one-row-per-doc shuffle is corpus-sized,
+    # not corpus×shingles — the cheapest possible exchange on this path.
+    sigs = (
+        minhash_signatures_arrow(base, id_col, num_perm, seed)
+        .repartition(F.col(id_col))
+        .persist()
+    )
     sigs.count()
     rotate_cache("minhash.verified_near_dups", base, sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)

@@ -21,6 +21,17 @@ persist, recovering the doc-id layout the aggregate form's exchange
 used to leave for the estimate-filter joins while keeping the cheaper
 sign.
 
+Verdict (sf0.1, repeats=7, min): arrow-as-scanned 4.048 s, aggregate
+3.020 s, arrow_repart 2.662 s — the regression was real (the Arrow
+form inherits the scan's file layout and starves the downstream band
+stages of parallelism) and the repair beats both, so
+``verified_near_dups`` now repartitions the Arrow sigs on the id
+before its persist. NOTE: this script monkeypatches the signer that
+``verified_near_dups`` resolves at call time, and post-fix the
+function ALSO applies its own repartition — re-runs therefore measure
+each signer + that repartition (``arrow`` ≈ ``arrow_repart``); the
+numbers above are the pre-fix tree's (commit faf7b6d).
+
 Run:  python scripts/bench_signer_ab.py  [SPARK_GRAFT_BENCH_REPEATS=7]
 Prints ONE JSON line:
   {"metric": "signer_ab", "variants": {name: {"min": s,
