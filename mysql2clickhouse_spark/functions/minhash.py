@@ -371,6 +371,34 @@ def minhash_signatures_arrow(
     )
 
 
+def signed_partitioned(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow signer + ONE explicit repartition on the id — the form a
+    multi-consumer pipeline must cache.
+
+    The signer itself is per-partition vectorized and zero-shuffle
+    (values bit-identical to the aggregate form), but zero-shuffle also
+    means it INHERITS the corpus's file-layout partitioning — a few fat
+    partitions at typical parquet sizes — and a cached sigs frame then
+    feeds the band groupBy and both estimate-filter joins from whatever
+    parallelism the scan happened to have. The aggregate form's own
+    exchange used to fix that as a side effect; doing it deliberately is
+    cheaper than either accident (interleaved signer A/B at sf0.1,
+    ``scripts/bench_signer_ab.py``: arrow-as-scanned 4.05 s, aggregate
+    3.02 s, arrow+repartition 2.66 s whole-query min —
+    BENCH_NOTES_r08.md). The one-row-per-doc shuffle is corpus-sized,
+    not corpus×shingles: the cheapest possible exchange on this path.
+    Plan shape (ArrowEvalPython + Exchange hashpartitioning(id)) is
+    pinned in ``test_plan_shapes.py``."""
+    return minhash_signatures_arrow(hashed, id_col, num_perm, seed).repartition(
+        F.col(id_col)
+    )
+
+
 def with_minhash_signature(
     df: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,
@@ -472,24 +500,7 @@ def verified_near_dups(
     release_cache("minhash.verified_near_dups")  # BEFORE persist — see session.py
     base = hashed.select(id_col, "hset").persist()
     base.count()
-    # Arrow signer + ONE explicit repartition on the id before persist.
-    # The signer itself is per-partition vectorized and zero-shuffle
-    # (values bit-identical to the aggregate form), but zero-shuffle
-    # also means it INHERITS the corpus's file-layout partitioning —
-    # few fat partitions at typical parquet sizes — and the cached
-    # sigs feed the band groupBy and both estimate-filter joins from
-    # whatever parallelism the scan happened to have. The aggregate
-    # form's own exchange used to fix that as a side effect; doing it
-    # deliberately is cheaper than either accident (interleaved signer
-    # A/B at sf0.1, scripts/bench_signer_ab.py: arrow-as-scanned 4.05 s,
-    # aggregate 3.02 s, arrow+repartition 2.66 s whole-query min;
-    # BENCH_NOTES_r08.md). The one-row-per-doc shuffle is corpus-sized,
-    # not corpus×shingles — the cheapest possible exchange on this path.
-    sigs = (
-        minhash_signatures_arrow(base, id_col, num_perm, seed)
-        .repartition(F.col(id_col))
-        .persist()
-    )
+    sigs = signed_partitioned(base, id_col, num_perm, seed).persist()
     sigs.count()
     rotate_cache("minhash.verified_near_dups", base, sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)

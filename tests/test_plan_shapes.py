@@ -224,6 +224,32 @@ def test_hash_signature_stages_stay_codegen_with_partial_agg(spark, sf_dir, quer
         assert plan.count("HashAggregate (") == 2, plan[:1500]
 
 
+def test_arrow_signed_sigs_are_repartitioned_on_the_id(spark, sf_dir):
+    """The fused dedup pipeline caches its signatures via
+    ``signed_partitioned`` — Arrow signer + ONE explicit hash
+    repartition on the doc id. The repartition is the load-bearing
+    part: the zero-shuffle Arrow signer inherits the corpus scan's
+    file-layout partitioning (a few fat partitions), and a sigs cache
+    in that layout feeds the band groupBy and both estimate-filter
+    joins from starved parallelism — measured 4.05 s vs 2.66 s
+    whole-query at sf0.1 (scripts/bench_signer_ab.py,
+    BENCH_NOTES_r08.md). Pin: the plan is ArrowEvalPython + exactly one
+    Exchange, keyed on the id, and no aggregate (the signer is a
+    projection, not the explode+groupBy form)."""
+    from mysql2clickhouse_spark.functions.minhash import (
+        signed_partitioned,
+        with_hset,
+    )
+    from mysql2clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(spark, signed_partitioned(with_hset(docs, "text", 5)))
+    assert "ArrowEvalPython" in plan, plan[:1500]
+    assert plan.count("Exchange (") == 1, plan[:1500]
+    assert "hashpartitioning(doc_id" in plan, plan[:1500]
+    assert "HashAggregate" not in plan, plan[:1500]
+
+
 def test_asof_join_is_single_shuffle_single_window(spark, sf_dir, queries):
     """The union-window as-of join: one Exchange on user_id, one Window
     node carrying both the matched id and its timestamp (the naive
