@@ -49,6 +49,11 @@ DECON_NGRAM = 8
 PACK_SHARDS = 32
 PACK_BUDGET = 2048
 
+#: exact-substring dedup: duplicated-span length in tokens (Lee et al.
+#: 2021 use 50 BPE tokens on web text; the synthetic corpus's docs are
+#: ~40-60 words, so 10 keeps multiple spans per doc in play)
+SUBSTR_K = 10
+
 #: stratified sampling: per-language keep rates (default for unseen)
 SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2, "fr": 0.4, "zh": 0.1}
 SAMPLE_DEFAULT_RATE = 0.05
@@ -263,6 +268,108 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr variant):
+    doc-level dedup keeps near-copies that share long verbatim spans
+    with other docs; this removes the SPANS, keeping the rest of the
+    doc. The missing granularity between exact-doc dedup and
+    MinHash/SimHash near-dup mining.
+
+    Semantics (deterministic, fully mirrored by the oracle):
+    - tokens = the shared whitespace tokenizer; k-gram start positions
+      s = 1..len-k+1 with k = ``SUBSTR_K``;
+    - a gram occurrence (doc, s) is DUPLICATED iff an occurrence of the
+      same gram exists earlier in corpus order (lexicographic
+      (doc_id, s) — first occurrence wins, everything later is cut);
+    - token p of a doc is removed iff some duplicated occurrence starts
+      in [p-k+1, p] (i.e. the token sits inside a duplicated span);
+    - the kept text is the surviving tokens in order.
+
+    Output: one row per doc — (doc_id, n_tokens, n_removed, kept_hash)
+    with kept_hash = md5 of the space-joined kept text ('' when
+    everything was removed / the doc was empty). Runs on the CC mutant
+    corpus (base + two whole-doc mutant generations) so the planted
+    expectation is layered: m1's base-span grams dedup against the
+    base doc, m2's against m1, and the '...extra' tail grams dedup
+    BETWEEN generations — span-level structure doc-level dedup can't
+    see.
+
+    Scale: suffix arrays (the paper's tool) don't distribute; this is
+    the shuffle-native equivalent in exactly three corpus×token
+    exchanges — (1) groupBy(gram) with a partial-aggregated min struct
+    (map-side combine absorbs hot grams: boilerplate that repeats
+    millions of times folds to one row per partition BEFORE the wire,
+    the skew-safe alternative to a row_number window over gram), (2)
+    the grams⋈first join back on gram (AQE skew-join splits residual
+    hot keys), (3) one exchange on doc_id that the removal window AND
+    the reassembly groupBy share. The per-doc window frame is
+    rows-based over dense positions (bounded by doc length); the
+    reassembly collect is grouped and doc-bounded — the lint-legal
+    collect pattern."""
+    d = _cc_corpus(spark, sf_dir)
+    # null-text docs (and their null-propagated mutants) tokenize to
+    # the EMPTY array, not null — one output row per doc, n_tokens=0
+    toks = d.select(
+        "doc_id", tokens_col(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    )
+
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(token_ngrams_col(F.col("toks"), SUBSTR_K)).alias("s0", "gram"),
+    ).select("doc_id", (F.col("s0") + 1).alias("s"), "gram")
+    first = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "s")).alias("first_occ")
+    )
+    dup_starts = (
+        grams.join(first, "gram")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("s") != F.col("first_occ.s"))
+        )
+        .select("doc_id", "s")
+    )
+
+    tok_rows = toks.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    flagged = tok_rows.join(
+        dup_starts.withColumnRenamed("s", "p").withColumn("dup", F.lit(1)),
+        ["doc_id", "p"],
+        "left",
+    ).withColumn("dup", F.coalesce("dup", F.lit(0)))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(SUBSTR_K - 1), 0)
+    )
+    marked = flagged.withColumn("removed", F.max("dup").over(w))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.sum("removed").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("removed") == 0, F.struct("p", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("kept_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
+        )
     )
 
 
@@ -827,6 +934,7 @@ QUERIES = {
     "corpus_export_jsonl": corpus_export_jsonl,
     "corpus_export_tar": corpus_export_tar,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_substring_dedup": corpus_substring_dedup,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_kcenter": corpus_sample_kcenter,
@@ -1031,6 +1139,60 @@ tgrams AS (
 SELECT t.doc_id, count(*) AS n_shared_grams
 FROM tgrams t JOIN egrams e USING (gram)
 GROUP BY t.doc_id
+""",
+    # exact-substring dedup recomputed independently: same tokenizer,
+    # same k-gram positions, first occurrence by row_number over
+    # (doc_id, s), same k-window removal rule, same md5 of the
+    # space-joined kept text
+    "corpus_substring_dedup": f"""
+WITH corpus AS ({_CC_CORPUS_SQL}),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(coalesce(text, ''))), ' +'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(toks) - {SUBSTR_K - 1}, 0) + 1)) AS s,
+         unnest({_gram_sql("toks", SUBSTR_K)}) AS gram
+  FROM t
+),
+occ AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+  FROM g
+),
+dup AS (SELECT doc_id, s FROM occ WHERE rn > 1),
+tok AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) + 1)) AS p,
+         unnest(toks) AS tok
+  FROM t
+),
+fl AS (
+  SELECT tok.doc_id, tok.p, tok.tok,
+         CASE WHEN dup.s IS NULL THEN 0 ELSE 1 END AS dupflag
+  FROM tok LEFT JOIN dup ON dup.doc_id = tok.doc_id AND dup.s = tok.p
+),
+mk AS (
+  SELECT doc_id, p, tok,
+         max(dupflag) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {SUBSTR_K - 1} PRECEDING
+                            AND CURRENT ROW) AS removed
+  FROM fl
+),
+pd AS (
+  SELECT doc_id, sum(removed) AS n_removed,
+         coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE removed = 0),
+                  '') AS kept_text
+  FROM mk GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(pd.kept_text, '')) AS kept_hash
+FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
 """,
     "corpus_pack_sequences": f"""
 WITH t AS (
