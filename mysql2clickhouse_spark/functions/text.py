@@ -11,7 +11,7 @@ heuristic, document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -150,4 +150,89 @@ def rolling_hash_col(text: Column, base: int = 257, mod: int = (1 << 31) - 1) ->
         chars,
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-SUBSTRING dedup core (Lee et al. 2021, ExactSubstr): remove
+    every k-token span whose token sequence occurred earlier in corpus
+    order (lexicographic (id, position) — first occurrence wins), keep
+    the rest of each doc. Returns one row per input row:
+    (id, n_tokens bigint, n_removed bigint, kept_hash) with kept_hash =
+    md5 of the space-joined surviving tokens ('' when nothing survives).
+
+    Removal rule: token p is removed iff some DUPLICATED k-gram starts
+    in [p-k+1, p]. Null text tokenizes to the empty array (n_tokens=0),
+    never a null row.
+
+    Scale (the suffix arrays the paper uses don't distribute; this is
+    the shuffle-native equivalent): three corpus×token exchanges —
+    (1) groupBy(gram) with a partially-aggregated min struct (map-side
+    combine absorbs hot boilerplate grams BEFORE the wire — the
+    skew-safe alternative to a row_number window over gram), (2) the
+    grams⋈first join back on gram (AQE skew-join splits residual hot
+    keys), (3) one exchange on the id shared by the removal window and
+    the reassembly groupBy. The window frame is rows-based over dense
+    positions and the reassembly collect is grouped — both bounded by
+    a single document's length. Grams travel the shuffle as their
+    token strings, NOT a 64-bit digest: a digest collision would
+    silently delete a non-duplicate span, and at 10^13 grams collisions
+    are certain — exactness is this operator's contract."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " +"),
+            lambda t: F.length(t) > 0,
+        ).alias("toks"),
+    )
+    grams = toks.select(
+        id_col, F.posexplode(token_ngrams_col(F.col("toks"), k)).alias("s0", "gram")
+    ).select(id_col, (F.col("s0") + 1).alias("s"), "gram")
+    first = grams.groupBy("gram").agg(F.min(F.struct(id_col, "s")).alias("first_occ"))
+    dup_starts = (
+        grams.join(first, "gram")
+        .filter(
+            (F.col(id_col) != F.col(f"first_occ.{id_col}"))
+            | (F.col("s") != F.col("first_occ.s"))
+        )
+        .select(id_col, "s")
+    )
+    tok_rows = toks.select(
+        id_col, F.posexplode(F.col("toks")).alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + 1).alias("p"), "tok")
+    flagged = tok_rows.join(
+        dup_starts.withColumnRenamed("s", "p").withColumn("dup", F.lit(1)),
+        [id_col, "p"],
+        "left",
+    ).withColumn("dup", F.coalesce("dup", F.lit(0)))
+    w = Window.partitionBy(id_col).orderBy("p").rowsBetween(-(k - 1), 0)
+    marked = flagged.withColumn("removed", F.max("dup").over(w))
+    per_doc = marked.groupBy(id_col).agg(
+        F.sum("removed").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("removed") == 0, F.struct("p", "tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("kept_text"),
+    )
+    return (
+        toks.select(id_col, F.size("toks").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
+        )
     )

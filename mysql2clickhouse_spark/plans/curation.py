@@ -29,6 +29,7 @@ from ..functions.minhash import jaccard_col, with_shingles
 from ..functions.text import (
     langid_col,
     quality_score_cols,
+    substring_dedup,
     token_count_col,
     token_ngrams_col,
     tokens_col,
@@ -309,68 +310,11 @@ def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reassembly groupBy share. The per-doc window frame is
     rows-based over dense positions (bounded by doc length); the
     reassembly collect is grouped and doc-bounded — the lint-legal
-    collect pattern."""
-    d = _cc_corpus(spark, sf_dir)
-    # null-text docs (and their null-propagated mutants) tokenize to
-    # the EMPTY array, not null — one output row per doc, n_tokens=0
-    toks = d.select(
-        "doc_id", tokens_col(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
-    )
-
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(token_ngrams_col(F.col("toks"), SUBSTR_K)).alias("s0", "gram"),
-    ).select("doc_id", (F.col("s0") + 1).alias("s"), "gram")
-    first = grams.groupBy("gram").agg(
-        F.min(F.struct("doc_id", "s")).alias("first_occ")
-    )
-    dup_starts = (
-        grams.join(first, "gram")
-        .filter(
-            (F.col("doc_id") != F.col("first_occ.doc_id"))
-            | (F.col("s") != F.col("first_occ.s"))
-        )
-        .select("doc_id", "s")
-    )
-
-    tok_rows = toks.select(
-        "doc_id", F.posexplode(F.col("toks")).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    flagged = tok_rows.join(
-        dup_starts.withColumnRenamed("s", "p").withColumn("dup", F.lit(1)),
-        ["doc_id", "p"],
-        "left",
-    ).withColumn("dup", F.coalesce("dup", F.lit(0)))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(-(SUBSTR_K - 1), 0)
-    )
-    marked = flagged.withColumn("removed", F.max("dup").over(w))
-    per_doc = marked.groupBy("doc_id").agg(
-        F.sum("removed").alias("n_removed"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.when(F.col("removed") == 0, F.struct("p", "tok"))
-                    )
-                ),
-                lambda x: x["tok"],
-            ),
-        ).alias("kept_text"),
-    )
-    return (
-        toks.select("doc_id", F.size("toks").alias("n_tokens"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
-            F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
-        )
-    )
+    collect pattern. Core: ``functions.text.substring_dedup``
+    (planted-expectation unit tests: ``tests/test_substring_dedup.py``;
+    null-text docs tokenize to the empty array — one row per doc,
+    n_tokens=0)."""
+    return substring_dedup(_cc_corpus(spark, sf_dir), SUBSTR_K)
 
 
 # --- sequence packing -------------------------------------------------------
