@@ -182,16 +182,28 @@ def substring_dedup(
     a single document's length. Grams travel the shuffle as their
     token strings, NOT a 64-bit digest: a digest collision would
     silently delete a non-duplicate span, and at 10^13 grams collisions
-    are certain — exactness is this operator's contract."""
+    are certain — exactness is this operator's contract.
+
+    The tokenized corpus is persisted AND eagerly materialized before
+    the DAG fans out: four branches consume it (two gram passes, the
+    token table, the per-doc sizes), and without the barrier Spark
+    re-scans and re-tokenizes the corpus once PER BRANCH (the
+    ``verified_near_dups`` persist-then-materialize discipline —
+    plan-verified: 4 parquet scan subtrees collapse to 1 cached)."""
     from pyspark.sql import Window
 
+    from ..session import release_cache, rotate_cache
+
+    release_cache("text.substring_dedup")  # BEFORE persist — see session.py
     toks = df.select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " +"),
             lambda t: F.length(t) > 0,
         ).alias("toks"),
-    )
+    ).persist()
+    toks.count()
+    rotate_cache("text.substring_dedup", toks)
     grams = toks.select(
         id_col, F.posexplode(token_ngrams_col(F.col("toks"), k)).alias("s0", "gram")
     ).select(id_col, (F.col("s0") + 1).alias("s"), "gram")
