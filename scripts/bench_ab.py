@@ -18,7 +18,8 @@ same methodology that adjudicated the Arrow signer in round 6
 headline set.
 
 Run:  PYTHONPATH=/root/repo:/root/repo/.ab python scripts/bench_ab.py
-Prep: git worktree add .ab/r5tree 79d3d22
+Prep: python scripts/bench_ab.py --prep   (idempotent; equivalent to:)
+      git worktree add .ab/r5tree 79d3d22
       cp -r .ab/r5tree/mysql2clickhouse_spark .ab/m2c_r5ref
       find .ab/m2c_r5ref -name '*.py' \
           -exec sed -i 's/mysql2clickhouse_spark/m2c_r5ref/g' {} +
@@ -37,6 +38,44 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_COMMIT = "79d3d22"
+
+
+def prep() -> None:
+    """Idempotently materialize the r5-floor tree as the renamed
+    side-by-side package ``.ab/m2c_r5ref`` (safe to re-run; a stale
+    half-copy is rebuilt)."""
+    import shutil
+    import subprocess
+
+    ab = os.path.join(REPO, ".ab")
+    tree = os.path.join(ab, "r5tree")
+    pkg = os.path.join(ab, "m2c_r5ref")
+    if not os.path.isdir(tree):
+        subprocess.run(
+            ["git", "worktree", "add", tree, REF_COMMIT],
+            cwd=REPO,
+            check=True,
+        )
+    if os.path.isdir(pkg):
+        shutil.rmtree(pkg)
+    shutil.copytree(os.path.join(tree, "mysql2clickhouse_spark"), pkg)
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path, encoding="utf-8") as f:
+                src = f.read()
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(src.replace("mysql2clickhouse_spark", "m2c_r5ref"))
+    print(f"prepared {pkg} from {REF_COMMIT}", file=sys.stderr)
+
+
+if "--prep" in sys.argv:
+    prep()
+    sys.exit(0)
+
 sys.path.insert(0, os.path.join(REPO, ".ab"))
 sys.path.insert(0, REPO)
 
