@@ -151,6 +151,7 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
     is not asserted here — the ``dedup_incremental`` oracle row
     certifies store-backed == one-shot pair-for-pair."""
     from mysql2clickhouse_spark.functions.minhash import (
+        DEFAULT_NUM_PERM,
         estimated_jaccard_col,
         jaccard_col,
         lsh_candidate_pairs,
@@ -159,10 +160,16 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
     from mysql2clickhouse_spark.plans.extensions import _docs_with_mutants
     from mysql2clickhouse_spark.session import scratch_dir
 
+    # same operating point as the headline dedup_minhash_lsh — shared
+    # constants, not copies, so a pipeline retune can't silently leave
+    # this row measuring the old shape
+    threshold, margin = 0.7, 0.15
+
     spark.catalog.clearCache()
     corpus = _docs_with_mutants(spark, sf_dir)
     idx = MinHashIndex(
-        spark, os.path.join(scratch_dir("m2c_bench_ndidx_"), "idx"), threshold=0.7
+        spark, os.path.join(scratch_dir("m2c_bench_ndidx_"), "idx"),
+        threshold=threshold,
     )
     t0 = time.perf_counter()
     idx.add_batch(corpus).write.mode("overwrite").format("noop").save()
@@ -178,9 +185,12 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
             cands.join(sa, "id_a")
             .join(sb, "id_b")
             .withColumn(
-                "est", estimated_jaccard_col(F.col("sig_a"), F.col("sig_b"), 48)
+                "est",
+                estimated_jaccard_col(
+                    F.col("sig_a"), F.col("sig_b"), DEFAULT_NUM_PERM
+                ),
             )
-            .filter(F.col("est") >= 0.7 - 0.15)
+            .filter(F.col("est") >= threshold - margin)
             .select("id_a", "id_b")
         )
         ha = store.select(F.col("doc_id").alias("id_a"), F.col("hset").alias("h_a"))
@@ -189,7 +199,7 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
             plausible.join(ha, "id_a")
             .join(hb, "id_b")
             .withColumn("jaccard", F.round(jaccard_col(F.col("h_a"), F.col("h_b")), 4))
-            .filter(F.col("jaccard") >= 0.7)
+            .filter(F.col("jaccard") >= threshold)
             .write.mode("overwrite").format("noop").save()
         )
 

@@ -197,10 +197,7 @@ def substring_dedup(
     release_cache("text.substring_dedup")  # BEFORE persist — see session.py
     toks = df.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), " +"),
-            lambda t: F.length(t) > 0,
-        ).alias("toks"),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
     ).persist()
     toks.count()
     rotate_cache("text.substring_dedup", toks)

@@ -92,7 +92,19 @@ class IVFIndex:
         given = {"dim": dim, "n_list": n_list, "seed": seed,
                  "pq_m": pq_m, "pq_ksub": pq_ksub}
         stored = self._load_manifest()
-        if stored is not None:
+        if stored is not None and not self.exists():
+            # manifest without centroids = a build that crashed between
+            # the manifest write and the centroids write (build writes
+            # the manifest FIRST so this is the only partial state).
+            # The manifest is then PROVISIONAL, not authoritative: a
+            # retry may legitimately pick different geometry (build()
+            # rewrites the manifest), so explicit args win and only the
+            # omitted fields adopt the stored values — the no-args
+            # crash-retry path keeps recovering the full geometry.
+            for k in _MANIFEST_FIELDS:
+                if given[k] is None:
+                    given[k] = stored.get(k)
+        elif stored is not None:
             for k in _MANIFEST_FIELDS:
                 if given[k] is not None and given[k] != stored.get(k):
                     raise ValueError(

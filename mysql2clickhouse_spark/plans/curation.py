@@ -666,18 +666,35 @@ def shuffle_shards_for(n_docs: int) -> int:
     )
 
 
-def shuffle_key_col(id_col: Column, n_shards: int) -> Column:
+def shuffle_shards_col(n_docs: Column) -> Column:
+    """Column form of ``shuffle_shards_for`` — the same clamp
+    arithmetic over a (1-row) count column, so the shard count can be
+    derived IN-PLAN (broadcast scalar) instead of via an eager
+    ``count()`` at frame-construction time: plan-only consumers (the
+    lint sweeps, the plan-shape tests) must never pay a corpus scan
+    for a frame they don't execute."""
+    return F.greatest(
+        F.lit(SHUFFLE_MIN_SHARDS).cast("bigint"),
+        F.least(
+            F.lit(SHUFFLE_MAX_SHARDS).cast("bigint"),
+            F.floor(n_docs / SHUFFLE_SHARD_ROWS) + 1,
+        ),
+    )
+
+
+def shuffle_key_col(id_col: Column, n_shards: int | Column) -> Column:
     """Deterministic 60-bit shuffle key from a seeded md5 of the doc id
     — replay-stable, cluster-size-independent, and exactly expressible
     in ANSI SQL (the same arithmetic as ``operators.checksum``).
 
-    ``n_shards`` joins the digest input alongside the seed: growing the
-    corpus past a shard-count boundary produces a FRESH permutation,
-    not a correlated re-bucketing of the old one, and any recorded
-    digest is unambiguously tied to the geometry that produced it."""
-    canon = F.concat_ws(
-        "|", F.lit(SHUFFLE_SEED), F.lit(n_shards), id_col.cast("string")
-    )
+    ``n_shards`` (an int, or the 1-row count column from
+    ``shuffle_shards_col``) joins the digest input alongside the seed:
+    growing the corpus past a shard-count boundary produces a FRESH
+    permutation, not a correlated re-bucketing of the old one, and any
+    recorded digest is unambiguously tied to the geometry that
+    produced it."""
+    n = F.lit(n_shards) if isinstance(n_shards, int) else n_shards
+    canon = F.concat_ws("|", F.lit(SHUFFLE_SEED), n, id_col.cast("string"))
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
 
 
@@ -700,18 +717,18 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard aggregation; ranks are per-shard windows (never global).
     The physical write is ``repartition(shard) →
     sortWithinPartitions(key)`` — the export path's discipline. The
-    shard count is derived from the corpus row count
-    (``shuffle_shards_for``); the 1-row count that sizes it is bounded
-    control-plane work, and the oracle re-derives the same count from
-    the same data with a scalar subquery."""
+    shard count is derived from the corpus row count IN-PLAN
+    (``shuffle_shards_col`` over a broadcast 1-row count — frame
+    construction stays lazy, so lint sweeps and plan walks never pay a
+    scan), mirroring the oracle's scalar subquery exactly."""
     d = _docs(spark, sf_dir).select("doc_id", "source")
-    n_shards = shuffle_shards_for(d.count())
-    key = shuffle_key_col(F.col("doc_id"), n_shards)
-    t = d.select(
+    cnt = d.agg(shuffle_shards_col(F.count(F.lit(1))).alias("__shards"))
+    key = shuffle_key_col(F.col("doc_id"), F.col("__shards"))
+    t = d.crossJoin(F.broadcast(cnt)).select(
         "doc_id",
         "source",
         key.alias("skey"),
-        F.pmod(key, F.lit(n_shards)).alias("shard"),
+        F.pmod(key, F.col("__shards")).alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     ranked = t.withColumn("rk", F.row_number().over(w))

@@ -24,7 +24,9 @@ Rule 3: NO exact unbounded-buffer aggregate outside the allowlisted
 certification twins. Two shapes:
 
 * exact ``percentile``/``median`` (JVM classes ``Percentile``,
-  ``Median``) ANYWHERE — grouped or not. The exact form buffers every
+  ``Median``) ANYWHERE — grouped, global, or as a WINDOW function
+  (``.over(partitionBy(k))`` buffers every partition value in one task
+  just like the grouped aggregate). The exact form buffers every
   value of its group in one task's OpenHashMap before sorting; grouping
   by a low-cardinality key (``event_type``: 5 groups) does not save it
   — at 100 TB that is ~20 TB of doubles in one aggregation buffer. The
@@ -39,9 +41,11 @@ certification twins. Two shapes:
   bound is the operator author's documented responsibility.
 
 Queries that legitimately carry these shapes must be named in
-``EXACT_AGG_ALLOWLIST`` below with a justification; the callers pass
-``allow_exact_aggregates=name in EXACT_AGG_ALLOWLIST`` so an
-un-allowlisted exact aggregate fails CI, not review.
+``EXACT_AGG_ALLOWLIST`` below with a justification AND the specific
+aggregate classes being waived; the callers pass
+``allow_exact_aggregates=EXACT_AGG_ALLOWLIST.get(name, frozenset())``
+so an un-allowlisted exact aggregate — including a NEW class sneaking
+into an already-allowlisted query — fails CI, not review.
 
 ``scripts/check_parity.py`` and the pytest oracle loop run all three
 rules on every extended-registry query right after building its frame;
@@ -108,50 +112,66 @@ _EXACT_BUFFER_AGGS = frozenset({"CollectList", "CollectSet"})
 #: documented reason. Everything here is either a certification twin
 #: (exists to bound a sketch's error at test scale, never the
 #: production path) or a collect whose input is provably schema-bounded.
-EXACT_AGG_ALLOWLIST = frozenset(
-    {
-        # exact-interpolation percentile threshold: the documented
-        # certification twin of the percentile_approx quality gate
-        # (plans/curation.py corpus_quality_gate_exact docstring)
-        "corpus_quality_gate_exact",
-        # sketch-family exact twins: each emits the exact value DuckDB
-        # reproduces plus a bounded-error flag for the sketch estimate
-        "events_approx_profile",
-        "events_quantile_sketch",
-        "events_value_percentiles",
-        # sketch_suite folds the three twins above into tagged rows
-        "sketch_suite",
-        # the dual-dialect literal-SQL corpus embeds the SAME sketch
-        # twins as Spark-dialect statements (sql_corpus.py
-        # events_approx_profile / events_value_percentiles), so their
-        # exact percentiles surface in its union plan — same twins,
-        # same justification
-        "sql_corpus_parity",
-        # ungrouped collect of the 64-row per-DIMENSION stats frame —
-        # bounded by embedding dimensionality (schema), not corpus size
-        # (plans/extensions.py embedding_standardize)
-        "embedding_standardize",
-    }
-)
+EXACT_AGG_ALLOWLIST: dict[str, frozenset[str]] = {
+    # exact-interpolation percentile threshold: the documented
+    # certification twin of the percentile_approx quality gate
+    # (plans/curation.py corpus_quality_gate_exact docstring)
+    "corpus_quality_gate_exact": frozenset({"Percentile"}),
+    # sketch-family exact twins: each emits the exact value DuckDB
+    # reproduces plus a bounded-error flag for the sketch estimate
+    "events_approx_profile": frozenset({"Percentile"}),
+    "events_quantile_sketch": frozenset({"Percentile"}),
+    "events_value_percentiles": frozenset({"Percentile"}),
+    # sketch_suite folds the three twins above into tagged rows
+    "sketch_suite": frozenset({"Percentile"}),
+    # the dual-dialect literal-SQL corpus embeds the SAME sketch
+    # twins as Spark-dialect statements (sql_corpus.py
+    # events_approx_profile / events_value_percentiles), so their
+    # exact percentiles surface in its union plan — same twins,
+    # same justification
+    "sql_corpus_parity": frozenset({"Percentile"}),
+    # ungrouped collect of the 64-row per-DIMENSION stats frame —
+    # bounded by embedding dimensionality (schema), not corpus size
+    # (plans/extensions.py embedding_standardize)
+    "embedding_standardize": frozenset({"CollectList"}),
+}
 
 
 def exact_aggregates(df: DataFrame) -> list[str]:
     """Rule-3 findings: exact ``Percentile``/``Median`` anywhere, and
     ``CollectList``/``CollectSet`` inside a GLOBAL (ungrouped)
     Aggregate, in the optimized logical plan (JVM tree walk — no
-    execution, no job). Returns [] for a clean plan."""
+    execution, no job). Returns [] for a clean plan. Each finding
+    string LEADS with the JVM class name — the scoped allowlist keys
+    off that first token.
+
+    Sort-buffer aggregates are also flagged inside WINDOW expressions
+    (``percentile(...).over(partitionBy(k))`` buffers every partition
+    value in one task — the same failure mode wearing a Window node).
+    Known boundary: plans nested inside scalar-subquery expressions are
+    not traversed (``children()`` does not descend into them); none of
+    the registry's builders emit subqueries — the DataFrame API has no
+    spelling for them — so the boundary is theoretical until someone
+    hand-writes one in ``spark.sql``."""
     bad: list[str] = []
 
     def check(node) -> None:
-        if node.getClass().getSimpleName() != "Aggregate":
-            return
-        is_global = node.groupingExpressions().isEmpty()
-        aggs = node.aggregateExpressions()
-        for i in range(aggs.size()):
-            _walk(
-                aggs.apply(i),
-                lambda e: _check_agg_expr(e, is_global, bad),
-            )
+        kind = node.getClass().getSimpleName()
+        if kind == "Aggregate":
+            is_global = node.groupingExpressions().isEmpty()
+            aggs = node.aggregateExpressions()
+            for i in range(aggs.size()):
+                _walk(
+                    aggs.apply(i),
+                    lambda e: _check_agg_expr(e, is_global, bad),
+                )
+        elif kind == "Window":
+            wexprs = node.windowExpressions()
+            for i in range(wexprs.size()):
+                _walk(
+                    wexprs.apply(i),
+                    lambda e: _check_window_expr(e, bad),
+                )
 
     _walk(df._jdf.queryExecution().optimizedPlan(), check)
     return bad
@@ -166,15 +186,34 @@ def _check_agg_expr(expr, is_global: bool, bad: list[str]) -> None:
         bad.append(f"{name} (global array-buffer): {expr.simpleString(200)}")
 
 
-def lint(df: DataFrame, allow_exact_aggregates: bool = False) -> list[str]:
+def _check_window_expr(expr, bad: list[str]) -> None:
+    name = expr.getClass().getSimpleName()
+    if name in _EXACT_SORT_AGGS:
+        bad.append(f"{name} (window exact sort-buffer): {expr.simpleString(200)}")
+
+
+def lint(
+    df: DataFrame,
+    allow_exact_aggregates: bool | frozenset[str] | set[str] = frozenset(),
+) -> list[str]:
     """All plan-lint findings for a frame (empty = clean).
 
-    ``allow_exact_aggregates=True`` waives rule 3 only — callers pass
-    ``name in EXACT_AGG_ALLOWLIST`` so the waiver is a named, reviewed
-    list, not a default."""
+    ``allow_exact_aggregates`` waives rule 3 only, and only for the
+    NAMED aggregate classes: callers pass
+    ``EXACT_AGG_ALLOWLIST.get(name, frozenset())`` so the waiver is a
+    per-query, per-class reviewed grant — an allowlisted query that
+    grows a NEW kind of exact aggregate (e.g. a global collect_list in
+    a percentile-twin suite) still fails CI. ``True`` waives every
+    rule-3 class (gate self-tests only)."""
     findings = [
         f"UNPARTITIONED WINDOW: {s}" for s in unpartitioned_windows(df)
     ] + [f"CARTESIAN PRODUCT: {s}" for s in cartesian_products(df)]
-    if not allow_exact_aggregates:
-        findings += [f"EXACT AGGREGATE: {s}" for s in exact_aggregates(df)]
+    if allow_exact_aggregates is True:
+        return findings
+    allowed = allow_exact_aggregates or frozenset()
+    findings += [
+        f"EXACT AGGREGATE: {s}"
+        for s in exact_aggregates(df)
+        if s.split(" ", 1)[0] not in allowed
+    ]
     return findings

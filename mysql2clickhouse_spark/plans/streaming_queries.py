@@ -396,17 +396,11 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: the un-folded original stays in the extended registry).
     """
     from ..operators.ann_index import IVFIndex
-    from ..session import scratch_dir
-    from .extensions import (
-        EMB_DIM,
-        N_QUERIES,
-        TOPK,
-        ivf_frozen_reference,
-    )
+    from .extensions import EMB_DIM, ivf_frozen_reference
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES)
-    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    q = emb.filter(F.col("vec_id") < _ann_N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= _ann_N_QUERIES)
     b0 = c.filter(F.pmod("vec_id", F.lit(3)) == 0)
     rest = c.filter(F.pmod("vec_id", F.lit(3)) != 0)
 
@@ -446,7 +440,7 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         and reopened.n_list == 32
         and reopened.pq_m is None
     )
-    got = reopened.search(q, k=TOPK, nprobe=8).persist()
+    got = reopened.search(q, k=_ann_TOPK, nprobe=8).persist()
     want = ivf_frozen_reference(reopened, c, q)
     n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
     n_rows = got.count()

@@ -41,7 +41,10 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             findings = lint(
-                df, allow_exact_aggregates=name in EXACT_AGG_ALLOWLIST
+                df,
+                allow_exact_aggregates=EXACT_AGG_ALLOWLIST.get(
+                    name, frozenset()
+                ),
             )
             if findings:
                 ok, msg = False, findings[0][:140]

@@ -71,13 +71,21 @@ def test_crashed_build_leaves_retryable_store(spark, corpus, tmp_path, monkeypat
     # manifest landed, centroids did not -> store is NOT half-alive
     assert os.path.exists(idx.manifest_path)
     assert not idx.exists()
-    # reopen with no geometry args adopts the manifest; retry succeeds
+    # reopen with no geometry args adopts the manifest...
     monkeypatch.undo()
     retry = IVFIndex(spark, path)
     assert (retry.dim, retry.n_list) == (DIM, 4)
+    # ...but the crashed-build manifest is PROVISIONAL, not
+    # authoritative: a retry may pick different geometry without a
+    # mismatch error (build() rewrites the manifest)
+    regeo = IVFIndex(spark, path, dim=DIM, n_list=8)
+    assert regeo.n_list == 8
     retry.build(corpus)
     assert retry.exists()
     assert retry.search(_emb(spark, n=2, seed=9), k=3, nprobe=2).count() == 2 * 3
+    # once the store EXISTS the manifest is authoritative again
+    with pytest.raises(ValueError, match="reopen with matching args"):
+        IVFIndex(spark, path, dim=DIM, n_list=8)
 
 
 def test_build_over_existing_index_refuses(spark, corpus, tmp_path):

@@ -42,7 +42,9 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     # anywhere in the extended registry (plan walks — no execution
     # cost), so a lint-red query fails CI instead of hiding until the
     # next check_parity sweep
-    findings = lint(df, allow_exact_aggregates=name in EXACT_AGG_ALLOWLIST)
+    findings = lint(
+        df, allow_exact_aggregates=EXACT_AGG_ALLOWLIST.get(name, frozenset())
+    )
     assert not findings, f"{name}: {findings[0][:160]}"
     if name in ORACLES:
         ok, msg = compare(df, con, ORACLES[name])
@@ -120,13 +122,38 @@ def test_blanket_lint_catches_exact_aggregates(spark):
         for f in exact_aggregates(df.agg(F.collect_list("v")))
     )
     assert not exact_aggregates(df.groupBy("k").agg(F.collect_list("v")))
+    # exact percentile as a WINDOW function: the same one-task buffer
+    # wearing a Window node (the blind spot a review flagged) — caught
+    from pyspark.sql.window import Window
+
+    assert any(
+        "Percentile" in f and "window" in f
+        for f in exact_aggregates(
+            df.withColumn(
+                "p", F.expr("percentile(v, 0.5)").over(Window.partitionBy("k"))
+            )
+        )
+    )
     # lint() surfaces rule 3 by default; the allowlist waiver drops it
     bad = df.agg(F.expr("percentile(v, 0.5)").alias("p"))
     assert any("EXACT AGGREGATE" in f for f in lint(bad))
     assert not lint(bad, allow_exact_aggregates=True)
+    # the waiver is CLASS-scoped: granting Percentile does not grant a
+    # global collect_list (an allowlisted query growing a new exact
+    # aggregate still fails), and vice versa
+    assert not lint(bad, allow_exact_aggregates=frozenset({"Percentile"}))
+    assert any(
+        "EXACT AGGREGATE" in f
+        for f in lint(bad, allow_exact_aggregates=frozenset({"CollectList"}))
+    )
+    mixed = df.agg(
+        F.expr("percentile(v, 0.5)").alias("p"), F.collect_list("v").alias("l")
+    )
+    assert any(
+        "CollectList" in f
+        for f in lint(mixed, allow_exact_aggregates=frozenset({"Percentile"}))
+    )
     # ... but the waiver does NOT waive rules 1-2
-    from pyspark.sql.window import Window
-
     still_bad = spark.range(10).withColumn(
         "rk", F.row_number().over(Window.orderBy("id"))
     )
@@ -171,6 +198,27 @@ def test_shuffle_shard_count_scaling_rule():
     assert shuffle_shards_for(10**15) == SHUFFLE_MAX_SHARDS
     counts = [shuffle_shards_for(n) for n in range(0, 3_000_000, 97_000)]
     assert counts == sorted(counts)
+
+
+def test_shuffle_shards_col_matches_int_form(spark):
+    """The in-plan column form (lazy, what corpus_shuffle_order uses)
+    and the int form (scripts/tests) must be the same arithmetic — a
+    drift would silently re-permute the training order."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.plans.curation import (
+        shuffle_shards_col,
+        shuffle_shards_for,
+    )
+
+    ns = [0, 1, 5_000, 250_000, 250_001, 10_000_000, 10**12, 10**15]
+    got = (
+        spark.createDataFrame([(n,) for n in ns], "n bigint")
+        .select("n", shuffle_shards_col(F.col("n")).alias("s"))
+        .collect()
+    )
+    for row in got:
+        assert row["s"] == shuffle_shards_for(row["n"]), row
 
 
 def test_entry_smoke(spark):
