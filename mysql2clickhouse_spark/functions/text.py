@@ -190,20 +190,13 @@ def substring_dedup(
     re-scans and re-tokenizes the corpus once PER BRANCH (the
     ``verified_near_dups`` persist-then-materialize discipline —
     plan-verified: 4 parquet scan subtrees collapse to 1 cached)."""
-    from pyspark.sql import Window
-
     from ..session import release_cache, rotate_cache
 
     release_cache("text.substring_dedup")  # BEFORE persist — see session.py
-    toks = df.select(
-        F.col(id_col),
-        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
-    ).persist()
+    toks = tokenized_docs(df, id_col, text_col).persist()
     toks.count()
     rotate_cache("text.substring_dedup", toks)
-    grams = toks.select(
-        id_col, F.posexplode(token_ngrams_col(F.col("toks"), k)).alias("s0", "gram")
-    ).select(id_col, (F.col("s0") + 1).alias("s"), "gram")
+    grams = gram_rows(toks, k, id_col)
     first = grams.groupBy("gram").agg(F.min(F.struct(id_col, "s")).alias("first_occ"))
     dup_starts = (
         grams.join(first, "gram")
@@ -213,6 +206,39 @@ def substring_dedup(
         )
         .select(id_col, "s")
     )
+    return removal_report(toks, dup_starts, k, id_col)
+
+
+def tokenized_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, toks) via the shared tokenizer; null text → EMPTY array
+    (one row per doc always)."""
+    return df.select(
+        F.col(id_col),
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+
+
+def gram_rows(toks: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, s, gram): every k-gram occurrence with its 1-based start."""
+    return toks.select(
+        id_col, F.posexplode(token_ngrams_col(F.col("toks"), k)).alias("s0", "gram")
+    ).select(id_col, (F.col("s0") + 1).alias("s"), "gram")
+
+
+def removal_report(
+    toks: DataFrame, dup_starts: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply the span-removal rule to ``toks`` given the duplicated
+    k-gram start positions: token p is removed iff a duplicated start
+    lies in [p-k+1, p] (per-doc rows-window over dense positions), then
+    reassemble the kept text. One row per doc: (id, n_tokens,
+    n_removed, kept_hash) — shared verbatim by the one-shot
+    ``substring_dedup`` and the incremental ``SubstringIndex``, so the
+    two paths cannot drift."""
+    from pyspark.sql import Window
+
     tok_rows = toks.select(
         id_col, F.posexplode(F.col("toks")).alias("p0", "tok")
     ).select(id_col, (F.col("p0") + 1).alias("p"), "tok")

@@ -1,0 +1,71 @@
+"""SubstringIndex (incremental exact-substring dedup): the union of
+per-batch removal reports must EQUAL the one-shot ``substring_dedup``
+over the full corpus when batches arrive in ascending id ranges, the
+store must grow by exactly the new first occurrences, and replayed
+batches must be no-ops."""
+
+from __future__ import annotations
+
+from mysql2clickhouse_spark.functions.text import substring_dedup
+from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+K = 4
+
+B1 = [
+    (1, "w1 w2 w3 w4 w5 w6"),
+    (2, "x1 x2 x3 x4 x5"),
+    (3, "w1 w2 w3 w4 w5 w6"),          # in-batch exact copy of 1
+    (4, None),                          # degenerate
+]
+B2 = [
+    (5, "x1 x2 x3 x4 x5"),              # cross-batch exact copy of 2
+    (6, "y1 y2 w1 w2 w3 w4 y3"),        # interior span from batch 1
+    (7, "z1 z2 z3 z4 z5 z6 z7"),        # fresh
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_batched_ingest_equals_one_shot(spark, tmp_path):
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    r1 = idx.add_batch(_mk(spark, B1))
+    r2 = idx.add_batch(_mk(spark, B2))
+    got = _rows(r1) + _rows(r2)
+    want = _rows(substring_dedup(_mk(spark, B1 + B2), K))
+    assert sorted(got) == sorted(want)
+    # cross-batch spans were judged against the STORE: doc 5 is fully
+    # removed (its first occurrence lives in batch 1's doc 2)
+    by_id = {r[0]: r for r in got}
+    assert by_id[5][2] == 5  # n_removed == n_tokens
+    assert by_id[6][2] == 4  # the interior w1..w4 span only
+    assert by_id[7][2] == 0
+
+
+def test_store_grows_by_new_firsts_only(spark, tmp_path):
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    idx.add_batch(_mk(spark, B1))
+    n1 = idx.n_grams()
+    # doc 1 has 3 grams, doc 2 has 2; doc 3's are all copies; doc 4 none
+    assert n1 == 5
+    idx.add_batch(_mk(spark, B2))
+    # doc 5 adds none; doc 6 adds its 3 non-copied grams (those touching
+    # y-tokens); doc 7 adds its 4
+    assert idx.n_grams() == n1 + 3 + 4
+
+
+def test_replayed_batch_is_a_noop(spark, tmp_path):
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    idx.add_batch(_mk(spark, B1))
+    n = idx.n_grams()
+    replay = idx.add_batch(_mk(spark, B1))
+    assert replay.count() == 0
+    assert idx.n_grams() == n
+    # the store still judges later batches correctly after the replay
+    r2 = idx.add_batch(_mk(spark, B2))
+    assert {r["doc_id"]: r["n_removed"] for r in r2.collect()}[5] == 5
