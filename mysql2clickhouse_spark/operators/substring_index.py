@@ -10,21 +10,37 @@ persists the one derived table the incremental pass needs:
 - ``firsts/`` — (gram, doc_id, s): the FIRST occurrence of every
   k-gram ever ingested (gram strings, not digests — same exactness
   contract as the one-shot: a digest collision would silently delete a
-  non-duplicate span);
+  non-duplicate span). Written BUCKETED on ``gram`` (a Spark bucketed
+  table registered over this location), so the per-batch membership
+  join reads the store with its layout: the store side of the join is
+  never exchanged — only the batch's grams shuffle, O(batch) rows per
+  ingest no matter how large the store grows (plan-pinned in
+  ``tests/test_plan_shapes.py``).
 - ``docs/``   — (doc_id,): the ingest ledger, so a replayed batch is
   dropped up front (at-least-once delivery appends nothing twice).
 
 Per batch, ``add_batch``:
 
-1. tokenizes and grams the BATCH only (one scan of the new text);
-2. marks an occurrence duplicated iff its gram is in the store OR an
+1. rolls forward / clears any interrupted prior ingest (``recover``);
+2. tokenizes and grams the BATCH only (one scan of the new text);
+3. marks an occurrence duplicated iff its gram is in the store OR an
    earlier occurrence exists within the batch (the batch-local
    min-struct groupBy — identical aggregation to the one-shot);
-3. produces the per-doc removal report via the SHARED
+4. produces the per-doc removal report via the SHARED
    ``removal_report`` (the one-shot and incremental paths cannot
    drift — same window rule, same reassembly, same hash);
-4. appends the batch's NEW first occurrences and its doc ids to the
-   store (pure columnar append, no rewrite).
+5. commits the batch's NEW first occurrences and its doc ids to the
+   store ATOMICALLY: both appends are staged under
+   ``__ingest_staging/``, an ``_INGEST_COMMIT`` marker is written
+   (atomic rename), then the staged files are promoted into the live
+   dirs by pure renames. A crash before the marker leaves the store
+   untouched (debris cleared, replay re-judges cleanly); a crash after
+   it is rolled forward by the next ``recover()`` — the firsts append
+   and the docs-ledger append can never land separately, so a replay
+   is NEVER judged against its own grams (the corruption window the
+   r8 verdict flagged; ``tests/test_crash_matrix.py`` drives both
+   fault points). Same commit-marker discipline as the neardup index's
+   journaled compaction and the runner's journaled swaps.
 
 Precedence contract: the store encodes FIRST-SEEN order. When batches
 partition the corpus into ascending id ranges, first-seen order equals
@@ -37,15 +53,19 @@ stream that never re-orders history.
 
 Scale: the batch-vs-store membership join is the cost center — batch
 grams (O(batch×tokens) rows) against the store's gram column. The
-store is never re-shuffled per batch when written bucketed on the
-gram; even unbucketed, the join reads the store's single gram column
-and shuffles only batch-sized rows, versus the one-shot's THREE
-corpus×token exchanges plus a full re-tokenization. Everything else is
-batch-bounded.
+bucketed layout keeps that join store-shuffle-free at ANY store size:
+each ingest exchanges only the batch's grams into the store's bucket
+space (size ``n_buckets`` to the cluster — thousands at 100 TB; it is
+fixed at store creation and recorded in ``_STORE_META``). Everything
+else is batch-bounded. Single-writer discipline (no concurrent
+``add_batch``) is the caller's lock, the reference's single-instance
+rule (B5).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +74,17 @@ from pyspark.sql import functions as F
 from ..fs import fs_for
 from ..functions.text import gram_rows, removal_report, tokenized_docs
 from ..session import release_cache, rotate_cache
+
+#: commit marker for the staged two-table ingest append — same protocol
+#: as neardup_index._SWAP_MARKER / the runner's SWAP_COMMIT_MARKER: a
+#: staging dir carrying a parsable marker is committed (roll forward);
+#: without one it is pre-commit debris (clear, store untouched)
+_INGEST_MARKER = "_INGEST_COMMIT"
+
+#: store geometry, written once per store: the bucket count is part of
+#: the on-disk layout (bucket ids are baked into file names), so a
+#: reopening index must adopt it rather than trust its constructor arg
+_META = "_STORE_META"
 
 
 class SubstringIndex:
@@ -67,12 +98,28 @@ class SubstringIndex:
         k: int = 10,
         id_col: str = "doc_id",
         text_col: str = "text",
+        n_buckets: int = 32,
     ):
         self.spark = spark
         self.path = path
         self.k = k
         self.id_col, self.text_col = id_col, text_col
+        self.n_buckets = n_buckets
         self.fs = fs_for(spark, path)
+        meta_path = os.path.join(path, _META)
+        if self.fs.exists(meta_path):
+            meta = json.loads(self.fs.read_text(meta_path))
+            if meta["k"] != k:
+                raise ValueError(
+                    f"store at {path} was built with k={meta['k']}, got k={k}"
+                )
+            self.n_buckets = int(meta["n_buckets"])
+        # catalog identity for the bucketed firsts table: derived from
+        # the store path so two stores never collide and a reopened
+        # store in a fresh session re-registers deterministically
+        self._table = "m2c_ssidx_" + hashlib.md5(
+            os.path.abspath(path).encode()
+        ).hexdigest()[:12]
 
     @property
     def firsts_path(self) -> str:
@@ -82,39 +129,125 @@ class SubstringIndex:
     def docs_path(self) -> str:
         return os.path.join(self.path, "docs")
 
-    def _exists(self) -> bool:
-        return self.fs.is_dir(self.firsts_path)
+    @property
+    def staging_path(self) -> str:
+        return os.path.join(self.path, "__ingest_staging")
+
+    def _has_files(self, d: str) -> bool:
+        return self.fs.is_dir(d) and any(
+            n.endswith(".parquet") for n in self.fs.listdir(d)
+        )
+
+    # --- journaled ingest commit ---------------------------------------------
+
+    def recover(self) -> int:
+        """Converge any interrupted prior ingest — called at
+        ``add_batch`` entry (same contract as the neardup index's
+        ``recover``). A staging dir with a parsable commit marker is
+        rolled forward (both appends promoted); anything else under
+        staging is pre-commit debris and is cleared, leaving the store
+        exactly as it was before the crashed ingest. Returns the number
+        of true roll-forwards; control-plane listings only."""
+        staging = self.staging_path
+        if not self.fs.is_dir(staging):
+            return 0
+        marker = os.path.join(staging, _INGEST_MARKER)
+        if self.fs.exists(marker):
+            try:
+                json.loads(self.fs.read_text(marker))
+            except ValueError:
+                self.fs.rmtree(staging)  # torn ⇒ pre-commit debris
+                return 0
+            self._roll_forward()
+            return 1
+        self.fs.rmtree(staging)
+        return 0
+
+    def _roll_forward(self) -> None:
+        """Promote a COMMITTED staging dir into the live store: pure
+        file renames (idempotent — a re-run moves whatever remains),
+        then clear staging. No Spark job runs here, so a crash at any
+        rename resumes exactly where it stopped."""
+        staging = self.staging_path
+        for sub, dst in (("firsts", self.firsts_path), ("docs", self.docs_path)):
+            src = os.path.join(staging, sub)
+            if not self.fs.is_dir(src):
+                continue
+            names = [n for n in self.fs.listdir(src) if n.endswith(".parquet")]
+            if names:
+                self.fs.makedirs(dst)
+            for n in names:
+                self.fs.rename(os.path.join(src, n), os.path.join(dst, n))
+        self.fs.rmtree(staging)
+        # the bucketed table caches its file listing; new files are
+        # invisible until refreshed (saveAsTable appends do this
+        # implicitly — rename promotion must do it explicitly)
+        if self.spark.catalog.tableExists(self._table):
+            self.spark.catalog.refreshTable(self._table)
+
+    def _ensure_table(self) -> str:
+        """Register the bucketed catalog table over ``firsts/`` (schema
+        read from the files; geometry from ``_STORE_META``). Bucket ids
+        live in the file NAMES, so registration is pure metadata —
+        re-creating it in a fresh session sees the same layout."""
+        if not self.spark.catalog.tableExists(self._table):
+            schema = self.spark.read.parquet(self.firsts_path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+            )
+            self.spark.sql(
+                f"CREATE TABLE `{self._table}` ({cols}) USING PARQUET "
+                f"CLUSTERED BY (gram) SORTED BY (gram) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{self.firsts_path}'"
+            )
+        return self._table
+
+    def _stored_grams(self) -> DataFrame:
+        """The store's gram column THROUGH the bucketed table, so joins
+        on ``gram`` inherit HashPartitioning(gram, n_buckets) from the
+        scan itself — no Exchange ever sits above the store side."""
+        return (
+            self.spark.table(self._ensure_table())
+            .select("gram")
+            .withColumn("__stored", F.lit(1))
+        )
 
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its per-doc removal report
         (id, n_tokens, n_removed, kept_hash) — duplicated spans judged
-        against the store AND the batch itself. Appends the batch's new
-        first occurrences AFTER the report materializes, so a crash
-        mid-call never leaves a batch half-judged against its own rows.
+        against the store AND the batch itself. The store commit is the
+        journaled staged append above: firsts and docs promote together
+        or not at all.
 
         Idempotent under at-least-once redelivery: doc ids already in
         the ledger (and duplicate deliveries inside the batch) are
         dropped up front — a replayed batch reports nothing and appends
-        nothing."""
+        nothing. Because the ledger append can never trail the firsts
+        append, a redelivered batch after ANY crash is either dropped
+        whole (post-commit crash) or re-judged against the pre-batch
+        store (pre-commit crash) — never against its own grams."""
+        self.recover()  # converge any interrupted prior ingest first
         batch = batch.dropDuplicates([self.id_col])
-        if self._exists():
+        if self._has_files(self.docs_path):
             seen = self.spark.read.parquet(self.docs_path).select(self.id_col)
             batch = batch.join(seen, self.id_col, "left_anti")
 
         release_cache("substring_index.add_batch")  # BEFORE persist
         toks = tokenized_docs(batch, self.id_col, self.text_col).persist()
-        toks.count()
+        if toks.count() == 0:
+            # replay / empty delivery: nothing to judge, nothing to
+            # stage — the store (and its file census) is untouched
+            rotate_cache("substring_index.add_batch", toks)
+            return removal_report(toks, toks.select(self.id_col).limit(0)
+                                  .withColumn("s", F.lit(1)), self.k, self.id_col)
         grams = gram_rows(toks, self.k, self.id_col)
         batch_first = grams.groupBy("gram").agg(
             F.min(F.struct(self.id_col, "s")).alias("first_occ")
         )
 
-        if self._exists():
-            stored = (
-                self.spark.read.parquet(self.firsts_path)
-                .select("gram")
-                .withColumn("__stored", F.lit(1))
-            )
+        if self._has_files(self.firsts_path):
+            stored = self._stored_grams()
         else:
             stored = batch_first.select("gram").withColumn(
                 "__stored", F.lit(1)
@@ -131,7 +264,7 @@ class SubstringIndex:
         # store paths before they mutate: a plain persist is not enough
         # — Spark's append refreshes every cached plan that reads the
         # written path, and the invalidated report would lazily
-        # recompute against the post-append ledger, where the batch
+        # recompute against the post-commit ledger, where the batch
         # anti-joins itself away to zero rows (empirically reproduced;
         # neardup_index survives the same hazard only because its
         # recompute is value-identical by construction — this one
@@ -147,16 +280,42 @@ class SubstringIndex:
                 F.col("first_occ.s").alias("s"),
             )
         )
-        # snapshot from the PRE-append store state for the same reason:
-        # the frame reads firsts/ lazily, and the append below would
-        # otherwise be a self-referential write
-        new_firsts = new_firsts.localCheckpoint()
-        rotate_cache("substring_index.add_batch", toks)
 
-        new_firsts.write.mode("append").parquet(self.firsts_path)
-        toks.select(self.id_col).write.mode("append").parquet(self.docs_path)
+        # --- staged two-table append, committed by one marker --------------
+        staging = self.staging_path  # recover() left no staging behind
+        stage_tbl = self._table + "__stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+        (
+            # repartition on gram with the bucket hash so each task
+            # holds exactly one bucket's rows — one file per bucket per
+            # ingest, named with its bucket id (the layout the live
+            # table's scan parses back)
+            new_firsts.repartition(self.n_buckets, F.col("gram"))
+            .write.bucketBy(self.n_buckets, "gram")
+            .sortBy("gram")
+            .option("path", os.path.join(staging, "firsts"))
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        self.spark.sql(f"DROP TABLE `{stage_tbl}`")  # external: files stay
+        toks.select(self.id_col).write.mode("overwrite").parquet(
+            os.path.join(staging, "docs")
+        )
+        rotate_cache("substring_index.add_batch", toks)
+        self.fs.write_text_atomic(
+            os.path.join(self.path, _META),
+            json.dumps({"k": self.k, "n_buckets": self.n_buckets}),
+        )
+        # COMMIT POINT: everything before this line is reconstructible
+        # debris; everything after is pure idempotent promotion
+        self.fs.write_text_atomic(
+            os.path.join(staging, _INGEST_MARKER), '{"committed": true}'
+        )
+        self._roll_forward()
         return report
 
     def n_grams(self) -> int:
         """Distinct grams ever seen (= stored first occurrences)."""
+        if not self._has_files(self.firsts_path):
+            return 0
         return self.spark.read.parquet(self.firsts_path).count()

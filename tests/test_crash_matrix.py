@@ -307,3 +307,107 @@ def test_neardup_crash_between_bands_and_sigs_append(spark, tmp_path):
     again = idx2.add_batch(batch)
     assert again.count() == 0
     assert spark.read.parquet(idx2.sigs_path).count() == sigs.count()
+
+
+# --- fault: substring index crash around the ingest commit marker -----------
+
+def _ss_corpus(spark):
+    b1 = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "x1 x2 x3 x4 x5"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(5, "x1 x2 x3 x4 x5"), (6, "y1 y2 w1 w2 w3 w4 y3")],
+        "doc_id bigint, text string",
+    )
+    return b1, b2
+
+
+def _ss_one_shot(spark, frames):
+    from mysql2clickhouse_spark.functions.text import substring_dedup
+
+    full = frames[0]
+    for f in frames[1:]:
+        full = full.unionByName(f)
+    return sorted(tuple(r) for r in substring_dedup(full, 4).collect())
+
+
+class _FailMarkerWrite(LocalFS):
+    """Crash BEFORE the ingest commit point: the staged files exist but
+    the _INGEST_COMMIT marker never lands."""
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        if path.endswith("_INGEST_COMMIT"):
+            raise OSError("injected crash before ingest commit marker")
+        super().write_text_atomic(path, text)
+
+
+def test_substring_crash_before_commit_marker_replays_cleanly(spark, tmp_path):
+    """Pre-commit crash: staging written, marker absent. The store must
+    be untouched (debris cleared at the next entry), and the replayed
+    batch must be judged as if the crashed attempt never happened — in
+    particular it must NOT be judged against its own staged grams (the
+    false-full-duplication failure the r8 verdict flagged)."""
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    b1, b2 = _ss_corpus(spark)
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=4, n_buckets=8)
+    idx.fs = _FailMarkerWrite()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(b1)
+    assert idx.n_grams() == 0  # store untouched: nothing committed
+
+    idx2 = SubstringIndex(spark, str(tmp_path / "idx"), k=4, n_buckets=8)
+    r1 = idx2.add_batch(b1)
+    r2 = idx2.add_batch(b2)
+    got = sorted(tuple(r) for r in r1.collect()) + sorted(
+        tuple(r) for r in r2.collect()
+    )
+    assert sorted(got) == _ss_one_shot(spark, [b1, b2])
+    # the debris staging dir is gone
+    assert not os.path.isdir(idx2.staging_path)
+
+
+def test_substring_crash_mid_promotion_rolls_forward(spark, tmp_path):
+    """Post-commit crash: the marker landed but promotion stopped after
+    the FIRSTS files moved and before the DOCS ledger files moved —
+    byte-identical on disk to the r8 code's window (grams stored, batch
+    unledgered). recover() at the next entry must finish the promotion,
+    so the replayed batch is dropped whole — never re-judged against
+    its own grams — and later batches still judge correctly."""
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    b1, b2 = _ss_corpus(spark)
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=4, n_buckets=8)
+    # firsts for b1: doc1 has 3 grams, doc2 has 2 -> 5 files at most 8
+    # buckets; fail the FIRST rename that targets the docs dir, so all
+    # firsts files are promoted and zero docs files are
+    class _FailDocsPromotion(LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            if f"{os.sep}docs{os.sep}" in dst:
+                raise OSError("injected crash before docs promotion")
+            super().rename(src, dst)
+
+    idx.fs = _FailDocsPromotion()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(b1)
+    # b1's correct report (what the crashed call had already built and
+    # the caller lost): b1 judged against the empty store == one-shot
+    want_b1 = _ss_one_shot(spark, [b1])
+    # the promotion crashed mid-way: grams landed, ledger did not
+    assert idx.n_grams() > 0
+    assert not idx._has_files(os.path.join(str(tmp_path / "idx"), "docs"))
+    assert os.path.isfile(
+        os.path.join(str(tmp_path / "idx"), "__ingest_staging", "_INGEST_COMMIT")
+    )
+
+    # fresh entry converges, then the REPLAY of b1 is a no-op — the r8
+    # code would have reported every b1 doc as fully duplicated here
+    idx2 = SubstringIndex(spark, str(tmp_path / "idx"), k=4, n_buckets=8)
+    replay = idx2.add_batch(b1)
+    assert replay.count() == 0
+    assert not os.path.isdir(idx2.staging_path)
+
+    r2 = idx2.add_batch(b2)
+    got = want_b1 + sorted(tuple(r) for r in r2.collect())
+    assert sorted(got) == _ss_one_shot(spark, [b1, b2])

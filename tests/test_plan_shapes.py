@@ -470,3 +470,41 @@ def test_consistency_check_folds_are_jvm_side_partial_aggregates(spark, sf_dir, 
     assert n_full_outer <= 2
     assert plan.count("SortMergeJoin") == 2 * n_full_outer
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_substring_store_membership_join_never_exchanges_the_store(spark, tmp_path):
+    """The SubstringIndex 100 TB contract (r8 verdict finding #1): the
+    per-batch membership join must exchange only the BATCH's grams —
+    the store side streams straight out of its bucketed layout, so
+    ingest cost stays O(batch) no matter how large the store grows.
+    Broadcast is disabled because at scale the store side can never
+    broadcast — this pins the at-scale (sort-merge) plan."""
+    from mysql2clickhouse_spark.functions.text import gram_rows, tokenized_docs
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    idx = SubstringIndex(spark, str(tmp_path / "ssidx"), k=4, n_buckets=8)
+    idx.add_batch(
+        spark.createDataFrame(
+            [(1, "w1 w2 w3 w4 w5 w6"), (2, "x1 x2 x3 x4 x5")],
+            "doc_id bigint, text string",
+        )
+    )
+    batch2 = spark.createDataFrame(
+        [(5, "x1 x2 x3 x4 x5"), (7, "z1 z2 z3 z4 z5")],
+        "doc_id bigint, text string",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        grams = gram_rows(tokenized_docs(batch2), 4)
+        plan = plan_of(spark, grams.join(idx._stored_grams(), "gram", "left"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # the store scan carries its bucket layout into the join...
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # ...so exactly ONE exchange node exists in the whole join — the
+    # batch side being hashed into the store's bucket space (formatted
+    # explain names each node twice: once in the tree, once in the
+    # detail section — same accounting as the consistency-check pin)
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(gram" in plan
