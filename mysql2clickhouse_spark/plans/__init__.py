@@ -75,7 +75,11 @@ CORE_QUERY_KEYS = (
     # --- dedup family ---
     "dedup_exact",
     "dedup_cert_suite",          # suite: minhash/simhash/semdedup twins
-    "dedup_incremental",
+    "dedup_incr_suite",          # suite: MinHash index lifecycle +
+                                 # ExactSubstr full report + gram-store
+                                 # incremental cert (rotation r9:
+                                 # replaced bare dedup_incremental so
+                                 # the substring family is driver-visible)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_cc",

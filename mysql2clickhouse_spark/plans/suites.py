@@ -18,6 +18,16 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
 - ``cdc_insupd_suite``   = cdc_apply_ins_upd (P5/P6) + cdc_latest_state (Q1)
 - ``dedup_cert_suite``   = dedup_minhash_lsh_recall + dedup_simhash_locality
                            + dedup_simhash_pairs_exact + semdedup_recall
+- ``dedup_incr_suite``   = dedup_incremental (MinHash index lifecycle)
+                           + corpus_substring_dedup (full ExactSubstr
+                           report, every row value-hashed)
+                           + dedup_substring_incremental (gram-store
+                           batched == one-shot + replay no-op)
+  (rotation note, round 9: REPLACED the bare ``dedup_incremental``
+  registry slot so the round-8 exact-substring family is visible to
+  the ~50-row driver hard signal; the cert rows pack their scalars
+  into the report's columns — doc_id=count, n_tokens=mismatches/flag,
+  n_removed=flag — documented on the suite function)
 - ``ann_recall_suite``   = ann_{lsh,ivf,pq,ivfpq}_recall
                            + ann_knn_graph_recall + ann_ivf_partitioned_equiv
                            + ann_ivf_incremental (round 6: persisted
@@ -66,6 +76,7 @@ from .cdc import (
     cdc_latest_state,
 )
 from .corpus import q4_retention_probe, q5_retention_count
+from .curation import corpus_substring_dedup, dedup_substring_incremental
 from .extensions import (
     ann_ivf_partitioned_equiv,
     ann_ivf_recall,
@@ -73,6 +84,7 @@ from .extensions import (
     ann_knn_graph_recall,
     ann_lsh_recall,
     ann_pq_recall,
+    dedup_incremental,
     dedup_minhash_lsh_recall,
     dedup_simhash_locality,
     dedup_simhash_pairs_exact,
@@ -465,8 +477,50 @@ def corpus_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack.unionByName(shuf).unionByName(gate).unionByName(enc)
 
 
+def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup family (maintained stores, not per-run
+    recomputes) + the exact-substring one-shot it certifies against,
+    as one tagged row set on the report schema
+    (step, doc_id, n_tokens, n_removed, kept_hash):
+
+    - ``substr_report``  — the FULL ExactSubstr removal report (one row
+      per doc, every value hashed by the driver);
+    - ``substr_incr``    — the gram-store certification scalars packed
+      as doc_id=n_docs, n_tokens=n_mismatch, n_removed=replay_noop;
+    - ``minhash_incr``   — the MinHash index certification scalars
+      packed as doc_id=n_planted, n_tokens=recall_ok,
+      n_removed=incremental_equals_full.
+    """
+    mh = dedup_incremental(spark, sf_dir).select(
+        F.lit("minhash_incr").alias("step"),
+        F.col("n_planted").cast("bigint").alias("doc_id"),
+        F.when(F.col("recall_ok"), 1).otherwise(0).cast("bigint").alias("n_tokens"),
+        F.when(F.col("incremental_equals_full"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_removed"),
+        F.lit("").alias("kept_hash"),
+    )
+    one = corpus_substring_dedup(spark, sf_dir).select(
+        F.lit("substr_report").alias("step"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        "kept_hash",
+    )
+    inc = dedup_substring_incremental(spark, sf_dir).select(
+        F.lit("substr_incr").alias("step"),
+        F.col("n_docs").cast("bigint").alias("doc_id"),
+        F.col("n_mismatch").cast("bigint").alias("n_tokens"),
+        F.when(F.col("replay_noop"), 1).otherwise(0).cast("bigint").alias("n_removed"),
+        F.lit("").alias("kept_hash"),
+    )
+    return mh.unionByName(one).unionByName(inc)
+
+
 QUERIES = {
     "q45_retention": q45_retention,
+    "dedup_incr_suite": dedup_incr_suite,
     "stream_suite": stream_suite,
     "corpus_prep_suite": corpus_prep_suite,
     "cdc_apply_suite": cdc_apply_suite,
@@ -488,6 +542,25 @@ FROM ({corpus.ORACLE["q4_retention_probe"]}) __q4
 UNION ALL
 SELECT 'q5_count' AS step, CAST(del_count AS BIGINT) AS value
 FROM ({corpus.ORACLE["q5_retention_count"]}) __q5
+""",
+    "dedup_incr_suite": f"""
+SELECT 'minhash_incr' AS step, CAST(n_planted AS BIGINT) AS doc_id,
+       CAST(CASE WHEN recall_ok THEN 1 ELSE 0 END AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN incremental_equals_full THEN 1 ELSE 0 END AS BIGINT)
+         AS n_removed,
+       '' AS kept_hash
+FROM ({extensions.ORACLE["dedup_incremental"]}) __mi
+UNION ALL
+SELECT 'substr_report' AS step, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_removed, kept_hash
+FROM ({curation.ORACLE["corpus_substring_dedup"]}) __so
+UNION ALL
+SELECT 'substr_incr' AS step, CAST(n_docs AS BIGINT) AS doc_id,
+       CAST(n_mismatch AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN replay_noop THEN 1 ELSE 0 END AS BIGINT) AS n_removed,
+       '' AS kept_hash
+FROM ({curation.ORACLE["dedup_substring_incremental"]}) __si
 """,
     "cdc_apply_suite": f"""
 SELECT 'append' AS mode, key, seq, file_seq, ts, value, event_type
