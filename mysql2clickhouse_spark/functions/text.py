@@ -209,6 +209,85 @@ def substring_dedup(
     return removal_report(toks, dup_starts, k, id_col)
 
 
+def substring_dedup_two_level(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``substring_dedup`` with a HASH-PREFILTERED exact pass — the
+    wire-width experiment the r8 verdict asked to measure (finding #3):
+    the baseline ships every k-gram occurrence as its token STRING
+    (~6× the corpus text at k=10) across two corpus×token exchanges;
+    here the full-corpus exchanges carry only ``xxhash64(gram)`` (8 B)
+    plus (id, s), and gram strings cross the wire only for the
+    occurrences whose hash bucket holds >1 occurrence — the duplicated
+    minority plus hash-collision accidentals.
+
+    Bit-exact by construction (same contract as the baseline): a
+    duplicated gram always has hash-count ≥ 2, so ALL its occurrences
+    reach the exact string-keyed pass, whose first-occurrence rule is
+    then identical to the baseline's; a hash collision only ADDS a
+    unique gram to the exact pass, where its single string occurrence
+    can never be marked duplicated. Survivor strings are re-derived
+    DOC-LOCALLY (flagged docs' token arrays ship once on id, grams
+    regenerate map-side from the shared tokenizer) rather than joined
+    back per-occurrence — corpus text crosses that exchange 1×, not
+    the 6× gram blow-up. Exchanges: (1) gh groupBy (8 B keys,
+    map-side combined), (2) occurrences⋈multi on gh (24 B rows),
+    (3) flagged toks on id (corpus ≤1×), (4+5) the exact pass on the
+    minority, (6) the shared removal/reassembly id exchange.
+
+    Same output, same oracle as ``substring_dedup`` (registered as the
+    extended-registry twin ``corpus_substring_dedup_two_level``);
+    ``scripts/scale_check_r9.py`` measures wall + shuffle bytes of
+    both forms and BENCH_NOTES_r09 records which one ships."""
+    from ..session import release_cache, rotate_cache
+
+    release_cache("text.substring_dedup_two_level")
+    toks = tokenized_docs(df, id_col, text_col).persist()
+    toks.count()
+    rotate_cache("text.substring_dedup_two_level", toks)
+    grams = gram_rows(toks, k, id_col)
+    occ_h = grams.select(id_col, "s", F.xxhash64("gram").alias("gh"))
+    multi = (
+        occ_h.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("gh")
+    )
+    surv_pos = (
+        occ_h.join(multi, "gh")
+        .groupBy(id_col)
+        # doc-bounded grouped collect (the lint-legal pattern): the
+        # flagged start positions of ONE document
+        .agg(F.collect_set("s").alias("ss"))
+    )
+    surv_grams = (
+        toks.join(surv_pos, id_col)
+        .select(
+            id_col,
+            "ss",
+            F.posexplode(token_ngrams_col(F.col("toks"), k)).alias("s0", "gram"),
+        )
+        .select(id_col, (F.col("s0") + 1).alias("s"), "gram", "ss")
+        .filter(F.array_contains("ss", F.col("s")))
+        .drop("ss")
+    )
+    first = surv_grams.groupBy("gram").agg(
+        F.min(F.struct(id_col, "s")).alias("first_occ")
+    )
+    dup_starts = (
+        surv_grams.join(first, "gram")
+        .filter(
+            (F.col(id_col) != F.col(f"first_occ.{id_col}"))
+            | (F.col("s") != F.col("first_occ.s"))
+        )
+        .select(id_col, "s")
+    )
+    return removal_report(toks, dup_starts, k, id_col)
+
+
 def tokenized_docs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -154,24 +154,36 @@ class SubstringIndex:
         marker = os.path.join(staging, _INGEST_MARKER)
         if self.fs.exists(marker):
             try:
-                json.loads(self.fs.read_text(marker))
+                meta = json.loads(self.fs.read_text(marker))
             except ValueError:
                 self.fs.rmtree(staging)  # torn ⇒ pre-commit debris
                 return 0
-            self._roll_forward()
+            self._roll_forward(replace=bool(meta.get("replace")))
             return 1
         self.fs.rmtree(staging)
         return 0
 
-    def _roll_forward(self) -> None:
-        """Promote a COMMITTED staging dir into the live store: pure
-        file renames (idempotent — a re-run moves whatever remains),
-        then clear staging. No Spark job runs here, so a crash at any
-        rename resumes exactly where it stopped."""
+    def _roll_forward(self, replace: bool = False) -> None:
+        """Promote a COMMITTED staging dir into the live store, then
+        clear staging. No Spark job runs here, so a crash at any step
+        resumes exactly where it stopped.
+
+        - append mode (ingest): per-FILE renames into the live dirs —
+          idempotent, a re-run moves whatever remains;
+        - replace mode (compaction): whole-DIR delete+rename swap — a
+          staged dir still present means the swap hasn't happened (the
+          marker lives in the staging ROOT, not inside the payload
+          dirs), so a re-run after a crash between the delete and the
+          rename just swaps again."""
         staging = self.staging_path
         for sub, dst in (("firsts", self.firsts_path), ("docs", self.docs_path)):
             src = os.path.join(staging, sub)
             if not self.fs.is_dir(src):
+                continue
+            if replace:
+                if self.fs.exists(dst):
+                    self.fs.rmtree(dst)
+                self.fs.rename(src, dst)
                 continue
             names = [n for n in self.fs.listdir(src) if n.endswith(".parquet")]
             if names:
@@ -312,6 +324,64 @@ class SubstringIndex:
             os.path.join(staging, _INGEST_MARKER), '{"committed": true}'
         )
         self._roll_forward()
+        return report
+
+    def compact(self) -> dict:
+        """Rewrite the firsts store to ONE file per bucket — every
+        ``add_batch`` appends up to ``n_buckets`` files, so after N
+        batches each bucket's scan opens O(N) files AND loses its
+        sort-merge sortedness (Spark trusts per-bucket sort order only
+        with a single file per bucket); at ingest cadence that is the
+        same small-files decay ``MinHashIndex.compact`` handles. The
+        rewrite preserves the bucket layout (same bucketed staging
+        write as ingest) and commits through the ingest journal: the
+        staged full rewrite replaces the live dir on roll-forward
+        instead of appending to it, selected by a ``replace`` field in
+        the commit marker. The docs ledger compacts in the same pass
+        (sized from its row count). Single-writer discipline is the
+        caller's lock, as with ``add_batch``."""
+        import math
+
+        self.recover()
+        report: dict = {}
+        if not self._has_files(self.firsts_path):
+            return report
+        staging = self.staging_path
+        stage_tbl = self._table + "__stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+        firsts = self.spark.read.parquet(self.firsts_path)
+        files_before = len(
+            [n for n in self.fs.listdir(self.firsts_path) if n.endswith(".parquet")]
+        )
+        (
+            firsts.repartition(self.n_buckets, F.col("gram"))
+            .write.bucketBy(self.n_buckets, "gram")
+            .sortBy("gram")
+            .option("path", os.path.join(staging, "firsts"))
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        self.spark.sql(f"DROP TABLE `{stage_tbl}`")
+        docs = self.spark.read.parquet(self.docs_path)
+        nfiles = max(1, math.ceil(docs.count() / 2_000_000))
+        docs.repartition(nfiles).write.mode("overwrite").parquet(
+            os.path.join(staging, "docs")
+        )
+        self.fs.write_text_atomic(
+            os.path.join(staging, _INGEST_MARKER),
+            '{"committed": true, "replace": true}',
+        )
+        self._roll_forward(replace=True)
+        report["firsts"] = {
+            "files_before": files_before,
+            "files_after": len(
+                [
+                    n
+                    for n in self.fs.listdir(self.firsts_path)
+                    if n.endswith(".parquet")
+                ]
+            ),
+        }
         return report
 
     def n_grams(self) -> int:

@@ -319,6 +319,19 @@ def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(_cc_corpus(spark, sf_dir), SUBSTR_K)
 
 
+def corpus_substring_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-variant twin of ``corpus_substring_dedup``: the two-level
+    hash-prefiltered exact pass (``substring_dedup_two_level`` — full
+    corpus exchanges carry 8-byte gram hashes, strings cross the wire
+    only for multi-occurrence hash buckets). Same semantics, same
+    oracle; extended-registry only (plan variants never take a curated
+    slot). ``scripts/scale_check_r9.py`` measures both forms'
+    wall + shuffle bytes for the ship/record decision."""
+    from ..functions.text import substring_dedup_two_level
+
+    return substring_dedup_two_level(_cc_corpus(spark, sf_dir), SUBSTR_K)
+
+
 def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-substring dedup certification
     (``operators/substring_index.py``): the CC corpus arrives as THREE
@@ -948,6 +961,7 @@ QUERIES = {
     "corpus_export_tar": corpus_export_tar,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_substring_dedup": corpus_substring_dedup,
+    "corpus_substring_dedup_two_level": corpus_substring_dedup_two_level,
     "dedup_substring_incremental": dedup_substring_incremental,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -1356,3 +1370,7 @@ SELECT lang, count(*) AS n_total,
 FROM documents GROUP BY lang
 """,
 }
+
+# the two-level hash-prefiltered plan variant computes the IDENTICAL
+# report — it shares the baseline's oracle verbatim
+ORACLE["corpus_substring_dedup_two_level"] = ORACLE["corpus_substring_dedup"]

@@ -94,3 +94,27 @@ def test_intra_doc_repetition_is_also_cut(spark):
     n_tokens, n_removed, kept = out[1]
     assert (n_tokens, n_removed) == (8, 4)
     assert kept == _md5("w1 w2 w3 w4")
+
+
+def test_two_level_variant_is_row_identical(spark):
+    """The hash-prefiltered exact pass must compute the IDENTICAL
+    report — including the collision-shaped paths (unique grams that
+    share a hash bucket can reach the exact pass but must never be
+    marked duplicated; here every planted duplicate must still be)."""
+    from mysql2clickhouse_spark.functions.text import (
+        substring_dedup,
+        substring_dedup_two_level,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "x a b c d y z"),          # interior span of doc 1
+        (3, "a b c d e f g"),          # exact copy of doc 1
+        (4, None),                      # degenerate
+        (5, "p q r s t u v"),          # fully unique: pure n==1 path
+        (6, "a b c d a b c d e"),      # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = sorted(tuple(r) for r in substring_dedup(df, 4).collect())
+    two = sorted(tuple(r) for r in substring_dedup_two_level(df, 4).collect())
+    assert two == base

@@ -69,3 +69,55 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
     # the store still judges later batches correctly after the replay
     r2 = idx.add_batch(_mk(spark, B2))
     assert {r["doc_id"]: r["n_removed"] for r in r2.collect()}[5] == 5
+
+
+def test_compact_bounds_files_and_preserves_store(spark, tmp_path):
+    """Per-ingest appends decay into small files; compact must rewrite
+    to one file per bucket, preserve every stored gram, and leave the
+    bucketed membership join (and later judging) intact."""
+    import os
+
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K, n_buckets=4)
+    idx.add_batch(_mk(spark, B1))
+    idx.add_batch(_mk(spark, B2))
+    n = idx.n_grams()
+    rep = idx.compact()
+    assert rep["firsts"]["files_after"] <= 4
+    assert rep["firsts"]["files_after"] <= rep["firsts"]["files_before"]
+    assert idx.n_grams() == n
+    assert not os.path.isdir(idx.staging_path)
+    # the compacted store still judges a later batch correctly: doc 9
+    # is a whole-doc copy of batch 1's doc 2
+    r = idx.add_batch(_mk(spark, [(9, "x1 x2 x3 x4 x5")]))
+    assert {x["doc_id"]: x["n_removed"] for x in r.collect()}[9] == 5
+
+
+def test_interrupted_compact_swap_rolls_forward(spark, tmp_path):
+    """Crash between the compaction marker and the dir swaps: the next
+    entry must converge the swap (whole-dir replace, not append), with
+    no gram lost or duplicated."""
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K, n_buckets=4)
+    idx.add_batch(_mk(spark, B1))
+    idx.add_batch(_mk(spark, B2))
+    n = idx.n_grams()
+
+    class _FailSwap(LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            if src.endswith("firsts") or src.endswith("docs"):
+                raise OSError("injected crash mid compaction swap")
+            super().rename(src, dst)
+
+    idx.fs = _FailSwap()
+    try:
+        idx.compact()
+        raise AssertionError("compact should have crashed")
+    except OSError:
+        pass
+
+    idx2 = SubstringIndex(spark, str(tmp_path / "idx"), k=K, n_buckets=4)
+    assert idx2.recover() == 1
+    assert idx2.n_grams() == n
+    r = idx2.add_batch(_mk(spark, [(9, "x1 x2 x3 x4 x5")]))
+    assert {x["doc_id"]: x["n_removed"] for x in r.collect()}[9] == 5
