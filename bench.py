@@ -151,7 +151,9 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
     is not asserted here — the ``dedup_incremental`` oracle row
     certifies store-backed == one-shot pair-for-pair."""
     from mysql2clickhouse_spark.functions.minhash import (
+        DEFAULT_ESTIMATE_MARGIN,
         DEFAULT_NUM_PERM,
+        DEFAULT_THRESHOLD,
         estimated_jaccard_col,
         jaccard_col,
         lsh_candidate_pairs,
@@ -163,7 +165,7 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
     # same operating point as the headline dedup_minhash_lsh — shared
     # constants, not copies, so a pipeline retune can't silently leave
     # this row measuring the old shape
-    threshold, margin = 0.7, 0.15
+    threshold, margin = DEFAULT_THRESHOLD, DEFAULT_ESTIMATE_MARGIN
 
     spark.catalog.clearCache()
     corpus = _docs_with_mutants(spark, sf_dir)

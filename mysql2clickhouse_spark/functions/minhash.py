@@ -165,6 +165,14 @@ DEFAULT_NUM_PERM = 48
 DEFAULT_BANDS = 6
 DEFAULT_ROWS = 8
 
+#: the pipeline's operating point: exact-Jaccard keep threshold and the
+#: signature-estimate prefilter margin. Single source of truth — the
+#: incremental index (operators/neardup_index.py) and the recurring-path
+#: bench row (bench.py indexed_dedup_bench) import THESE, so a retune
+#: here moves every consumer together.
+DEFAULT_THRESHOLD = 0.7
+DEFAULT_ESTIMATE_MARGIN = 0.15
+
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) permutation params via a small LCG (no
@@ -466,12 +474,12 @@ def jaccard_col(sh_a: Column, sh_b: Column) -> Column:
 def verified_near_dups(
     shingled: DataFrame,
     id_col: str = "doc_id",
-    threshold: float = 0.7,
+    threshold: float = DEFAULT_THRESHOLD,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
     seed: int = 42,
-    estimate_margin: float = 0.15,
+    estimate_margin: float = DEFAULT_ESTIMATE_MARGIN,
     text_col: str = "text",
     k: int = 5,
 ) -> DataFrame:

@@ -230,8 +230,23 @@ class IVFIndex:
     def add_batch(self, batch: DataFrame) -> int:
         """Assign the batch against the FROZEN centroids (one Arrow
         GEMM, nprobe=1) and append to the partitioned lists store.
-        Returns rows added.  O(batch): stored rows are never read."""
+        Returns rows added (replayed ids excluded).
+
+        Idempotent under at-least-once redelivery — the contract the
+        ``foreachBatch`` streaming twin relies on (a retried
+        micro-batch must not double-append its vectors): ids already in
+        the store (and duplicate deliveries inside the batch) are
+        anti-joined away up front, exactly the MinHash index's ledger
+        discipline. The membership probe is a column-pruned scan of the
+        lists store's id column only (never the float pages); the
+        assignment GEMM and the append stay O(batch)."""
         self.recover()
+        batch = batch.dropDuplicates([self.id_col])
+        if self.fs.is_dir(self.lists_path):
+            stored_ids = self.spark.read.parquet(self.lists_path).select(
+                F.col("cid").alias(self.id_col)
+            )
+            batch = batch.join(stored_ids, self.id_col, "left_anti")
         C = self._centroids()
         from pyspark.sql import Observation
 

@@ -55,8 +55,10 @@ from pyspark.sql import functions as F
 from ..fs import fs_for
 from ..functions.minhash import (
     DEFAULT_BANDS,
+    DEFAULT_ESTIMATE_MARGIN,
     DEFAULT_NUM_PERM,
     DEFAULT_ROWS,
+    DEFAULT_THRESHOLD,
     estimated_jaccard_col,
     jaccard_col,
     minhash_signatures_arrow,
@@ -82,8 +84,8 @@ class MinHashIndex:
         bands: int = DEFAULT_BANDS,
         rows: int = DEFAULT_ROWS,
         seed: int = 42,
-        threshold: float = 0.7,
-        estimate_margin: float = 0.15,
+        threshold: float = DEFAULT_THRESHOLD,
+        estimate_margin: float = DEFAULT_ESTIMATE_MARGIN,
         id_col: str = "doc_id",
         text_col: str = "text",
         k: int = 5,

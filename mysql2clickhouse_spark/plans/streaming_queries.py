@@ -379,7 +379,11 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     REOPENS the store from its manifest (no geometry args — the
     production shape: the ingest job knows only the path) and runs
     ``add_batch`` — one Arrow GEMM + partitioned append per micro-batch,
-    O(batch), stored rows never read.
+    O(batch). ``foreachBatch`` is at-least-once, so ``add_batch``
+    anti-joins the batch against the store's id column (a column-pruned
+    scan — never the float pages) before appending: a retried
+    micro-batch appends nothing twice (pinned in ``test_ann_index.py``),
+    the same ledger discipline as the MinHash streaming twin.
 
     Certification row: ``n_indexed`` (every corpus vector arrived —
     DuckDB recounts from the embeddings table), ``n_rows``,

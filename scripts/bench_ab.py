@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Interleaved A/B bench: CURRENT tree vs the r5-floor ref (79d3d22),
-both variants in ONE SparkSession, samples alternated per query so box
-load drift cancels out of the per-query ratio.
+"""Interleaved A/B bench: CURRENT tree vs the pinned floor ref
+(REF_COMMIT below — since round 9 the r8 tree a228d70, the best code
+measured on this box; rounds 6-8 used the r5 floor 79d3d22), both
+variants in ONE SparkSession, samples alternated per query so box load
+drift cancels out of the per-query ratio.
 
 Motivation (VERDICT r6/r7): the official bench regressed three rounds
 in a row (16.20 -> 20.29 -> 23.68 s) on paths git proves untouched;
 the working theory was builder-box load, but attribution without
 demonstration is not evidence. This harness is the demonstration: the
-r5-floor tree's package is checked out under ``.ab/m2c_r5ref`` (a
-``git worktree`` of 79d3d22 with the package renamed so both import
+floor tree's package is checked out under ``.ab/m2c_<REF_TAG>ref`` (a
+``git worktree`` of REF_COMMIT with the package renamed so both import
 side-by-side), and every headline query runs interleaved
 cur,ref,cur,ref,... in the same JVM. Whatever the box is doing, it is
 doing it to BOTH variants within the same few seconds — the ratio
@@ -19,13 +21,13 @@ headline set.
 
 Run:  PYTHONPATH=/root/repo:/root/repo/.ab python scripts/bench_ab.py
 Prep: python scripts/bench_ab.py --prep   (idempotent; equivalent to:)
-      git worktree add .ab/r5tree 79d3d22
-      cp -r .ab/r5tree/mysql2clickhouse_spark .ab/m2c_r5ref
-      find .ab/m2c_r5ref -name '*.py' \
-          -exec sed -i 's/mysql2clickhouse_spark/m2c_r5ref/g' {} +
+      git worktree add .ab/<REF_TAG>tree <REF_COMMIT>
+      cp -r .ab/<REF_TAG>tree/mysql2clickhouse_spark .ab/m2c_<REF_TAG>ref
+      find .ab/m2c_<REF_TAG>ref -name '*.py' \
+          -exec sed -i 's/mysql2clickhouse_spark/m2c_<REF_TAG>ref/g' {} +
 
 Prints ONE JSON line:
-  {"metric": "ab_ratio_cur_over_r5", "queries": {name: {"cur": min,
+  {"metric": "ab_ratio_cur_over_ref", "queries": {name: {"cur": min,
    "ref": min, "ratio": r, "cur_samples": [...], "ref_samples":
    [...]}}, "total_cur": s, "total_ref": s, "total_ratio": r}
 """
@@ -38,19 +40,24 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_COMMIT = "79d3d22"
+#: the pinned floor: re-pin to the best-measured tree when the current
+#: tree beats the old floor (r9 note — the r8 A/B closed at total 0.979
+#: vs r5, so r8 replaced r5 as the floor per the r8 verdict task 5)
+REF_COMMIT = "a228d70"
+REF_TAG = "r8"
+REF_PKG = f"m2c_{REF_TAG}ref"
 
 
 def prep() -> None:
-    """Idempotently materialize the r5-floor tree as the renamed
-    side-by-side package ``.ab/m2c_r5ref`` (safe to re-run; a stale
-    half-copy is rebuilt)."""
+    """Idempotently materialize the pinned floor tree as the renamed
+    side-by-side package ``.ab/m2c_<REF_TAG>ref`` (safe to re-run; a
+    stale half-copy is rebuilt)."""
     import shutil
     import subprocess
 
     ab = os.path.join(REPO, ".ab")
-    tree = os.path.join(ab, "r5tree")
-    pkg = os.path.join(ab, "m2c_r5ref")
+    tree = os.path.join(ab, f"{REF_TAG}tree")
+    pkg = os.path.join(ab, REF_PKG)
     if not os.path.isdir(tree):
         subprocess.run(
             ["git", "worktree", "add", tree, REF_COMMIT],
@@ -68,7 +75,7 @@ def prep() -> None:
             with open(path, encoding="utf-8") as f:
                 src = f.read()
             with open(path, "w", encoding="utf-8") as f:
-                f.write(src.replace("mysql2clickhouse_spark", "m2c_r5ref"))
+                f.write(src.replace("mysql2clickhouse_spark", REF_PKG))
     print(f"prepared {pkg} from {REF_COMMIT}", file=sys.stderr)
 
 
@@ -84,7 +91,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from mysql2clickhouse_spark.plans import all_queries_extended  # noqa: E402
 from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
-from m2c_r5ref.plans import all_queries_extended as r5_queries  # noqa: E402
+import importlib  # noqa: E402
+
+r5_queries = importlib.import_module(f"{REF_PKG}.plans").all_queries_extended
 
 from bench import HEADLINE  # noqa: E402  (repo-root bench.py)
 
@@ -153,13 +162,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ab_ratio_cur_over_r5",
+                "metric": "ab_ratio_cur_over_ref",
                 "queries": out,
                 "total_cur": total_cur,
                 "total_ref": total_ref,
                 "total_ratio": round(total_cur / total_ref, 3),
                 "repeats": repeats,
-                "ref_commit": "79d3d22",
+                "ref_commit": REF_COMMIT,
             }
         )
     )

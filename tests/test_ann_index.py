@@ -232,3 +232,22 @@ def test_search_only_invocation_rolls_swap_forward(spark, corpus, tmp_path):
     got = sorted(map(tuple, fresh.search(q, k=3, nprobe=2).collect()))
     assert got == want
     assert not os.path.exists(staging)
+
+
+def test_replayed_add_batch_is_a_noop(spark, corpus, tmp_path):
+    """foreachBatch redelivery safety (the streaming twin's contract):
+    a retried micro-batch must not double-append its vectors — ids
+    already in the lists store anti-join away, so the replay returns 0
+    and the store contents (and search answers) are unchanged."""
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus.filter("vec_id < 30"))
+    b = corpus.filter("vec_id >= 30")
+    assert idx.add_batch(b) == 30
+    n = spark.read.parquet(idx.lists_path).count()
+    assert idx.add_batch(b) == 0  # replay: nothing appended...
+    assert spark.read.parquet(idx.lists_path).count() == n  # ...on disk either
+    # a half-overlapping delivery appends only the genuinely new rows
+    nb = corpus.filter("vec_id >= 50").select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    assert idx.add_batch(b.unionByName(nb)) == 10
