@@ -1,0 +1,254 @@
+"""Incremental BM25 search index — lexical retrieval as a MAINTAINED
+inverted index, not a per-query corpus scan.
+
+``plans.quality.text_bm25_topk`` re-tokenizes the whole corpus every
+query — right for a one-shot ranking audit, O(corpus) work per query
+for the retrieval jobs an LLM-data pipeline actually runs (decontam
+probes, boilerplate hunting, eval-set leakage search: many queries,
+slowly-growing corpus). This operator persists the two tables BM25
+needs, maintained by the same journaled staged-commit protocol as the
+substring gram store (``operators/journal.py``):
+
+- ``postings/`` — (token, doc_id, tf): the inverted index, written
+  BUCKETED on ``token`` (a Spark bucketed catalog table over this
+  location), so a query's term lookup is BUCKET-PRUNED — the scan
+  opens only the |query-terms| buckets that can hold those tokens
+  (``SelectedBucketsCount`` plan-pinned) and the per-term df
+  aggregation inherits the store's partitioning with NO exchange above
+  the store scan;
+- ``doclens/`` — (doc_id, dl): per-doc token counts (dl=0 rows kept —
+  the table doubles as the ingest ledger, so a replayed batch is
+  dropped up front).
+
+BM25's global statistics (N, avgdl, per-term df) are computed AT QUERY
+TIME from the store, never frozen at ingest — so after any sequence of
+``add_batch`` calls, ``search`` answers IDENTICALLY to the one-shot
+``text_bm25_topk`` over the same corpus (scores depend only on store
+CONTENTS, which are batch-schedule-invariant). That equivalence is the
+certification: the ``text_bm25_indexed`` registry row shares the
+one-shot's DuckDB oracle verbatim, and ``tests/test_bm25_index.py``
+pins batch-split invariance, replay no-ops, and crash convergence.
+
+Scale: ingest is O(batch) — tokenize the batch once, two staged
+writes, commit. A query reads |terms| buckets of postings plus the
+doclens table (ids + one int per doc; bucket doclens on doc_id too if
+the postings⋈doclens join ever dominates — at 100 TB the postings
+side of that join is query-term-bounded, so doclens is the larger
+side and ships once). Ranking math, tie-breaks, and the windowless
+top-k rank are the one-shot's, kept identical so the two paths cannot
+drift numerically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fs import fs_for
+from ..functions.text import tokens_col
+from .journal import StagedCommit
+
+_META = "_STORE_META"
+
+
+class BM25Index:
+    """A persisted bucketed inverted index with query-time BM25
+    scoring."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k1: float = 1.2,
+        b: float = 0.75,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.path = path
+        self.k1, self.b = k1, b
+        self.id_col, self.text_col = id_col, text_col
+        self.n_buckets = n_buckets
+        self.fs = fs_for(spark, path)
+        meta_path = os.path.join(path, _META)
+        if self.fs.exists(meta_path):
+            meta = json.loads(self.fs.read_text(meta_path))
+            self.n_buckets = int(meta["n_buckets"])
+        self._table = "m2c_bm25_" + hashlib.md5(
+            os.path.abspath(path).encode()
+        ).hexdigest()[:12]
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @property
+    def doclens_path(self) -> str:
+        return os.path.join(self.path, "doclens")
+
+    @property
+    def staging_path(self) -> str:
+        return os.path.join(self.path, "__ingest_staging")
+
+    def _has_files(self, d: str) -> bool:
+        return self.fs.is_dir(d) and any(
+            n.endswith(".parquet") for n in self.fs.listdir(d)
+        )
+
+    def _journal(self) -> StagedCommit:
+        return StagedCommit(
+            self.spark,
+            self.fs,
+            self.staging_path,
+            (("postings", self.postings_path), ("doclens", self.doclens_path)),
+            refresh_table=self._table,
+        )
+
+    def recover(self) -> int:
+        return self._journal().recover()
+
+    def _ensure_table(self) -> str:
+        """Register the bucketed catalog table over ``postings/`` —
+        pure metadata, bucket ids live in the file names (same
+        mechanics as the substring gram store)."""
+        if not self.spark.catalog.tableExists(self._table):
+            schema = self.spark.read.parquet(self.postings_path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+            )
+            self.spark.sql(
+                f"CREATE TABLE `{self._table}` ({cols}) USING PARQUET "
+                f"CLUSTERED BY (token) SORTED BY (token) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{self.postings_path}'"
+            )
+        return self._table
+
+    def add_batch(self, batch: DataFrame) -> int:
+        """Index one batch; returns the number of documents indexed
+        (replayed ids excluded). Idempotent under at-least-once
+        redelivery: ids already in the doclens ledger (and duplicate
+        deliveries inside the batch) are dropped up front, and the
+        postings/doclens appends commit together through the journal —
+        a crash at any point leaves the store either untouched or
+        fully committed, never split."""
+        self.recover()
+        batch = batch.dropDuplicates([self.id_col])
+        if self._has_files(self.doclens_path):
+            seen = self.spark.read.parquet(self.doclens_path).select(self.id_col)
+            batch = batch.join(seen, self.id_col, "left_anti")
+
+        toks = batch.select(
+            self.id_col,
+            tokens_col(F.coalesce(F.col(self.text_col), F.lit(""))).alias("toks"),
+        ).localCheckpoint()  # sever from the ledger before it mutates
+        n_docs = toks.count()
+        if n_docs == 0:
+            return 0
+        dl = toks.select(
+            self.id_col, F.size("toks").cast("bigint").alias("dl")
+        )
+        tf = (
+            toks.select(self.id_col, F.explode("toks").alias("token"))
+            .groupBy("token", self.id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+        staging = self.staging_path  # recover() left no staging behind
+        stage_tbl = self._table + "__stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+        (
+            tf.repartition(self.n_buckets, F.col("token"))
+            .write.bucketBy(self.n_buckets, "token")
+            .sortBy("token")
+            .option("path", os.path.join(staging, "postings"))
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        self.spark.sql(f"DROP TABLE `{stage_tbl}`")  # external: files stay
+        dl.write.mode("overwrite").parquet(os.path.join(staging, "doclens"))
+        self.fs.write_text_atomic(
+            os.path.join(self.path, _META),
+            json.dumps({"n_buckets": self.n_buckets}),
+        )
+        self._journal().commit()
+        return n_docs
+
+    def search(self, terms, k: int = 20) -> DataFrame:
+        """BM25 top-k for ``terms`` against the store: bucket-pruned
+        postings lookup, query-time df/N/avgdl, the one-shot's exact
+        formula, rounding, tie-breaks (rounded score desc, id asc) and
+        windowless broadcast-self-join rank. Output:
+        (doc_id, n_terms_hit, score, rk) — schema-identical to
+        ``text_bm25_topk``."""
+        self.recover()
+        terms = list(terms)
+        dl_all = self.spark.read.parquet(self.doclens_path)
+        # one-shot stats semantics: only docs with >= 1 token count
+        # toward N and avgdl (its dl table comes from exploded tokens)
+        dl = dl_all.filter(F.col("dl") > 0)
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        tf = self.spark.table(self._ensure_table()).filter(
+            F.col("token").isin(terms)
+        )
+        df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        scored = (
+            tf.join(F.broadcast(df_t), "token")
+            .join(dl, self.id_col)
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "term_score",
+                idf
+                * (F.col("tf") * (self.k1 + 1))
+                / (
+                    F.col("tf")
+                    + self.k1
+                    * (1 - self.b + self.b * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+            .groupBy(self.id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_terms_hit"),
+                F.round(F.sum("term_score"), 4).alias("score"),
+            )
+        )
+        from ..session import release_cache, rotate_cache
+
+        release_cache("bm25_index.search")
+        top = (
+            scored.orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+            .limit(k)
+            .persist()
+        )
+        rotate_cache("bm25_index.search", top)
+        before = (F.col("b.score") > F.col("a.score")) | (
+            (F.col("b.score") == F.col("a.score"))
+            & (F.col(f"b.{self.id_col}") < F.col(f"a.{self.id_col}"))
+        )
+        return (
+            top.alias("a")
+            .join(F.broadcast(top.alias("b")), before, "left")
+            .groupBy(
+                F.col(f"a.{self.id_col}").alias(self.id_col),
+                F.col("a.n_terms_hit").alias("n_terms_hit"),
+                F.col("a.score").alias("score"),
+            )
+            .agg((F.count(F.col(f"b.{self.id_col}")) + 1).cast("int").alias("rk"))
+        )
+
+    def n_docs(self) -> int:
+        """Documents ever ingested (ledger size, empty docs included)."""
+        if not self._has_files(self.doclens_path):
+            return 0
+        return self.spark.read.parquet(self.doclens_path).count()

@@ -1,0 +1,109 @@
+"""Journaled staged-commit protocol for maintained stores.
+
+Every incremental store in this engine appends MORE THAN ONE derived
+table per ingest (SubstringIndex: firsts + docs ledger; BM25Index:
+postings + doclens ledger). Two separate appends have a crash window —
+data landed, ledger not — that silently corrupts at-least-once replay
+semantics (the r8 verdict's finding #2 on the substring store). This
+module is that fix, extracted once: stage every table of the ingest
+under one staging dir, commit with a single atomic marker, promote by
+pure renames, converge interrupted promotions at the next entry.
+
+States a crash can leave, and what ``recover()`` does with them:
+
+- staging WITHOUT a parsable marker — pre-commit debris: cleared, the
+  live store is untouched, a replayed batch re-judges cleanly;
+- staging WITH the marker — committed: promotion re-runs (renames are
+  idempotent — append mode moves whatever files remain; replace mode
+  swaps whole dirs, and a staged dir still present means that swap
+  has not happened yet, because the marker lives in the staging ROOT,
+  never inside a payload dir).
+
+Same commit-marker discipline as the neardup index's journaled
+compaction and the runner's journaled swaps (``_SWAP_COMMIT``); this
+class covers the two-mode (append / whole-dir replace) ingest shape.
+Single-writer per store is the caller's lock — the reference's
+single-instance rule (B5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+#: commit marker file name — a staging dir carrying a parsable marker
+#: is committed (roll forward); without one it is pre-commit debris
+INGEST_MARKER = "_INGEST_COMMIT"
+
+
+class StagedCommit:
+    """One store's staged-commit seam. Constructed per call with the
+    owner's CURRENT ``fs`` (crash tests inject failing filesystems by
+    swapping the owner's ``fs`` attribute after construction)."""
+
+    def __init__(self, spark, fs, staging_path: str, routes, refresh_table: str | None = None):
+        self.spark, self.fs = spark, fs
+        self.staging = staging_path
+        #: ((staging subdir name, live destination dir), ...)
+        self.routes = tuple(routes)
+        self.refresh_table = refresh_table
+
+    @property
+    def marker_path(self) -> str:
+        return os.path.join(self.staging, INGEST_MARKER)
+
+    def recover(self) -> int:
+        """Converge any interrupted prior commit; returns the number of
+        true roll-forwards (0 or 1). Control-plane listings only."""
+        if not self.fs.is_dir(self.staging):
+            return 0
+        if self.fs.exists(self.marker_path):
+            try:
+                meta = json.loads(self.fs.read_text(self.marker_path))
+            except ValueError:
+                self.fs.rmtree(self.staging)  # torn ⇒ pre-commit debris
+                return 0
+            self._roll_forward(replace=bool(meta.get("replace")))
+            return 1
+        self.fs.rmtree(self.staging)
+        return 0
+
+    def commit(self, replace: bool = False) -> None:
+        """COMMIT POINT: everything staged before this call is
+        reconstructible debris; everything after is pure idempotent
+        promotion."""
+        self.fs.write_text_atomic(
+            self.marker_path, json.dumps({"committed": True, "replace": replace})
+        )
+        self._roll_forward(replace=replace)
+
+    def _roll_forward(self, replace: bool = False) -> None:
+        """Promote a COMMITTED staging dir into the live store, then
+        clear staging. No Spark job runs here, so a crash at any step
+        resumes exactly where it stopped.
+
+        - append mode (ingest): per-FILE renames into the live dirs —
+          idempotent, a re-run moves whatever remains;
+        - replace mode (compaction): whole-DIR delete+rename swap — a
+          re-run after a crash between the delete and the rename just
+          swaps again."""
+        for sub, dst in self.routes:
+            src = os.path.join(self.staging, sub)
+            if not self.fs.is_dir(src):
+                continue
+            if replace:
+                if self.fs.exists(dst):
+                    self.fs.rmtree(dst)
+                self.fs.rename(src, dst)
+                continue
+            names = [n for n in self.fs.listdir(src) if n.endswith(".parquet")]
+            if names:
+                self.fs.makedirs(dst)
+            for n in names:
+                self.fs.rename(os.path.join(src, n), os.path.join(dst, n))
+        self.fs.rmtree(self.staging)
+        # a bucketed catalog table caches its file listing; files that
+        # arrive by rename are invisible until refreshed (saveAsTable
+        # appends refresh implicitly — rename promotion must, explicitly)
+        if self.refresh_table and self.spark.catalog.tableExists(self.refresh_table):
+            self.spark.catalog.refreshTable(self.refresh_table)

@@ -74,12 +74,7 @@ from pyspark.sql import functions as F
 from ..fs import fs_for
 from ..functions.text import gram_rows, removal_report, tokenized_docs
 from ..session import release_cache, rotate_cache
-
-#: commit marker for the staged two-table ingest append — same protocol
-#: as neardup_index._SWAP_MARKER / the runner's SWAP_COMMIT_MARKER: a
-#: staging dir carrying a parsable marker is committed (roll forward);
-#: without one it is pre-commit debris (clear, store untouched)
-_INGEST_MARKER = "_INGEST_COMMIT"
+from .journal import StagedCommit
 
 #: store geometry, written once per store: the bucket count is part of
 #: the on-disk layout (bucket ids are baked into file names), so a
@@ -139,63 +134,24 @@ class SubstringIndex:
         )
 
     # --- journaled ingest commit ---------------------------------------------
+    # the staged-commit protocol itself lives in operators/journal.py
+    # (shared with BM25Index); constructed per call so crash tests can
+    # swap self.fs after construction
+
+    def _journal(self) -> StagedCommit:
+        return StagedCommit(
+            self.spark,
+            self.fs,
+            self.staging_path,
+            (("firsts", self.firsts_path), ("docs", self.docs_path)),
+            refresh_table=self._table,
+        )
 
     def recover(self) -> int:
         """Converge any interrupted prior ingest — called at
-        ``add_batch`` entry (same contract as the neardup index's
-        ``recover``). A staging dir with a parsable commit marker is
-        rolled forward (both appends promoted); anything else under
-        staging is pre-commit debris and is cleared, leaving the store
-        exactly as it was before the crashed ingest. Returns the number
-        of true roll-forwards; control-plane listings only."""
-        staging = self.staging_path
-        if not self.fs.is_dir(staging):
-            return 0
-        marker = os.path.join(staging, _INGEST_MARKER)
-        if self.fs.exists(marker):
-            try:
-                meta = json.loads(self.fs.read_text(marker))
-            except ValueError:
-                self.fs.rmtree(staging)  # torn ⇒ pre-commit debris
-                return 0
-            self._roll_forward(replace=bool(meta.get("replace")))
-            return 1
-        self.fs.rmtree(staging)
-        return 0
-
-    def _roll_forward(self, replace: bool = False) -> None:
-        """Promote a COMMITTED staging dir into the live store, then
-        clear staging. No Spark job runs here, so a crash at any step
-        resumes exactly where it stopped.
-
-        - append mode (ingest): per-FILE renames into the live dirs —
-          idempotent, a re-run moves whatever remains;
-        - replace mode (compaction): whole-DIR delete+rename swap — a
-          staged dir still present means the swap hasn't happened (the
-          marker lives in the staging ROOT, not inside the payload
-          dirs), so a re-run after a crash between the delete and the
-          rename just swaps again."""
-        staging = self.staging_path
-        for sub, dst in (("firsts", self.firsts_path), ("docs", self.docs_path)):
-            src = os.path.join(staging, sub)
-            if not self.fs.is_dir(src):
-                continue
-            if replace:
-                if self.fs.exists(dst):
-                    self.fs.rmtree(dst)
-                self.fs.rename(src, dst)
-                continue
-            names = [n for n in self.fs.listdir(src) if n.endswith(".parquet")]
-            if names:
-                self.fs.makedirs(dst)
-            for n in names:
-                self.fs.rename(os.path.join(src, n), os.path.join(dst, n))
-        self.fs.rmtree(staging)
-        # the bucketed table caches its file listing; new files are
-        # invisible until refreshed (saveAsTable appends do this
-        # implicitly — rename promotion must do it explicitly)
-        if self.spark.catalog.tableExists(self._table):
-            self.spark.catalog.refreshTable(self._table)
+        ``add_batch`` / ``compact`` entry. Returns the number of true
+        roll-forwards; see ``journal.StagedCommit.recover``."""
+        return self._journal().recover()
 
     def _ensure_table(self) -> str:
         """Register the bucketed catalog table over ``firsts/`` (schema
@@ -318,12 +274,10 @@ class SubstringIndex:
             os.path.join(self.path, _META),
             json.dumps({"k": self.k, "n_buckets": self.n_buckets}),
         )
-        # COMMIT POINT: everything before this line is reconstructible
-        # debris; everything after is pure idempotent promotion
-        self.fs.write_text_atomic(
-            os.path.join(staging, _INGEST_MARKER), '{"committed": true}'
-        )
-        self._roll_forward()
+        # COMMIT POINT (journal.commit): everything before this line is
+        # reconstructible debris; everything after is pure idempotent
+        # promotion
+        self._journal().commit()
         return report
 
     def compact(self) -> dict:
@@ -367,11 +321,7 @@ class SubstringIndex:
         docs.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(staging, "docs")
         )
-        self.fs.write_text_atomic(
-            os.path.join(staging, _INGEST_MARKER),
-            '{"committed": true, "replace": true}',
-        )
-        self._roll_forward(replace=True)
+        self._journal().commit(replace=True)
         report["firsts"] = {
             "files_before": files_before,
             "files_after": len(

@@ -16,6 +16,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -371,6 +373,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bm25_topk`` answered from the PERSISTED incremental
+    inverted index (``operators/bm25_index.py``): the corpus arrives as
+    three batches into a bucketed postings store, then one ``search``
+    runs the same query — bucket-pruned term lookup, query-time
+    N/avgdl/df, identical formula and tie-breaks. Output and oracle are
+    the one-shot's VERBATIM, so this row certifies store-backed ==
+    corpus-scan retrieval value-for-value (BM25's global stats are
+    derived from store contents at query time, which makes the answer
+    batch-schedule-invariant by construction — pinned across batch
+    splits, replays, and crash recovery in ``test_bm25_index.py``).
+    Extended-registry row (rotation discipline: new families land
+    extended-first)."""
+    from ..operators.bm25_index import BM25Index
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir)
+    idx = BM25Index(spark, os.path.join(scratch_dir("m2c_bm25_"), "idx"))
+    for m in range(3):
+        idx.add_batch(d.filter(F.pmod("doc_id", F.lit(3)) == m))
+    return idx.search(BM25_QUERY, BM25_TOPK)
+
+
 def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTE the C4 boilerplate rule (``corpus_boilerplate_ngrams``
     only detects): remove every token covered by a corpus-repeated
@@ -434,6 +459,7 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_quality_gopher": text_quality_gopher,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_indexed": text_bm25_indexed,
     "text_tfidf_docsim": text_tfidf_docsim,
     "text_strip_boilerplate": text_strip_boilerplate,
     "text_repetition_top2gram": text_repetition_top2gram,
@@ -675,3 +701,8 @@ SELECT doc_id,
 FROM p
 """,
 }
+
+# the store-backed retrieval answers IDENTICALLY to the corpus scan
+# (query-time stats from store contents) — it shares the one-shot's
+# oracle verbatim
+ORACLE["text_bm25_indexed"] = ORACLE["text_bm25_topk"]

@@ -1,0 +1,181 @@
+"""Incremental BM25 index (operators/bm25_index.py): store-backed
+retrieval must answer IDENTICALLY to the one-shot corpus scan
+(query-time stats make the answer batch-schedule-invariant), replays
+must be no-ops, the postings lookup must bucket-prune, and the
+journaled commit must survive crashes — the retrieval-side mirror of
+test_substring_index.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.fs import LocalFS
+from mysql2clickhouse_spark.operators.bm25_index import BM25Index
+
+DOCS = [
+    (1, "data stream join window merge data data"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "stream stream stream processing window"),
+    (4, "merge sort join hash join"),
+    (5, None),
+    (6, "data"),
+    (7, "window window data merge stream join extra words here now"),
+]
+QUERY = ("data", "merge", "join", "stream", "window")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _one_shot(spark, rows, k=20):
+    """The text_bm25_topk pipeline inlined over an arbitrary frame (the
+    registry one-shot is bound to the documents table)."""
+    from mysql2clickhouse_spark.functions.text import tokens_col
+
+    d = _mk(spark, rows)
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_col(F.coalesce(F.col("text"), F.lit("")))).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.filter(F.col("token").isin(list(QUERY)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("term_score"), 4).alias("score"),
+        )
+    )
+    return sorted(
+        (r["doc_id"], r["n_terms_hit"], r["score"])
+        for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    )
+
+
+def _searched(idx, k=20):
+    return sorted(
+        (r["doc_id"], r["n_terms_hit"], r["score"])
+        for r in idx.search(QUERY, k).collect()
+    )
+
+
+def test_indexed_equals_one_shot_and_batch_split_invariant(spark, tmp_path):
+    want = _one_shot(spark, DOCS)
+
+    a = BM25Index(spark, str(tmp_path / "a"), n_buckets=8)
+    a.add_batch(_mk(spark, DOCS))
+    assert _searched(a) == want
+
+    b = BM25Index(spark, str(tmp_path / "b"), n_buckets=8)
+    b.add_batch(_mk(spark, DOCS[:3]))
+    b.add_batch(_mk(spark, DOCS[3:]))
+    assert _searched(b) == want
+
+    # ranks are 1..n with the deterministic tie-break
+    rks = sorted(r["rk"] for r in b.search(QUERY, 20).collect())
+    assert rks == list(range(1, len(rks) + 1))
+
+
+def test_replayed_batch_is_a_noop(spark, tmp_path):
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx.add_batch(_mk(spark, DOCS)) == len(DOCS)
+    n = idx.n_docs()
+    assert idx.add_batch(_mk(spark, DOCS[:4])) == 0  # replay
+    assert idx.n_docs() == n
+    assert _searched(idx) == _one_shot(spark, DOCS)
+
+
+def test_search_bucket_prunes_and_never_exchanges_the_store(spark, tmp_path):
+    """The 100 TB read path: the postings scan opens only the buckets
+    that can hold the query's terms, and the per-term df aggregation
+    sits directly on the bucketed scan with no Exchange above it."""
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.add_batch(_mk(spark, DOCS))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tf = spark.table(idx._ensure_table()).filter(
+            F.col("token").isin(list(QUERY))
+        )
+        df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        plan = df_t._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    assert "Bucketed: true" in plan
+    # 5 query terms -> at most 5 of the 8 buckets scanned
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    assert m and int(m.group(1)) <= len(QUERY)
+    # the partial df aggregation rides the scan's bucket partitioning:
+    # no exchange between the store scan and the final agg
+    assert "Exchange" not in plan
+
+
+def test_crash_before_commit_marker_replays_cleanly(spark, tmp_path):
+    """Pre-commit crash (shared journal): staged postings exist, marker
+    absent — the store is untouched and the replay converges to the
+    one-shot answer."""
+
+    class _FailMarkerWrite(LocalFS):
+        def write_text_atomic(self, path: str, text: str) -> None:
+            if path.endswith("_INGEST_COMMIT"):
+                raise OSError("injected crash before ingest commit marker")
+            super().write_text_atomic(path, text)
+
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.fs = _FailMarkerWrite()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(_mk(spark, DOCS))
+    assert idx.n_docs() == 0
+
+    idx2 = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx2.add_batch(_mk(spark, DOCS)) == len(DOCS)
+    assert not os.path.isdir(idx2.staging_path)
+    assert _searched(idx2) == _one_shot(spark, DOCS)
+
+
+def test_crash_mid_promotion_rolls_forward(spark, tmp_path):
+    """Post-commit crash mid-promotion (postings moved, doclens not):
+    the next entry converges, the replay is dropped whole, and the
+    answer equals the one-shot."""
+
+    class _FailDoclensPromotion(LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            if f"{os.sep}doclens{os.sep}" in dst:
+                raise OSError("injected crash before doclens promotion")
+            super().rename(src, dst)
+
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.fs = _FailDoclensPromotion()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(_mk(spark, DOCS))
+
+    idx2 = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx2.add_batch(_mk(spark, DOCS)) == 0  # converged, then dropped
+    assert _searched(idx2) == _one_shot(spark, DOCS)
