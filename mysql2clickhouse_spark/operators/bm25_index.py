@@ -188,6 +188,11 @@ class BM25Index:
         ``text_bm25_topk``."""
         self.recover()
         terms = list(terms)
+        if not self._has_files(self.doclens_path):
+            raise ValueError(
+                f"BM25 store at {self.path} has no committed ingest — "
+                "call add_batch before search"
+            )
         dl_all = self.spark.read.parquet(self.doclens_path)
         # one-shot stats semantics: only docs with >= 1 token count
         # toward N and avgdl (its dl table comes from exploded tokens)

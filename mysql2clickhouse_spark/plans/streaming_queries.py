@@ -301,6 +301,53 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(F.col("key") >= 0)
 
 
+def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the PERSISTED BM25 inverted index
+    (``operators/bm25_index.py``) — the retrieval×streaming composition
+    completing the maintained-store streaming family (MinHash:
+    ``stream_neardup_index``; IVF: ``stream_ivf_ingest``): the corpus
+    lands as 3 parquet files, a file stream feeds one micro-batch each,
+    and ``foreachBatch`` REOPENS the store by path and runs
+    ``add_batch`` — O(batch) tokenize, journaled atomic postings+ledger
+    commit. ``foreachBatch`` is at-least-once; the ledger anti-join
+    makes a retried micro-batch a no-op, so the stream-built store is
+    delivery-schedule-invariant.
+
+    Certification: one ``search`` against the stream-built store must
+    answer IDENTICALLY to the one-shot corpus-scan ``text_bm25_topk``
+    (BM25's global stats are computed at query time from store
+    contents). The row IS that search's top-k, so it shares the
+    one-shot's DuckDB oracle verbatim — the streaming path is
+    value-hash-certified end-to-end, not count-certified."""
+    from ..operators.bm25_index import BM25Index
+    from .quality import BM25_QUERY, BM25_TOPK
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = scratch_dir("m2c_stream_bm25_")
+    docs_dir = os.path.join(base, "docs")
+    d.repartition(3, "doc_id").write.mode("overwrite").parquet(docs_dir)
+
+    path = os.path.join(base, "idx")
+    BM25Index(spark, path).recover()  # constructor-path check only
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        # path-only reopen per micro-batch — the production shape: the
+        # ingest job knows only the store path
+        .foreachBatch(lambda batch, _id: BM25Index(spark, path).add_batch(batch))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return BM25Index(spark, path).search(BM25_QUERY, BM25_TOPK)
+
+
 def stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest of the INCREMENTAL near-dup index — the
     curation×streaming composition a 100 TB pipeline actually runs: the
@@ -595,6 +642,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_enrich_join": stream_enrich_join,
+    "stream_bm25_ingest": stream_bm25_ingest,
     "stream_neardup_index": stream_neardup_index,
     "stream_ivf_ingest": stream_ivf_ingest,
 }
@@ -699,3 +747,9 @@ FROM s GROUP BY key, session_idx
         GROUP BY 1, 2, 3
     """,
 }
+
+# the stream-built store answers identically to the one-shot corpus
+# scan — the streaming twin shares text_bm25_topk's oracle verbatim
+from .quality import ORACLE as _QUALITY_ORACLE  # noqa: E402
+
+ORACLE["stream_bm25_ingest"] = _QUALITY_ORACLE["text_bm25_topk"]
