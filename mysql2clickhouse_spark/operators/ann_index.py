@@ -227,6 +227,34 @@ class IVFIndex:
         return books
 
     # --- ingest ----------------------------------------------------------
+    @property
+    def ids_path(self) -> str:
+        """Slim ingest ledger (one ``cid`` column): the replay
+        anti-join probes THIS, not the ever-growing partitioned lists
+        store — O(ledger ids) per batch with a flat single-column
+        layout instead of a file-listing + scan over every
+        ``list_id=N`` partition dir (self-review finding)."""
+        return os.path.join(self.path, "ids")
+
+    @property
+    def ingest_staging_path(self) -> str:
+        return os.path.join(self.path, "__ingest_staging")
+
+    def _ingest_journal(self):
+        from .journal import StagedCommit
+
+        return StagedCommit(
+            self.spark,
+            self.fs,
+            self.ingest_staging_path,
+            (("lists", self.lists_path), ("ids", self.ids_path)),
+        )
+
+    def _has_files(self, d: str) -> bool:
+        return self.fs.is_dir(d) and any(
+            n.endswith(".parquet") for n in self.fs.listdir(d)
+        )
+
     def add_batch(self, batch: DataFrame) -> int:
         """Assign the batch against the FROZEN centroids (one Arrow
         GEMM, nprobe=1) and append to the partitioned lists store.
@@ -234,19 +262,33 @@ class IVFIndex:
 
         Idempotent under at-least-once redelivery — the contract the
         ``foreachBatch`` streaming twin relies on (a retried
-        micro-batch must not double-append its vectors): ids already in
-        the store (and duplicate deliveries inside the batch) are
-        anti-joined away up front, exactly the MinHash index's ledger
-        discipline. The membership probe is a column-pruned scan of the
-        lists store's id column only (never the float pages); the
-        assignment GEMM and the append stay O(batch)."""
+        micro-batch must not double-append its vectors): ids already
+        ingested (and duplicate deliveries inside the batch) are
+        anti-joined away up front against the ``ids/`` ledger. The
+        lists append and the ledger append commit TOGETHER through the
+        staged-commit journal (``operators/journal.py`` — the staged
+        ``partitionBy`` layout keeps its partition dirs on promotion),
+        so a crash can never leave vectors stored but unledgered or
+        vice versa; the GEMM and both appends stay O(batch). Stores
+        from before the ledger existed fall back to probing the lists
+        store's id column."""
         self.recover()
         batch = batch.dropDuplicates([self.id_col])
-        if self.fs.is_dir(self.lists_path):
+        backfill_ledger = False
+        if self._has_files(self.ids_path):
+            stored_ids = self.spark.read.parquet(self.ids_path).select(
+                F.col("cid").alias(self.id_col)
+            )
+            batch = batch.join(stored_ids, self.id_col, "left_anti")
+        elif self.fs.is_dir(self.lists_path):
+            # pre-ledger store: one compatibility probe of the lists id
+            # column, and this ingest's staged ledger BACKFILLS the
+            # stored ids so every later batch probes the ledger only
             stored_ids = self.spark.read.parquet(self.lists_path).select(
                 F.col("cid").alias(self.id_col)
             )
             batch = batch.join(stored_ids, self.id_col, "left_anti")
+            backfill_ledger = True
         C = self._centroids()
         from pyspark.sql import Observation
 
@@ -264,13 +306,35 @@ class IVFIndex:
             # pages (pinned by ReadSchema in test_ann_index.py)
             assigned = with_pq_codes(assigned, self._codebooks(), vec_col="c_vec")
         obs = Observation()
+        staging = self.ingest_staging_path
         (
             assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("list_id")
-            .parquet(self.lists_path)
+            .parquet(os.path.join(staging, "lists"))
         )
-        return int(obs.get["n"])
+        n = int(obs.get["n"])
+        if n == 0 and not backfill_ledger:
+            # full replay / empty delivery: nothing to commit (an empty
+            # partitioned write leaves no readable files); the store —
+            # and its file census — is untouched
+            self.fs.rmtree(staging)
+            return 0
+        # ledger rows derive from the STAGED files (no second GEMM);
+        # a pre-ledger store's ids are backfilled once so every later
+        # batch probes the slim ledger only
+        ledger = (
+            self.spark.read.parquet(os.path.join(staging, "lists")).select("cid")
+            if n > 0
+            else self.spark.read.parquet(self.lists_path).select("cid").limit(0)
+        )
+        if backfill_ledger:
+            ledger = ledger.unionByName(
+                self.spark.read.parquet(self.lists_path).select("cid")
+            )
+        ledger.write.mode("overwrite").parquet(os.path.join(staging, "ids"))
+        self._ingest_journal().commit()
+        return n
 
     # --- query -----------------------------------------------------------
     def search(
@@ -395,8 +459,10 @@ class IVFIndex:
         """Roll forward a committed-but-interrupted compaction swap and
         clear debris (torn staging markers, a stale live-path marker) —
         called at ``add_batch``/``compact`` entry; same contract as
-        ``MinHashIndex.recover`` / the runner's ``recover_all``."""
-        rolled = 0
+        ``MinHashIndex.recover`` / the runner's ``recover_all``. Also
+        converges an interrupted journaled INGEST (lists+ids staged
+        commit)."""
+        rolled = self._ingest_journal().recover()
         staging = self._staging()
         marker = os.path.join(staging, _SWAP_MARKER)
         if self.fs.exists(marker):

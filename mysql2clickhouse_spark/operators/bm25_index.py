@@ -41,7 +41,6 @@ drift numerically.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -50,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..fs import fs_for
 from ..functions.text import tokens_col
+from .bucketed import BucketedStore
 from .journal import StagedCommit
 
 _META = "_STORE_META"
@@ -76,12 +76,23 @@ class BM25Index:
         self.n_buckets = n_buckets
         self.fs = fs_for(spark, path)
         meta_path = os.path.join(path, _META)
-        if self.fs.exists(meta_path):
+        fresh = not self.fs.exists(meta_path)
+        if not fresh:
             meta = json.loads(self.fs.read_text(meta_path))
             self.n_buckets = int(meta["n_buckets"])
-        self._table = "m2c_bm25_" + hashlib.md5(
-            os.path.abspath(path).encode()
-        ).hexdigest()[:12]
+        # catalog-fronted bucketed postings table; the shared seam also
+        # drops a stale catalog entry left by a previous (deleted)
+        # store at this path
+        self._store = BucketedStore(
+            spark,
+            lambda: self.fs,
+            self.postings_path,
+            "token",
+            self.n_buckets,
+            "m2c_bm25_",
+            fresh,
+        )
+        self._table = self._store.table
 
     @property
     def postings_path(self) -> str:
@@ -96,9 +107,7 @@ class BM25Index:
         return os.path.join(self.path, "__ingest_staging")
 
     def _has_files(self, d: str) -> bool:
-        return self.fs.is_dir(d) and any(
-            n.endswith(".parquet") for n in self.fs.listdir(d)
-        )
+        return self._store.has_files(d)
 
     def _journal(self) -> StagedCommit:
         return StagedCommit(
@@ -111,23 +120,6 @@ class BM25Index:
 
     def recover(self) -> int:
         return self._journal().recover()
-
-    def _ensure_table(self) -> str:
-        """Register the bucketed catalog table over ``postings/`` —
-        pure metadata, bucket ids live in the file names (same
-        mechanics as the substring gram store)."""
-        if not self.spark.catalog.tableExists(self._table):
-            schema = self.spark.read.parquet(self.postings_path).schema
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
-            )
-            self.spark.sql(
-                f"CREATE TABLE `{self._table}` ({cols}) USING PARQUET "
-                f"CLUSTERED BY (token) SORTED BY (token) "
-                f"INTO {self.n_buckets} BUCKETS "
-                f"LOCATION '{self.postings_path}'"
-            )
-        return self._table
 
     def add_batch(self, batch: DataFrame) -> int:
         """Index one batch; returns the number of documents indexed
@@ -160,17 +152,7 @@ class BM25Index:
         )
 
         staging = self.staging_path  # recover() left no staging behind
-        stage_tbl = self._table + "__stage"
-        self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
-        (
-            tf.repartition(self.n_buckets, F.col("token"))
-            .write.bucketBy(self.n_buckets, "token")
-            .sortBy("token")
-            .option("path", os.path.join(staging, "postings"))
-            .mode("overwrite")
-            .saveAsTable(stage_tbl)
-        )
-        self.spark.sql(f"DROP TABLE `{stage_tbl}`")  # external: files stay
+        self._store.stage_bucketed(tf, os.path.join(staging, "postings"))
         dl.write.mode("overwrite").parquet(os.path.join(staging, "doclens"))
         self.fs.write_text_atomic(
             os.path.join(self.path, _META),
@@ -197,12 +179,22 @@ class BM25Index:
         # one-shot stats semantics: only docs with >= 1 token count
         # toward N and avgdl (its dl table comes from exploded tokens)
         dl = dl_all.filter(F.col("dl") > 0)
+        if not self._has_files(self.postings_path):
+            # a legitimate committed state: every ingested doc so far
+            # was empty/null text — the ledger exists, the postings dir
+            # holds no files. One-shot semantics: no tf rows, empty
+            # top-k (self-review finding: reading the table here raised
+            # PATH_NOT_FOUND instead)
+            id_type = dl_all.schema[self.id_col].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} {id_type}, n_terms_hit bigint,"
+                " score double, rk int",
+            )
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )
-        tf = self.spark.table(self._ensure_table()).filter(
-            F.col("token").isin(terms)
-        )
+        tf = self._store.read().filter(F.col("token").isin(terms))
         df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         idf = F.log(
             F.lit(1.0)

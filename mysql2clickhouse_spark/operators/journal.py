@@ -82,7 +82,9 @@ class StagedCommit:
         clear staging. No Spark job runs here, so a crash at any step
         resumes exactly where it stopped.
 
-        - append mode (ingest): per-FILE renames into the live dirs —
+        - append mode (ingest): per-FILE renames into the live dirs,
+          RECURSIVELY — a staged ``partitionBy`` layout keeps its
+          partition subdirs (``list_id=N/…``) on promotion — and
           idempotent, a re-run moves whatever remains;
         - replace mode (compaction): whole-DIR delete+rename swap — a
           re-run after a crash between the delete and the rename just
@@ -96,14 +98,27 @@ class StagedCommit:
                     self.fs.rmtree(dst)
                 self.fs.rename(src, dst)
                 continue
-            names = [n for n in self.fs.listdir(src) if n.endswith(".parquet")]
-            if names:
-                self.fs.makedirs(dst)
-            for n in names:
-                self.fs.rename(os.path.join(src, n), os.path.join(dst, n))
+            for rel in self._walk_parquet(src):
+                target = os.path.join(dst, rel)
+                parent = os.path.dirname(target)
+                self.fs.makedirs(parent if parent else dst)
+                self.fs.rename(os.path.join(src, rel), target)
         self.fs.rmtree(self.staging)
         # a bucketed catalog table caches its file listing; files that
         # arrive by rename are invisible until refreshed (saveAsTable
         # appends refresh implicitly — rename promotion must, explicitly)
         if self.refresh_table and self.spark.catalog.tableExists(self.refresh_table):
             self.spark.catalog.refreshTable(self.refresh_table)
+
+    def _walk_parquet(self, root: str, prefix: str = ""):
+        """Relative paths of every ``*.parquet`` under ``root``, any
+        depth (partitioned staged writes nest one level of
+        ``key=value`` dirs; plain writes are flat)."""
+        fs = self.fs
+        for name in fs.listdir(root):
+            rel = os.path.join(prefix, name) if prefix else name
+            full = os.path.join(root, name)
+            if fs.is_dir(full):
+                yield from self._walk_parquet(full, rel)
+            elif name.endswith(".parquet"):
+                yield rel

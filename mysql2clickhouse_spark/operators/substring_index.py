@@ -64,7 +64,6 @@ rule (B5).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -74,6 +73,7 @@ from pyspark.sql import functions as F
 from ..fs import fs_for
 from ..functions.text import gram_rows, removal_report, tokenized_docs
 from ..session import release_cache, rotate_cache
+from .bucketed import BucketedStore
 from .journal import StagedCommit
 
 #: store geometry, written once per store: the bucket count is part of
@@ -102,19 +102,27 @@ class SubstringIndex:
         self.n_buckets = n_buckets
         self.fs = fs_for(spark, path)
         meta_path = os.path.join(path, _META)
-        if self.fs.exists(meta_path):
+        fresh = not self.fs.exists(meta_path)
+        if not fresh:
             meta = json.loads(self.fs.read_text(meta_path))
             if meta["k"] != k:
                 raise ValueError(
                     f"store at {path} was built with k={meta['k']}, got k={k}"
                 )
             self.n_buckets = int(meta["n_buckets"])
-        # catalog identity for the bucketed firsts table: derived from
-        # the store path so two stores never collide and a reopened
-        # store in a fresh session re-registers deterministically
-        self._table = "m2c_ssidx_" + hashlib.md5(
-            os.path.abspath(path).encode()
-        ).hexdigest()[:12]
+        # catalog-fronted bucketed firsts table; the shared seam also
+        # drops a stale catalog entry left by a previous (deleted)
+        # store at this path
+        self._store = BucketedStore(
+            spark,
+            lambda: self.fs,
+            self.firsts_path,
+            "gram",
+            self.n_buckets,
+            "m2c_ssidx_",
+            fresh,
+        )
+        self._table = self._store.table
 
     @property
     def firsts_path(self) -> str:
@@ -129,9 +137,7 @@ class SubstringIndex:
         return os.path.join(self.path, "__ingest_staging")
 
     def _has_files(self, d: str) -> bool:
-        return self.fs.is_dir(d) and any(
-            n.endswith(".parquet") for n in self.fs.listdir(d)
-        )
+        return self._store.has_files(d)
 
     # --- journaled ingest commit ---------------------------------------------
     # the staged-commit protocol itself lives in operators/journal.py
@@ -153,33 +159,11 @@ class SubstringIndex:
         roll-forwards; see ``journal.StagedCommit.recover``."""
         return self._journal().recover()
 
-    def _ensure_table(self) -> str:
-        """Register the bucketed catalog table over ``firsts/`` (schema
-        read from the files; geometry from ``_STORE_META``). Bucket ids
-        live in the file NAMES, so registration is pure metadata —
-        re-creating it in a fresh session sees the same layout."""
-        if not self.spark.catalog.tableExists(self._table):
-            schema = self.spark.read.parquet(self.firsts_path).schema
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
-            )
-            self.spark.sql(
-                f"CREATE TABLE `{self._table}` ({cols}) USING PARQUET "
-                f"CLUSTERED BY (gram) SORTED BY (gram) "
-                f"INTO {self.n_buckets} BUCKETS "
-                f"LOCATION '{self.firsts_path}'"
-            )
-        return self._table
-
     def _stored_grams(self) -> DataFrame:
         """The store's gram column THROUGH the bucketed table, so joins
         on ``gram`` inherit HashPartitioning(gram, n_buckets) from the
         scan itself — no Exchange ever sits above the store side."""
-        return (
-            self.spark.table(self._ensure_table())
-            .select("gram")
-            .withColumn("__stored", F.lit(1))
-        )
+        return self._store.read().select("gram").withColumn("__stored", F.lit(1))
 
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its per-doc removal report
@@ -251,21 +235,7 @@ class SubstringIndex:
 
         # --- staged two-table append, committed by one marker --------------
         staging = self.staging_path  # recover() left no staging behind
-        stage_tbl = self._table + "__stage"
-        self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
-        (
-            # repartition on gram with the bucket hash so each task
-            # holds exactly one bucket's rows — one file per bucket per
-            # ingest, named with its bucket id (the layout the live
-            # table's scan parses back)
-            new_firsts.repartition(self.n_buckets, F.col("gram"))
-            .write.bucketBy(self.n_buckets, "gram")
-            .sortBy("gram")
-            .option("path", os.path.join(staging, "firsts"))
-            .mode("overwrite")
-            .saveAsTable(stage_tbl)
-        )
-        self.spark.sql(f"DROP TABLE `{stage_tbl}`")  # external: files stay
+        self._store.stage_bucketed(new_firsts, os.path.join(staging, "firsts"))
         toks.select(self.id_col).write.mode("overwrite").parquet(
             os.path.join(staging, "docs")
         )
@@ -301,21 +271,11 @@ class SubstringIndex:
         if not self._has_files(self.firsts_path):
             return report
         staging = self.staging_path
-        stage_tbl = self._table + "__stage"
-        self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
         firsts = self.spark.read.parquet(self.firsts_path)
         files_before = len(
             [n for n in self.fs.listdir(self.firsts_path) if n.endswith(".parquet")]
         )
-        (
-            firsts.repartition(self.n_buckets, F.col("gram"))
-            .write.bucketBy(self.n_buckets, "gram")
-            .sortBy("gram")
-            .option("path", os.path.join(staging, "firsts"))
-            .mode("overwrite")
-            .saveAsTable(stage_tbl)
-        )
-        self.spark.sql(f"DROP TABLE `{stage_tbl}`")
+        self._store.stage_bucketed(firsts, os.path.join(staging, "firsts"))
         docs = self.spark.read.parquet(self.docs_path)
         nfiles = max(1, math.ceil(docs.count() / 2_000_000))
         docs.repartition(nfiles).write.mode("overwrite").parquet(

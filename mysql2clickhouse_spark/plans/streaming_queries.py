@@ -425,12 +425,14 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet files consumed by a file stream, and ``foreachBatch``
     REOPENS the store from its manifest (no geometry args — the
     production shape: the ingest job knows only the path) and runs
-    ``add_batch`` — one Arrow GEMM + partitioned append per micro-batch,
-    O(batch). ``foreachBatch`` is at-least-once, so ``add_batch``
-    anti-joins the batch against the store's id column (a column-pruned
-    scan — never the float pages) before appending: a retried
-    micro-batch appends nothing twice (pinned in ``test_ann_index.py``),
-    the same ledger discipline as the MinHash streaming twin.
+    ``add_batch`` — one Arrow GEMM + journaled partitioned append per
+    micro-batch, O(batch). ``foreachBatch`` is at-least-once, so
+    ``add_batch`` anti-joins the batch against the slim ``ids/`` ingest
+    ledger (committed atomically with the lists append through the
+    staged-commit journal) before appending: a retried micro-batch
+    appends nothing twice (crash + replay pinned in
+    ``test_ann_index.py``), the same ledger discipline as the MinHash
+    streaming twin.
 
     Certification row: ``n_indexed`` (every corpus vector arrived —
     DuckDB recounts from the embeddings table), ``n_rows``,

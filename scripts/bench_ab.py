@@ -93,7 +93,7 @@ from mysql2clickhouse_spark.session import get_spark  # noqa: E402
 
 import importlib  # noqa: E402
 
-r5_queries = importlib.import_module(f"{REF_PKG}.plans").all_queries_extended
+ref_queries = importlib.import_module(f"{REF_PKG}.plans").all_queries_extended
 
 from bench import HEADLINE  # noqa: E402  (repo-root bench.py)
 
@@ -120,7 +120,7 @@ def main() -> None:
     ).format("noop").save()
 
     cur = all_queries_extended()
-    ref = r5_queries()
+    ref = ref_queries()
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir

@@ -251,3 +251,59 @@ def test_replayed_add_batch_is_a_noop(spark, corpus, tmp_path):
         (F.col("vec_id") + 100).alias("vec_id"), "embedding"
     )
     assert idx.add_batch(b.unionByName(nb)) == 10
+
+
+def test_ingest_crash_mid_promotion_converges_without_double_append(
+    spark, corpus, tmp_path
+):
+    """The journaled lists+ids ingest commit: crash after the lists
+    files promoted but before the ids ledger files — the r9
+    self-review's corruption class (vectors stored but unledgered would
+    replay as duplicates; unstored-but-ledgered would lose them). The
+    next entry converges, the replay appends nothing, and search
+    answers exactly like an uncrashed store."""
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailIdsPromotion(LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            if f"{os.sep}ids{os.sep}" in dst:
+                raise OSError("injected crash before ids promotion")
+            super().rename(src, dst)
+
+    q = _emb(spark, n=4, seed=9)
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus.filter("vec_id < 30"))
+    b = corpus.filter("vec_id >= 30")
+    idx.fs = _FailIdsPromotion()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(b)
+
+    idx2 = IVFIndex(spark, str(tmp_path / "idx"))
+    assert idx2.add_batch(b) == 0  # converged at entry, replay dropped
+    assert spark.read.parquet(idx2.lists_path).count() == 60
+    assert spark.read.parquet(idx2.ids_path).count() == 60
+
+    ref = IVFIndex(spark, str(tmp_path / "ref"), dim=DIM, n_list=4)
+    os.makedirs(str(tmp_path / "ref"))
+    spark.read.parquet(idx2.centroids_path).coalesce(1).write.parquet(
+        ref.centroids_path
+    )
+    ref.add_batch(corpus)
+    a = idx2.search(q, k=3, nprobe=2)
+    bq = ref.search(q, k=3, nprobe=2)
+    assert a.exceptAll(bq).isEmpty() and bq.exceptAll(a).isEmpty()
+
+
+def test_replay_probe_reads_the_slim_ledger_not_the_lists_store(
+    spark, corpus, tmp_path
+):
+    """The anti-join probe must be O(ledger): after ingests, ids/ holds
+    exactly the ingested ids in a flat single-column table, and a
+    replay is dropped by it."""
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus.filter("vec_id < 30"))
+    idx.add_batch(corpus.filter("vec_id >= 30"))
+    ids = spark.read.parquet(idx.ids_path)
+    assert ids.columns == ["cid"]
+    assert ids.count() == 60
+    assert sorted(r["cid"] for r in ids.collect()) == list(range(60))

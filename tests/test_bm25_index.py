@@ -115,7 +115,7 @@ def test_search_bucket_prunes_and_never_exchanges_the_store(spark, tmp_path):
     idx.add_batch(_mk(spark, DOCS))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        tf = spark.table(idx._ensure_table()).filter(
+        tf = spark.table(idx._store.ensure_table()).filter(
             F.col("token").isin(list(QUERY))
         )
         df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -179,3 +179,59 @@ def test_crash_mid_promotion_rolls_forward(spark, tmp_path):
     idx2 = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
     assert idx2.add_batch(_mk(spark, DOCS)) == 0  # converged, then dropped
     assert _searched(idx2) == _one_shot(spark, DOCS)
+
+
+def test_search_on_postings_less_store_returns_empty(spark, tmp_path):
+    """Self-review finding (reproduced): a first committed batch of
+    only empty/null-text docs leaves the ledger populated and the
+    postings dir file-less; search must return the empty top-k with
+    the right schema, not PATH_NOT_FOUND."""
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx.add_batch(_mk(spark, [(1, None), (2, "")])) == 2
+    out = idx.search(QUERY, 5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_terms_hit", "score", "rk"]
+    # and a later real batch scores normally
+    idx.add_batch(_mk(spark, DOCS[5:]))
+    assert idx.search(QUERY, 5).count() > 0
+
+
+def test_store_rebuild_at_same_path_does_not_reuse_stale_catalog(spark, tmp_path):
+    """Self-review finding (reproduced): the catalog table outlives an
+    rmtree of the store; a rebuild at the same path in the same session
+    must not silently answer from the old geometry/file listing."""
+    import shutil
+
+    p = str(tmp_path / "idx")
+    idx = BM25Index(spark, p, n_buckets=4)
+    idx.add_batch(_mk(spark, DOCS))
+    assert _searched(idx) == _one_shot(spark, DOCS)
+
+    shutil.rmtree(p)
+    rebuilt = BM25Index(spark, p, n_buckets=8)  # different geometry too
+    rebuilt.add_batch(_mk(spark, DOCS))
+    assert _searched(rebuilt) == _one_shot(spark, DOCS)
+
+
+def test_substring_store_rebuild_at_same_path(spark, tmp_path):
+    """Same stale-catalog class on the gram store: after rmtree +
+    rebuild, the membership join must see the NEW store's grams."""
+    import shutil
+
+    from mysql2clickhouse_spark.functions.text import substring_dedup
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "f g h i j")]
+    p = str(tmp_path / "ss")
+    idx = SubstringIndex(spark, p, k=4, n_buckets=4)
+    idx.add_batch(_mk(spark, rows))
+    shutil.rmtree(p)
+
+    rebuilt = SubstringIndex(spark, p, k=4, n_buckets=8)
+    r1 = rebuilt.add_batch(_mk(spark, rows[:1]))
+    r2 = rebuilt.add_batch(_mk(spark, rows[1:]))
+    got = sorted(tuple(r) for r in r1.collect()) + sorted(
+        tuple(r) for r in r2.collect()
+    )
+    want = sorted(tuple(r) for r in substring_dedup(_mk(spark, rows), 4).collect())
+    assert sorted(got) == want
