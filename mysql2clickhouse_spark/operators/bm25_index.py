@@ -103,6 +103,14 @@ class BM25Index:
         return os.path.join(self.path, "doclens")
 
     @property
+    def tombstones_path(self) -> str:
+        """Deleted doc ids (one column), applied logically by every
+        ``search`` and physically by ``compact`` — the store's Q3/Q5
+        delete lifecycle (the reference dedup-DELETEs then compacts;
+        an append-only retrieval store needs the same two phases)."""
+        return os.path.join(self.path, "tombstones")
+
+    @property
     def staging_path(self) -> str:
         return os.path.join(self.path, "__ingest_staging")
 
@@ -114,7 +122,11 @@ class BM25Index:
             self.spark,
             self.fs,
             self.staging_path,
-            (("postings", self.postings_path), ("doclens", self.doclens_path)),
+            (
+                ("postings", self.postings_path),
+                ("doclens", self.doclens_path),
+                ("tombstones", self.tombstones_path),
+            ),
             refresh_table=self._table,
         )
 
@@ -161,13 +173,107 @@ class BM25Index:
         self._journal().commit()
         return n_docs
 
+    def remove_batch(self, ids: DataFrame) -> int:
+        """Mark documents DELETED (tombstone append through the same
+        journal — one committed table, crash-converged like ingest);
+        returns the number newly tombstoned. Idempotent: ids never
+        ingested, or already tombstoned, are dropped up front. Every
+        ``search`` then answers as if the docs were never ingested
+        (N/avgdl/df recompute over the survivors); ``compact`` applies
+        tombstones physically."""
+        self.recover()
+        ids = ids.select(self.id_col).dropDuplicates([self.id_col])
+        if not self._has_files(self.doclens_path):
+            return 0
+        ids = ids.join(
+            self.spark.read.parquet(self.doclens_path).select(self.id_col),
+            self.id_col,
+            "left_semi",
+        )
+        if self._has_files(self.tombstones_path):
+            ids = ids.join(
+                self.spark.read.parquet(self.tombstones_path),
+                self.id_col,
+                "left_anti",
+            )
+        ids = ids.localCheckpoint()  # sever from tombstones/ pre-commit
+        n = ids.count()
+        if n == 0:
+            return 0
+        ids.write.mode("overwrite").parquet(
+            os.path.join(self.staging_path, "tombstones")
+        )
+        self._journal().commit()
+        return n
+
+    def _tombstones(self) -> DataFrame | None:
+        if not self._has_files(self.tombstones_path):
+            return None
+        return self.spark.read.parquet(self.tombstones_path)
+
+    def compact(self) -> dict:
+        """Apply tombstones PHYSICALLY: rewrite postings (bucketed, one
+        file per bucket — also fixing per-ingest small-file decay) and
+        doclens without the deleted docs, committed as the journal's
+        whole-dir replace swap; tombstones clear afterwards (a crash
+        between the swap and the clear leaves stale tombstones whose
+        ids no longer exist in the store — harmless no-ops, cleared by
+        the next compact)."""
+        self.recover()
+        report: dict = {}
+        if not self._has_files(self.doclens_path):
+            return report
+        tombs = self._tombstones()
+        postings = self.spark.read.parquet(self.postings_path) if self._has_files(
+            self.postings_path
+        ) else None
+        doclens = self.spark.read.parquet(self.doclens_path)
+        if tombs is not None:
+            if postings is not None:
+                postings = postings.join(tombs, self.id_col, "left_anti")
+            doclens = doclens.join(tombs, self.id_col, "left_anti")
+        files_before = (
+            len([n for n in self.fs.listdir(self.postings_path) if n.endswith(".parquet")])
+            if postings is not None
+            else 0
+        )
+        staging = self.staging_path
+        if postings is not None:
+            self._store.stage_bucketed(
+                postings, os.path.join(staging, "postings")
+            )
+        doclens.write.mode("overwrite").parquet(os.path.join(staging, "doclens"))
+        self._journal().commit(replace=True)
+        if self.fs.exists(self.tombstones_path):
+            self.fs.rmtree(self.tombstones_path)
+        report["postings"] = {
+            "files_before": files_before,
+            "files_after": len(
+                [
+                    n
+                    for n in self.fs.listdir(self.postings_path)
+                    if n.endswith(".parquet")
+                ]
+            )
+            if self._has_files(self.postings_path)
+            else 0,
+        }
+        return report
+
     def search(self, terms, k: int = 20) -> DataFrame:
         """BM25 top-k for ``terms`` against the store: bucket-pruned
         postings lookup, query-time df/N/avgdl, the one-shot's exact
         formula, rounding, tie-breaks (rounded score desc, id asc) and
         windowless broadcast-self-join rank. Output:
         (doc_id, n_terms_hit, score, rk) — schema-identical to
-        ``text_bm25_topk``."""
+        ``text_bm25_topk``.
+
+        The result is LAZY over the live store paths: a caller that
+        mutates the store afterwards (add/remove/compact) must
+        materialize it first (collect / localCheckpoint) — compaction
+        deletes the files the plan references (the standard
+        maintained-store lineage rule; the delete-lifecycle oracle row
+        pins the checkpointed pattern)."""
         self.recover()
         terms = list(terms)
         if not self._has_files(self.doclens_path):
@@ -176,6 +282,12 @@ class BM25Index:
                 "call add_batch before search"
             )
         dl_all = self.spark.read.parquet(self.doclens_path)
+        tombs = self._tombstones()
+        if tombs is not None:
+            # logical deletion: survivors only — N/avgdl/df all
+            # recompute downstream of this filter, so the answer equals
+            # a store that never ingested the tombstoned docs
+            dl_all = dl_all.join(tombs, self.id_col, "left_anti")
         # one-shot stats semantics: only docs with >= 1 token count
         # toward N and avgdl (its dl table comes from exploded tokens)
         dl = dl_all.filter(F.col("dl") > 0)
@@ -195,6 +307,10 @@ class BM25Index:
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )
         tf = self._store.read().filter(F.col("token").isin(terms))
+        if tombs is not None:
+            # term-bounded side anti-joins the (minority) tombstones,
+            # so per-term df counts only the survivors
+            tf = tf.join(tombs, self.id_col, "left_anti")
         df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         idf = F.log(
             F.lit(1.0)

@@ -396,6 +396,45 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(BM25_QUERY, BM25_TOPK)
 
 
+#: deterministic deletion set for the delete-lifecycle cert: every doc
+#: with doc_id % BM25_DEL_MOD == BM25_DEL_SLOT gets tombstoned
+BM25_DEL_MOD = 7
+BM25_DEL_SLOT = 3
+
+
+def text_bm25_indexed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 store's DELETE lifecycle, value-certified end-to-end:
+    ingest the corpus, tombstone a deterministic subset
+    (doc_id % 7 == 3), search (LOGICAL deletion — stats recompute over
+    survivors), compact (PHYSICAL deletion — tombstones applied and
+    cleared), search again. Both searches are returned as tagged rows
+    and must be IDENTICAL to the one-shot ``text_bm25_topk`` over the
+    corpus with the doomed docs filtered out — the oracle is that
+    filtered one-shot SQL, duplicated under both tags, so the driver
+    value-hash certifies tombstone-time AND post-compaction answers
+    against an independent engine. The reference's Q3/Q5
+    delete-then-compact discipline applied to the retrieval store."""
+    from ..operators.bm25_index import BM25Index
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir)
+    idx = BM25Index(spark, os.path.join(scratch_dir("m2c_bm25d_"), "idx"))
+    idx.add_batch(d)
+    idx.remove_batch(
+        d.filter(
+            F.pmod("doc_id", F.lit(BM25_DEL_MOD)) == BM25_DEL_SLOT
+        ).select("doc_id")
+    )
+    logical = idx.search(BM25_QUERY, BM25_TOPK).select(
+        F.lit("logical").alias("phase"), "doc_id", "n_terms_hit", "score", "rk"
+    ).localCheckpoint()  # sever from tombstones/ BEFORE compact deletes them
+    idx.compact()
+    physical = idx.search(BM25_QUERY, BM25_TOPK).select(
+        F.lit("physical").alias("phase"), "doc_id", "n_terms_hit", "score", "rk"
+    )
+    return logical.unionByName(physical)
+
+
 def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTE the C4 boilerplate rule (``corpus_boilerplate_ngrams``
     only detects): remove every token covered by a corpus-repeated
@@ -460,6 +499,7 @@ QUERIES = {
     "text_quality_gopher": text_quality_gopher,
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_indexed": text_bm25_indexed,
+    "text_bm25_indexed_deletes": text_bm25_indexed_deletes,
     "text_tfidf_docsim": text_tfidf_docsim,
     "text_strip_boilerplate": text_strip_boilerplate,
     "text_repetition_top2gram": text_repetition_top2gram,
@@ -706,3 +746,22 @@ FROM p
 # (query-time stats from store contents) — it shares the one-shot's
 # oracle verbatim
 ORACLE["text_bm25_indexed"] = ORACLE["text_bm25_topk"]
+
+# delete-lifecycle oracle: the one-shot BM25 SQL over the corpus MINUS
+# the deterministic doomed subset, duplicated under the logical /
+# physical tags. Built by substituting the single corpus reference in
+# the one-shot's CTE; the assert makes an oracle refactor fail at
+# import instead of silently certifying the wrong corpus.
+assert ORACLE["text_bm25_topk"].count("FROM documents") == 1
+_BM25_FILTERED = ORACLE["text_bm25_topk"].replace(
+    "FROM documents",
+    f"FROM (SELECT * FROM documents"
+    f" WHERE doc_id % {BM25_DEL_MOD} <> {BM25_DEL_SLOT}) documents",
+)
+ORACLE["text_bm25_indexed_deletes"] = f"""
+SELECT 'logical' AS phase, doc_id, n_terms_hit, score, rk
+FROM ({_BM25_FILTERED}) __l
+UNION ALL
+SELECT 'physical' AS phase, doc_id, n_terms_hit, score, rk
+FROM ({_BM25_FILTERED}) __p
+"""

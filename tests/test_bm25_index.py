@@ -235,3 +235,54 @@ def test_substring_store_rebuild_at_same_path(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in substring_dedup(_mk(spark, rows), 4).collect())
     assert sorted(got) == want
+
+
+def _mk_ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+def test_remove_batch_logical_then_physical(spark, tmp_path):
+    """The store's delete lifecycle: tombstoned docs vanish from
+    answers (stats recomputed over survivors — as if never ingested),
+    re-deletion and unknown ids are no-ops, compact applies the
+    deletions physically with identical answers and clears the
+    tombstones, and a deleted id can re-ingest afterwards."""
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.add_batch(_mk(spark, DOCS))
+    remaining = [r for r in DOCS if r[0] not in (1, 4)]
+
+    assert idx.remove_batch(_mk_ids(spark, [1, 4, 999])) == 2  # 999 unknown
+    assert _searched(idx) == _one_shot(spark, remaining)
+    assert idx.remove_batch(_mk_ids(spark, [1, 4])) == 0  # replay no-op
+
+    rep = idx.compact()
+    assert rep["postings"]["files_after"] <= 8
+    assert not idx._has_files(idx.tombstones_path)
+    assert _searched(idx) == _one_shot(spark, remaining)
+    # physically gone: the ledger forgot them, so re-ingest works
+    assert idx.add_batch(_mk(spark, [DOCS[0]])) == 1
+    assert _searched(idx) == _one_shot(spark, remaining + [DOCS[0]])
+
+
+def test_remove_crash_before_marker_leaves_store_intact(spark, tmp_path):
+    """Pre-commit crash during remove_batch: no tombstone lands, the
+    store answers as before, and the retried delete converges."""
+
+    class _FailMarkerWrite(LocalFS):
+        def write_text_atomic(self, path: str, text: str) -> None:
+            if path.endswith("_INGEST_COMMIT"):
+                raise OSError("injected crash before tombstone commit")
+            super().write_text_atomic(path, text)
+
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.add_batch(_mk(spark, DOCS))
+    idx.fs = _FailMarkerWrite()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.remove_batch(_mk_ids(spark, [3]))
+
+    idx2 = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert _searched(idx2) == _one_shot(spark, DOCS)  # nothing committed
+    assert idx2.remove_batch(_mk_ids(spark, [3])) == 1
+    assert _searched(idx2) == _one_shot(
+        spark, [r for r in DOCS if r[0] != 3]
+    )
