@@ -37,8 +37,9 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            one-shot under the frozen quantizer)
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
   (rotation candidate for next round: fold the round-9
-  ``text_bm25_indexed`` / ``stream_bm25_ingest`` store-backed twins in
-  once they've soaked a round in the extended registry)
+  ``text_bm25_indexed`` / ``stream_bm25_ingest`` /
+  ``text_bm25_indexed_deletes`` store-backed twins in once they've
+  soaked a round in the extended registry)
 - ``sketch_suite``       = events_approx_profile + events_hll_distinct
                            + events_quantile_sketch + text_topk_sketch
   (rotation note, round 5: REPLACED the bare ``events_approx_profile``
