@@ -237,6 +237,13 @@ class IVFIndex:
         return os.path.join(self.path, "ids")
 
     @property
+    def tombstones_path(self) -> str:
+        """Deleted vector ids (one ``cid`` column), applied logically
+        by every search and physically by ``compact`` — the same
+        delete lifecycle as the BM25 store (``operators/bm25_index.py``)."""
+        return os.path.join(self.path, "tombstones")
+
+    @property
     def ingest_staging_path(self) -> str:
         return os.path.join(self.path, "__ingest_staging")
 
@@ -247,7 +254,11 @@ class IVFIndex:
             self.spark,
             self.fs,
             self.ingest_staging_path,
-            (("lists", self.lists_path), ("ids", self.ids_path)),
+            (
+                ("lists", self.lists_path),
+                ("ids", self.ids_path),
+                ("tombstones", self.tombstones_path),
+            ),
         )
 
     def _has_files(self, d: str) -> bool:
@@ -336,6 +347,53 @@ class IVFIndex:
         self._ingest_journal().commit()
         return n
 
+    def remove_batch(self, ids: DataFrame) -> int:
+        """Mark vectors DELETED (tombstone append through the ingest
+        journal — one committed table, crash-converged at every entry);
+        returns the number newly tombstoned. Idempotent: ids never
+        ingested, or already tombstoned, drop up front. Searches then
+        answer as if the vectors were never ingested; ``compact``
+        applies tombstones physically and forgets the ids (so a deleted
+        id can re-ingest — the BM25 store's contract)."""
+        self.recover()
+        ids = ids.select(F.col(self.id_col).alias("cid")).dropDuplicates(["cid"])
+        if self._has_files(self.ids_path):
+            ids = ids.join(
+                self.spark.read.parquet(self.ids_path), "cid", "left_semi"
+            )
+        elif self.fs.is_dir(self.lists_path):
+            ids = ids.join(
+                self.spark.read.parquet(self.lists_path).select("cid"),
+                "cid",
+                "left_semi",
+            )
+        else:
+            return 0
+        tombs = self._tombstones()
+        if tombs is not None:
+            ids = ids.join(tombs, "cid", "left_anti")
+        ids = ids.localCheckpoint()  # sever from tombstones/ pre-commit
+        n = ids.count()
+        if n == 0:
+            return 0
+        ids.write.mode("overwrite").parquet(
+            os.path.join(self.ingest_staging_path, "tombstones")
+        )
+        self._ingest_journal().commit()
+        return n
+
+    def _tombstones(self) -> DataFrame | None:
+        if not self._has_files(self.tombstones_path):
+            return None
+        return self.spark.read.parquet(self.tombstones_path)
+
+    def _without_tombstones(self, rows: DataFrame) -> DataFrame:
+        """Logical deletion on a (… cid …) frame: the probe side is
+        already list-pruned (query-bounded), so the anti-join cost is
+        bounded by the probed lists, not the store."""
+        tombs = self._tombstones()
+        return rows if tombs is None else rows.join(tombs, "cid", "left_anti")
+
     # --- query -----------------------------------------------------------
     def search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 8
@@ -360,7 +418,7 @@ class IVFIndex:
         probed = sorted(
             r["list_id"] for r in qb.select("list_id").distinct().collect()
         )
-        idx = (
+        idx = self._without_tombstones(
             self.spark.read.parquet(self.lists_path)
             .filter(F.col("list_id").isin(probed))
             .withColumn("list_id", F.col("list_id").cast("int"))
@@ -414,7 +472,7 @@ class IVFIndex:
         luts = _pq_query_luts(queries, books, self.id_col, self.vec_col).join(
             qb.select("qid", "list_id"), "qid"
         )
-        code_scan = (
+        code_scan = self._without_tombstones(
             self.spark.read.parquet(self.lists_path)
             .filter(F.col("list_id").isin(probed))
             .select(F.col("list_id").cast("int").alias("list_id"), "cid", "codes")
@@ -487,12 +545,23 @@ class IVFIndex:
         into staging (file count sized from ONE row count, partitions
         preserved), commit with the atomic ``_SWAP_COMMIT`` marker,
         delete-and-rename; a crash either leaves the live store
-        untouched or rolls forward at next entry."""
+        untouched or rolls forward at next entry.
+
+        Tombstones are applied PHYSICALLY in the same rewrite — the
+        deleted rows drop from the lists, the ids ledger forgets them
+        (so a deleted id can re-ingest, the BM25 store's contract), and
+        the tombstone table clears. A crash at any point is safe: the
+        lists swap converges at the next entry; a stale ledger merely
+        blocks re-ingest until the next compact; stale tombstones are
+        no-op anti-joins and clear on the next compact."""
         self.recover()
         if not self.fs.is_dir(self.lists_path):
             return {"files_before": 0, "files_after": 0, "rows": 0}
         files_before = self._n_data_files()
+        tombs = self._tombstones()
         df = self.spark.read.parquet(self.lists_path)
+        if tombs is not None:
+            df = df.join(tombs, "cid", "left_anti")
         n = df.count()
         nfiles = max(1, math.ceil(n / rows_per_file))
         staging = self._staging()
@@ -510,6 +579,19 @@ class IVFIndex:
         marker = os.path.join(self.lists_path, _SWAP_MARKER)
         if self.fs.exists(marker):
             self.fs.rmtree(marker)
+        if tombs is not None:
+            if self._has_files(self.ids_path):
+                # ledger forgets the deleted ids, via the ingest
+                # journal's whole-dir replace swap (only ids staged)
+                (
+                    self.spark.read.parquet(self.ids_path)
+                    .join(tombs, "cid", "left_anti")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.ingest_staging_path, "ids"))
+                )
+                self._ingest_journal().commit(replace=True)
+            if self.fs.exists(self.tombstones_path):
+                self.fs.rmtree(self.tombstones_path)
         return {
             "files_before": files_before,
             "files_after": self._n_data_files(),

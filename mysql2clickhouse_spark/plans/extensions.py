@@ -807,6 +807,63 @@ def ivf_frozen_reference(idx, c: DataFrame, q: DataFrame) -> DataFrame:
     )
 
 
+def ann_ivf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF store's DELETE lifecycle
+    (``IVFIndex.remove_batch`` + tombstone-applying ``compact``),
+    certified as one oracle row against ``ivf_frozen_reference`` over
+    the corpus MINUS the deleted subset (vec_id % 5 == 2) under the
+    same frozen centroids:
+
+    - ``n_deleted`` — the tombstoned count (DuckDB recounts the subset);
+    - ``logical_identical`` — post-tombstone search == the filtered
+      reference (stats and candidates as if never ingested);
+    - ``physical_identical`` — post-compact search unchanged (the
+      rewrite dropped the rows, forgot the ledger ids, cleared the
+      tombstones);
+    - ``reingest_ok`` — a deleted id re-ingests after compact (the
+      as-if-never-ingested contract, same as the BM25 store).
+    """
+    from ..operators.ann_index import IVFIndex
+    from ..session import scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    idx = IVFIndex(spark, scratch_dir("m2c_ivfdel_") + "/index", dim=EMB_DIM, n_list=32)
+    idx.build(c)
+
+    doomed = c.filter(F.pmod("vec_id", F.lit(5)) == 2).select("vec_id")
+    n_deleted = idx.remove_batch(doomed)
+
+    survivors = c.filter(F.pmod("vec_id", F.lit(5)) != 2)
+    want = ivf_frozen_reference(idx, survivors, q).localCheckpoint()
+    got = idx.search(q, k=TOPK, nprobe=8).localCheckpoint()
+    logical_identical = (
+        got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    )
+    idx.compact()
+    got2 = idx.search(q, k=TOPK, nprobe=8)
+    physical_identical = (
+        got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
+    )
+    one = survivors.limit(0).unionByName(
+        c.filter(F.pmod("vec_id", F.lit(5)) == 2).limit(1)
+    )
+    reingest_ok = idx.add_batch(one) == one.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_deleted,
+                bool(logical_identical),
+                bool(physical_identical),
+                bool(reingest_ok),
+            )
+        ],
+        "n_deleted bigint, logical_identical boolean,"
+        " physical_identical boolean, reingest_ok boolean",
+    )
+
+
 def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN-index maintenance (operators/ann_index.py): the
     corpus lands in a persisted IVF store across THREE add_batch calls
@@ -1458,6 +1515,7 @@ QUERIES = {
     "ann_knn_graph_lsh": ann_knn_graph_lsh,
     "ann_knn_graph_recall": ann_knn_graph_recall,
     "ann_ivf_partitioned": ann_ivf_partitioned,
+    "ann_ivf_deletes": ann_ivf_deletes,
     "ann_ivf_incremental": ann_ivf_incremental,
     "ann_ivf_partitioned_equiv": ann_ivf_partitioned_equiv,
     "embedding_norms": embedding_norms,
@@ -1850,6 +1908,13 @@ SELECT CAST({N_QUERIES * TOPK} AS BIGINT) AS n_rows,
     # frozen-quantizer contract: the stream-ingested store answers
     # identically to the in-memory probe, before AND after compaction;
     # n_indexed recounted from the raw table
+    "ann_ivf_deletes": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+       CAST(TRUE AS BOOLEAN) AS logical_identical,
+       CAST(TRUE AS BOOLEAN) AS physical_identical,
+       CAST(TRUE AS BOOLEAN) AS reingest_ok
+FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id % 5 = 2
+""",
     "ann_ivf_incremental": f"""
 SELECT CAST(count(*) - {N_QUERIES} AS BIGINT) AS n_indexed,
        CAST({N_QUERIES * TOPK} AS BIGINT) AS n_rows,

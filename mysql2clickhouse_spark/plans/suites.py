@@ -35,6 +35,9 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + stream_ivf_ingest (round 8: foreachBatch
                            streaming ingest of the same store ==
                            one-shot under the frozen quantizer)
+  (rotation candidate for next round: fold the round-9
+  ``ann_ivf_deletes`` delete-lifecycle cert in after its
+  extended-registry soak)
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
   (rotation candidate for next round: fold the round-9
   ``text_bm25_indexed`` / ``stream_bm25_ingest`` /

@@ -307,3 +307,47 @@ def test_replay_probe_reads_the_slim_ledger_not_the_lists_store(
     assert ids.columns == ["cid"]
     assert ids.count() == 60
     assert sorted(r["cid"] for r in ids.collect()) == list(range(60))
+
+
+def test_remove_batch_logical_then_physical(spark, corpus, tmp_path):
+    """IVF delete lifecycle (mirrors the BM25 store): tombstoned
+    vectors vanish from answers, re-deletion and unknown ids are
+    no-ops, compact applies physically (rows gone, ledger forgets,
+    tombstones clear), and a deleted id can re-ingest."""
+    q = _emb(spark, n=4, seed=9)
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus)
+
+    doomed = corpus.filter("vec_id % 5 = 2").select("vec_id")
+    n_doomed = doomed.count()
+    assert idx.remove_batch(doomed) == n_doomed
+    assert idx.remove_batch(doomed) == 0  # replay no-op
+    assert (
+        idx.remove_batch(
+            spark.createDataFrame([(777,)], "vec_id bigint")
+        )
+        == 0
+    )  # never ingested
+
+    # logical deletion == a store that never held the doomed vectors
+    ref = IVFIndex(spark, str(tmp_path / "ref"), dim=DIM, n_list=4)
+    os.makedirs(str(tmp_path / "ref"))
+    spark.read.parquet(idx.centroids_path).coalesce(1).write.parquet(
+        ref.centroids_path
+    )
+    ref.add_batch(corpus.filter("vec_id % 5 <> 2"))
+    want = ref.search(q, k=3, nprobe=4).localCheckpoint()
+    got = idx.search(q, k=3, nprobe=4).localCheckpoint()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    rep = idx.compact()
+    assert rep["rows"] == 60 - n_doomed
+    assert not idx._has_files(idx.tombstones_path)
+    assert spark.read.parquet(idx.lists_path).count() == 60 - n_doomed
+    assert spark.read.parquet(idx.ids_path).count() == 60 - n_doomed
+    got2 = idx.search(q, k=3, nprobe=4)
+    assert got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
+
+    # the ledger forgot the ids: one of them re-ingests
+    one = corpus.filter("vec_id = 2")
+    assert idx.add_batch(one) == 1
