@@ -40,6 +40,18 @@ candidate nets are identical by construction. ``dedup_incremental``
 (plans/extensions.py) certifies this equivalence as an oracle row, and
 ``test_neardup_index.py`` pins multi-batch accumulation.
 
+Delete lifecycle (round 9 — the same tombstone discipline as
+``BM25Index``/``IVFIndex``): ``remove_batch`` journals doc ids into
+``tombstones/`` (whole-dir swap, crash-converged); every subsequent
+``add_batch`` filters its candidate pairs against the tombstone set
+(batch-bounded anti-join — the store is untouched), so deleted docs
+answer as never ingested; ``compact`` applies tombstones physically
+(both store tables rewritten without the deleted rows) and clears
+them, after which a deleted id may re-ingest as new.
+``dedup_minhash_index_deletes`` (plans/extensions.py) certifies the
+logical phase, the physical store content, and post-compact re-ingest
+as one oracle row.
+
 Reference basis: the reference maintains dedup state per run window
 (_settings.py:230-287) rather than rescanning history; this is that
 discipline applied to the LLM-pipeline extension family.
@@ -109,8 +121,19 @@ class MinHashIndex:
     def bands_path(self) -> str:
         return os.path.join(self.path, "bands")
 
+    @property
+    def tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
     def _exists(self) -> bool:
         return os.path.isdir(self.sigs_path)
+
+    def _tombstones(self) -> DataFrame | None:
+        if not os.path.isdir(self.tombstones_path) or not any(
+            n.endswith(".parquet") for n in self.fs.listdir(self.tombstones_path)
+        ):
+            return None
+        return self.spark.read.parquet(self.tombstones_path)
 
     def _band_rows(self, sigs: DataFrame) -> DataFrame:
         return sigs.select(
@@ -218,6 +241,19 @@ class MinHashIndex:
         # BOTH sets — without this distinct the pair verifies twice
         cands = cands.distinct() if len(pairs_sets) > 1 else cands
 
+        # tombstoned docs answer as never ingested: their band rows are
+        # still physically in the store until compact, so filter the
+        # CANDIDATE pairs (batch-bounded) against the tombstone set
+        # (minority ⇒ broadcast; the store side itself is never touched)
+        tombs = self._tombstones()
+        if tombs is not None:
+            dead = tombs.select(F.col(self.id_col).alias("id_a"))
+            cands = cands.join(F.broadcast(dead), "id_a", "left_anti").join(
+                F.broadcast(dead.select(F.col("id_a").alias("id_b"))),
+                "id_b",
+                "left_anti",
+            )
+
         # signature estimate-filter, then exact verify — sides resolve
         # from store ∪ batch (store rows only ever joined, never re-derived)
         all_rows = new.select(self.id_col, "hset", "minhash")
@@ -283,7 +319,7 @@ class MinHashIndex:
         import json
 
         rolled = 0
-        for store in (self.sigs_path, self.bands_path):
+        for store in (self.sigs_path, self.bands_path, self.tombstones_path):
             staging = self._staging(store)
             marker = os.path.join(staging, _SWAP_MARKER)
             if self.fs.exists(marker):
@@ -300,6 +336,61 @@ class MinHashIndex:
             if self.fs.exists(stale):
                 self.fs.rmtree(stale)
         return rolled
+
+    def _commit_swap(self, store: str) -> None:
+        """COMMIT POINT of the whole-dir swap: marker the staged dir
+        (atomic), delete-and-rename into place, drop the marker from
+        the now-live dir. Everything before the marker write is
+        reconstructible debris; everything after is rolled forward by
+        ``recover()`` if interrupted."""
+        staging = self._staging(store)
+        self.fs.write_text_atomic(
+            os.path.join(staging, _SWAP_MARKER), '{"whole": true}'
+        )
+        if self.fs.exists(store):
+            self.fs.rmtree(store)
+        self.fs.rename(staging, store)
+        marker = os.path.join(store, _SWAP_MARKER)
+        if self.fs.exists(marker):
+            self.fs.rmtree(marker)
+
+    def remove_batch(self, ids: DataFrame) -> int:
+        """Mark documents DELETED; returns the number newly tombstoned.
+        Idempotent: ids never ingested, or already tombstoned, are
+        dropped up front. Every subsequent ``add_batch`` then answers
+        as if the docs were never ingested — their stored band rows
+        never emit candidate pairs and their signatures are never
+        verify-joined (the tombstone anti-join runs on the
+        batch-bounded candidate set, not the store). ``compact``
+        applies tombstones physically and clears them, after which a
+        deleted id may re-ingest as a brand-new document (pre-compact
+        redelivery of a tombstoned id is dropped by the ingest
+        anti-join — the store cannot hold two signature rows for one
+        id). The tombstone write is the same journaled whole-dir swap
+        as compaction: the merged tombstone set stages beside the live
+        dir and promotes through ``_commit_swap``, so a crash leaves
+        either the old set or the new set, never a torn one."""
+        self.recover()
+        ids = ids.select(self.id_col).dropDuplicates([self.id_col])
+        if not self._exists():
+            return 0
+        ids = ids.join(
+            self.spark.read.parquet(self.sigs_path).select(self.id_col),
+            self.id_col,
+            "left_semi",
+        )
+        tombs = self._tombstones()
+        if tombs is not None:
+            ids = ids.join(tombs, self.id_col, "left_anti")
+        # sever from tombstones/ BEFORE the swap replaces it
+        ids = ids.localCheckpoint()
+        n = ids.count()
+        if n == 0:
+            return 0
+        merged = ids if tombs is None else tombs.localCheckpoint().unionByName(ids)
+        merged.write.mode("overwrite").parquet(self._staging(self.tombstones_path))
+        self._commit_swap(self.tombstones_path)
+        return n
 
     def compact(self) -> dict:
         """Rewrite both store tables to a bounded file count — every
@@ -327,12 +418,23 @@ class MinHashIndex:
         self.recover()
         report: dict = {}
         rows_per_file = 2_000_000
+        # tombstones apply PHYSICALLY here: both rewrites drop the
+        # deleted docs' rows, and the tombstone set clears afterwards
+        # (a crash between the swaps and the clear leaves stale
+        # tombstones whose ids no longer exist in the store — harmless
+        # no-ops on the pair filter, cleared by the next compact; same
+        # window as BM25Index.compact, same runbook: re-run compact)
+        tombs = self._tombstones()
+        if tombs is not None:
+            tombs = tombs.localCheckpoint()  # sever before tombstones/ clears
         for store, part_col in ((self.sigs_path, None), (self.bands_path, "band_idx")):
             if not self.fs.is_dir(store):
                 continue
             name = os.path.basename(store)
             files_before = sum(1 for _ in self._data_files(store))
             df = self.spark.read.parquet(store)
+            if tombs is not None:
+                df = df.join(tombs, self.id_col, "left_anti")
             nfiles = max(1, math.ceil(df.count() / rows_per_file))
             staging = self._staging(store)
             if part_col:
@@ -344,18 +446,13 @@ class MinHashIndex:
                 )
             else:
                 df.repartition(nfiles).write.mode("overwrite").parquet(staging)
-            self.fs.write_text_atomic(
-                os.path.join(staging, _SWAP_MARKER), '{"whole": true}'
-            )
-            self.fs.rmtree(store)
-            self.fs.rename(staging, store)
-            marker = os.path.join(store, _SWAP_MARKER)
-            if self.fs.exists(marker):
-                self.fs.rmtree(marker)
+            self._commit_swap(store)
             report[name] = {
                 "files_before": files_before,
                 "files_after": sum(1 for _ in self._data_files(store)),
             }
+        if tombs is not None and self.fs.exists(self.tombstones_path):
+            self.fs.rmtree(self.tombstones_path)
         return report
 
     def _data_files(self, store: str):

@@ -18,6 +18,13 @@ persists the one derived table the incremental pass needs:
   ``tests/test_plan_shapes.py``).
 - ``docs/``   — (doc_id,): the ingest ledger, so a replayed batch is
   dropped up front (at-least-once delivery appends nothing twice).
+- ``tombstones/`` — (doc_id,): the delete lifecycle (round 9, same
+  discipline as ``BM25Index``/``IVFIndex``/``MinHashIndex``):
+  ``remove_batch`` journals deletions; grams OWNED by a tombstoned doc
+  are logically absent from the membership view (FORGET semantics —
+  a later occurrence re-claims the gram; degradation direction is
+  missed dedup, never false removal — see ``remove_batch``);
+  ``compact`` applies tombstones physically and clears them.
 
 Per batch, ``add_batch``:
 
@@ -133,6 +140,10 @@ class SubstringIndex:
         return os.path.join(self.path, "docs")
 
     @property
+    def tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    @property
     def staging_path(self) -> str:
         return os.path.join(self.path, "__ingest_staging")
 
@@ -149,7 +160,11 @@ class SubstringIndex:
             self.spark,
             self.fs,
             self.staging_path,
-            (("firsts", self.firsts_path), ("docs", self.docs_path)),
+            (
+                ("firsts", self.firsts_path),
+                ("docs", self.docs_path),
+                ("tombstones", self.tombstones_path),
+            ),
             refresh_table=self._table,
         )
 
@@ -159,11 +174,69 @@ class SubstringIndex:
         roll-forwards; see ``journal.StagedCommit.recover``."""
         return self._journal().recover()
 
+    def _tombstones(self) -> DataFrame | None:
+        if not self._has_files(self.tombstones_path):
+            return None
+        return self.spark.read.parquet(self.tombstones_path)
+
     def _stored_grams(self) -> DataFrame:
         """The store's gram column THROUGH the bucketed table, so joins
         on ``gram`` inherit HashPartitioning(gram, n_buckets) from the
-        scan itself — no Exchange ever sits above the store side."""
-        return self._store.read().select("gram").withColumn("__stored", F.lit(1))
+        scan itself — no Exchange ever sits above the store side.
+        Grams whose first-occurrence OWNER is tombstoned are logically
+        absent (the minority tombstone set broadcasts into an anti-join
+        above the scan — broadcast joins preserve the store's
+        partitioning, so the no-Exchange plan pin holds). The store
+        never shows two live rows per gram: a re-claimed gram's old row
+        stays tombstone-filtered until compact physically drops it."""
+        rows = self._store.read()
+        tombs = self._tombstones()
+        if tombs is not None:
+            rows = rows.join(F.broadcast(tombs), self.id_col, "left_anti")
+        return rows.select("gram").withColumn("__stored", F.lit(1))
+
+    def remove_batch(self, ids: DataFrame) -> int:
+        """Mark documents DELETED (tombstone append through the same
+        journal — one committed table, crash-converged like ingest);
+        returns the number newly tombstoned. Idempotent: ids never
+        ingested, or already tombstoned, are dropped up front.
+
+        Semantics — FORGET, the direction that can only miss dedup,
+        never falsely remove: grams whose stored first occurrence
+        belongs to a deleted doc are logically absent from the store
+        (a later batch re-claims them as its own firsts; an exact copy
+        of the deleted doc arriving later is judged FRESH for the
+        grams it solely owned). Exact as-if-never-ingested ownership
+        transfer is impossible from this store — it retains only FIRST
+        occurrences, so the next-earliest occurrence of a forgotten
+        gram is unknowable — and the report already issued for the
+        deleted doc's own ingest is history, not state. ``compact``
+        applies tombstones physically (firsts and ledger rows dropped,
+        tombstones cleared), after which a deleted id may re-ingest as
+        a brand-new document; pre-compact redelivery of a tombstoned
+        id is dropped by the ledger anti-join (same epoch rule as
+        ``BM25Index``)."""
+        self.recover()
+        ids = ids.select(self.id_col).dropDuplicates([self.id_col])
+        if not self._has_files(self.docs_path):
+            return 0
+        ids = ids.join(
+            self.spark.read.parquet(self.docs_path).select(self.id_col),
+            self.id_col,
+            "left_semi",
+        )
+        tombs = self._tombstones()
+        if tombs is not None:
+            ids = ids.join(tombs, self.id_col, "left_anti")
+        ids = ids.localCheckpoint()  # sever from tombstones/ pre-commit
+        n = ids.count()
+        if n == 0:
+            return 0
+        ids.write.mode("overwrite").parquet(
+            os.path.join(self.staging_path, "tombstones")
+        )
+        self._journal().commit()
+        return n
 
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its per-doc removal report
@@ -271,17 +344,32 @@ class SubstringIndex:
         if not self._has_files(self.firsts_path):
             return report
         staging = self.staging_path
+        # tombstones apply PHYSICALLY here: deleted docs' first-
+        # occurrence rows and ledger rows are dropped from the rewrite,
+        # and the tombstone set clears after the swap (a crash between
+        # the two leaves stale tombstones whose rows no longer exist —
+        # harmless anti-join no-ops, cleared by the next compact; same
+        # window and runbook as BM25Index.compact)
+        tombs = self._tombstones()
+        if tombs is not None:
+            tombs = tombs.localCheckpoint()  # sever before tombstones/ clears
         firsts = self.spark.read.parquet(self.firsts_path)
+        if tombs is not None:
+            firsts = firsts.join(tombs, self.id_col, "left_anti")
         files_before = len(
             [n for n in self.fs.listdir(self.firsts_path) if n.endswith(".parquet")]
         )
         self._store.stage_bucketed(firsts, os.path.join(staging, "firsts"))
         docs = self.spark.read.parquet(self.docs_path)
+        if tombs is not None:
+            docs = docs.join(tombs, self.id_col, "left_anti")
         nfiles = max(1, math.ceil(docs.count() / 2_000_000))
         docs.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(staging, "docs")
         )
         self._journal().commit(replace=True)
+        if tombs is not None and self.fs.exists(self.tombstones_path):
+            self.fs.rmtree(self.tombstones_path)
         report["firsts"] = {
             "files_before": files_before,
             "files_after": len(
@@ -295,7 +383,9 @@ class SubstringIndex:
         return report
 
     def n_grams(self) -> int:
-        """Distinct grams ever seen (= stored first occurrences)."""
+        """Stored first-occurrence rows, PHYSICAL count (pre-compact it
+        includes rows owned by tombstoned docs, which the membership
+        view already filters)."""
         if not self._has_files(self.firsts_path):
             return 0
         return self.spark.read.parquet(self.firsts_path).count()

@@ -382,6 +382,95 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_substring_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gram store's DELETE lifecycle
+    (``SubstringIndex.remove_batch`` + tombstone-applying ``compact``),
+    certified as one oracle row. Delete semantics are FORGET — grams
+    whose stored first occurrence belongs to a deleted doc become
+    logically absent, so the failure direction is missed dedup, never
+    false removal (exact ownership transfer is unknowable from a
+    firsts-only store; see the operator docstring):
+
+    - ``n_deleted`` — the tombstoned count (DuckDB recounts the
+      doc_id % 7 == 3 base-generation subset);
+    - ``logical_grams_exact`` — with tombstones live (pre-compact), the
+      membership view's gram set EQUALS the one-shot first-occurrence
+      table over the full corpus minus rows owned by deleted docs,
+      recomputed independently here from the raw text;
+    - ``physical_firsts_exact`` — post-compact the persisted ``firsts``
+      table equals that expected table row-for-row (gram, owner, and
+      offset — not just the gram set), tombstones cleared;
+    - ``reingest_ok`` — a deleted id re-ingests after compact, is
+      judged afresh, and its report lands (the ledger forgot it).
+    """
+    from ..functions.text import gram_rows, tokenized_docs
+    from ..operators.substring_index import SubstringIndex
+    from ..session import scratch_dir
+
+    corpus = _cc_corpus(spark, sf_dir)
+    idx = SubstringIndex(
+        spark, os.path.join(scratch_dir("m2c_ssdel_"), "idx"), k=SUBSTR_K
+    )
+    for b in (
+        corpus.filter(F.col("doc_id") < CC_OFF_1),
+        corpus.filter((F.col("doc_id") >= CC_OFF_1) & (F.col("doc_id") < CC_OFF_2)),
+        corpus.filter(F.col("doc_id") >= CC_OFF_2),
+    ):
+        idx.add_batch(b)
+
+    doomed = corpus.filter(
+        (F.col("doc_id") < CC_OFF_1) & (F.pmod("doc_id", F.lit(7)) == 3)
+    ).select("doc_id")
+    n_deleted = idx.remove_batch(doomed)
+
+    # expected firsts: the one-shot lexicographic (id, position) first
+    # occurrence per gram (== first-seen under ascending batch arrival,
+    # the contract the incremental cert already pins), minus rows OWNED
+    # by deleted docs
+    grams = gram_rows(tokenized_docs(corpus, "doc_id", "text"), SUBSTR_K, "doc_id")
+    expected = (
+        grams.groupBy("gram")
+        .agg(F.min(F.struct("doc_id", "s")).alias("f"))
+        .select("gram", F.col("f.doc_id").alias("doc_id"), F.col("f.s").alias("s"))
+        .join(doomed, "doc_id", "left_anti")
+        # the USING join puts doc_id first; exceptAll aligns by
+        # POSITION, so re-fix the column order before comparing
+        .select("gram", "doc_id", "s")
+        .localCheckpoint()
+    )
+
+    got_grams = idx._stored_grams().select("gram")
+    exp_grams = expected.select("gram")
+    logical_grams_exact = (
+        got_grams.exceptAll(exp_grams).isEmpty()
+        and exp_grams.exceptAll(got_grams).isEmpty()
+    )
+
+    idx.compact()
+    got_firsts = spark.read.parquet(idx.firsts_path).select("gram", "doc_id", "s")
+    physical_firsts_exact = (
+        got_firsts.exceptAll(expected).isEmpty()
+        and expected.exceptAll(got_firsts).isEmpty()
+    )
+
+    d0 = doomed.agg(F.min("doc_id")).collect()[0][0]
+    reingest_ok = (
+        idx.add_batch(corpus.filter(F.col("doc_id") == d0)).count() == 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_deleted,
+                bool(logical_grams_exact),
+                bool(physical_firsts_exact),
+                bool(reingest_ok),
+            )
+        ],
+        "n_deleted bigint, logical_grams_exact boolean,"
+        " physical_firsts_exact boolean, reingest_ok boolean",
+    )
+
+
 # --- sequence packing -------------------------------------------------------
 
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,6 +1052,7 @@ QUERIES = {
     "corpus_substring_dedup": corpus_substring_dedup,
     "corpus_substring_dedup_two_level": corpus_substring_dedup_two_level,
     "dedup_substring_incremental": dedup_substring_incremental,
+    "dedup_substring_index_deletes": dedup_substring_index_deletes,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_sample_kcenter": corpus_sample_kcenter,
@@ -1229,6 +1319,16 @@ FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
 SELECT CAST(3 * (SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS n_mismatch,
        CAST(TRUE AS BOOLEAN) AS replay_noop
+""",
+    # delete-lifecycle cert of the gram store: booleans are contract
+    # outcomes with fixed expected values; the deleted count is
+    # independently recounted (base-generation subset only)
+    "dedup_substring_index_deletes": """
+SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+       CAST(TRUE AS BOOLEAN) AS logical_grams_exact,
+       CAST(TRUE AS BOOLEAN) AS physical_firsts_exact,
+       CAST(TRUE AS BOOLEAN) AS reingest_ok
+FROM documents WHERE doc_id % 7 = 3
 """,
     "corpus_pack_sequences": f"""
 WITH t AS (

@@ -198,6 +198,79 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash index's DELETE lifecycle
+    (``MinHashIndex.remove_batch`` + tombstone-applying ``compact``),
+    certified as one oracle row — completing the tombstone discipline
+    across all four maintained stores (BM25/IVF round 9, this and the
+    gram store same round):
+
+    - ``n_deleted`` — the tombstoned count (DuckDB recounts the
+      doc_id % 5 == 2 subset);
+    - ``logical_identical`` — with tombstones live (pre-compact), a
+      mutant batch's pairs are EXACTLY ``verified_near_dups`` over
+      (survivors ∪ mutants) restricted to mutant-involving pairs:
+      deleted docs never pair, as if never ingested;
+    - ``physical_store_ok`` — post-compact the signature store holds
+      exactly survivors ∪ mutants (tombstoned rows gone, tombstones
+      cleared);
+    - ``reingest_ok`` — a deleted id re-ingests after compact as a
+      brand-new doc and immediately pairs with its own mutant already
+      in the store (the as-if-never-ingested contract, round-tripped).
+    """
+    from ..operators.neardup_index import MinHashIndex
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = MinHashIndex(spark, scratch_dir("m2c_nddel_") + "/index", threshold=0.7)
+    idx.add_batch(spread(d))
+
+    doomed = d.filter(F.pmod("doc_id", F.lit(5)) == 2)
+    n_deleted = idx.remove_batch(doomed.select("doc_id"))
+
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    p1 = idx.add_batch(spread(mut))
+    survivors = d.filter(F.pmod("doc_id", F.lit(5)) != 2)
+    full = verified_near_dups(
+        survivors.unionByName(mut), "doc_id", threshold=0.7
+    )
+    want = full.filter(
+        (F.col("id_a") >= MUT_OFFSET) | (F.col("id_b") >= MUT_OFFSET)
+    )
+    logical_identical = idx.pairs_equal(want, p1)
+
+    idx.compact()
+    stored = spark.read.parquet(idx.sigs_path).select("doc_id")
+    expect = survivors.unionByName(mut).select("doc_id")
+    physical_store_ok = (
+        stored.exceptAll(expect).isEmpty() and expect.exceptAll(stored).isEmpty()
+    )
+
+    d0 = doomed.agg(F.min("doc_id")).collect()[0][0]
+    p2 = idx.add_batch(d.filter(F.col("doc_id") == d0))
+    reingest_ok = (
+        p2.filter(
+            (F.col("id_a") == d0) & (F.col("id_b") == d0 + MUT_OFFSET)
+        ).count()
+        == 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_deleted,
+                bool(logical_identical),
+                bool(physical_store_ok),
+                bool(reingest_ok),
+            )
+        ],
+        "n_deleted bigint, logical_identical boolean,"
+        " physical_store_ok boolean, reingest_ok boolean",
+    )
+
+
 # --- oracle-checkable recall twins ----------------------------------------
 # The hash-family operators (minhash / simhash / LSH-ANN / IVF-ANN) use
 # Spark-native hash functions (murmur3 / xxhash64) DuckDB cannot
@@ -1485,6 +1558,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_recall": dedup_minhash_lsh_recall,
     "dedup_incremental": dedup_incremental,
+    "dedup_minhash_index_deletes": dedup_minhash_index_deletes,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_locality": dedup_simhash_locality,
@@ -1914,6 +1988,16 @@ SELECT CAST(count(*) AS BIGINT) AS n_deleted,
        CAST(TRUE AS BOOLEAN) AS physical_identical,
        CAST(TRUE AS BOOLEAN) AS reingest_ok
 FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id % 5 = 2
+""",
+    # delete-lifecycle cert of the MinHash store: booleans are
+    # contract outcomes with fixed expected values; the deleted count
+    # is independently recounted
+    "dedup_minhash_index_deletes": """
+SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+       CAST(TRUE AS BOOLEAN) AS logical_identical,
+       CAST(TRUE AS BOOLEAN) AS physical_store_ok,
+       CAST(TRUE AS BOOLEAN) AS reingest_ok
+FROM documents WHERE doc_id % 5 = 2
 """,
     "ann_ivf_incremental": f"""
 SELECT CAST(count(*) - {N_QUERIES} AS BIGINT) AS n_indexed,

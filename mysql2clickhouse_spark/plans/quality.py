@@ -384,8 +384,8 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from store contents at query time, which makes the answer
     batch-schedule-invariant by construction — pinned across batch
     splits, replays, and crash recovery in ``test_bm25_index.py``).
-    Extended-registry row (rotation discipline: new families land
-    extended-first)."""
+    Extended-registry row; also folded into the curated
+    ``text_ranking_suite`` slot (rotation, round 9)."""
     from ..operators.bm25_index import BM25Index
     from ..session import scratch_dir
 

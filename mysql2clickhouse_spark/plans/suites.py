@@ -23,6 +23,10 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            report, every row value-hashed)
                            + dedup_substring_incremental (gram-store
                            batched == one-shot + replay no-op)
+                           + dedup_minhash_index_deletes
+                           + dedup_substring_index_deletes (round 9:
+                           the two stores' delete lifecycles, folded
+                           in their landing round)
   (rotation note, round 9: REPLACED the bare ``dedup_incremental``
   registry slot so the round-8 exact-substring family is visible to
   the ~50-row driver hard signal; the cert rows pack their scalars
@@ -35,14 +39,17 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + stream_ivf_ingest (round 8: foreachBatch
                            streaming ingest of the same store ==
                            one-shot under the frozen quantizer)
-  (rotation candidate for next round: fold the round-9
-  ``ann_ivf_deletes`` delete-lifecycle cert in after its
-  extended-registry soak)
+                           + ann_ivf_deletes (round 9: tombstone +
+                           compaction delete lifecycle, logical ==
+                           physical == filtered reference)
 - ``text_ranking_suite`` = text_bm25_topk + text_tfidf_docsim
-  (rotation candidate for next round: fold the round-9
-  ``text_bm25_indexed`` / ``stream_bm25_ingest`` /
-  ``text_bm25_indexed_deletes`` store-backed twins in once they've
-  soaked a round in the extended registry)
+                           + text_bm25_indexed + stream_bm25_ingest
+                           + text_bm25_indexed_deletes (round 9: the
+                           store-backed BM25 twins — batched ingest,
+                           foreachBatch streaming ingest, and the
+                           delete lifecycle's logical/physical phases —
+                           folded in their landing round per the r8
+                           verdict's rotation guidance)
 - ``sketch_suite``       = events_approx_profile + events_hll_distinct
                            + events_quantile_sketch + text_topk_sketch
   (rotation note, round 5: REPLACED the bare ``events_approx_profile``
@@ -233,6 +240,23 @@ def ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_mismatch") == 0) & F.col("manifest_adopted")).alias("ok"),
         )
     )
+    # round 9: delete lifecycle of the same persisted store —
+    # tombstone-time (logical) and post-compaction (physical) answers
+    # identical to the filtered frozen-quantizer reference, and a
+    # deleted id re-ingests after compact (as-if-never-ingested)
+    from .extensions import ann_ivf_deletes
+
+    rows.append(
+        ann_ivf_deletes(spark, sf_dir).select(
+            F.lit("ivf_deletes").alias("method"),
+            F.col("n_deleted").cast("bigint").alias("n"),
+            (
+                F.col("logical_identical")
+                & F.col("physical_identical")
+                & F.col("reingest_ok")
+            ).alias("ok"),
+        )
+    )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -322,14 +346,23 @@ def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical ranked retrieval: BM25 top-k (k1=doc_id, k2=n_terms_hit)
-    + TF-IDF doc-to-doc argmax (k1=src, k2=dst), tagged by scorer."""
-    bm = text_bm25_topk(spark, sf_dir).select(
-        F.lit("bm25").alias("method"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        F.col("n_terms_hit").cast("bigint").alias("k2"),
-        F.col("score").cast("double").alias("score"),
-        F.col("rk").cast("int").alias("rk"),
-    )
+    + TF-IDF doc-to-doc argmax (k1=src, k2=dst), tagged by scorer —
+    plus (round-9 fold) the store-backed BM25 twins: the batched-ingest
+    persisted inverted index, the foreachBatch streaming-ingest store,
+    and the delete lifecycle's tombstone-time (logical) and
+    post-compaction (physical) answers, each value-identical to an
+    independent DuckDB recompute of the corresponding corpus scan."""
+
+    def _bm(tag: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("method"),
+            F.col("doc_id").cast("bigint").alias("k1"),
+            F.col("n_terms_hit").cast("bigint").alias("k2"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+
+    bm = _bm("bm25", text_bm25_topk(spark, sf_dir))
     tf = text_tfidf_docsim(spark, sf_dir).select(
         F.lit("tfidf").alias("method"),
         F.col("src").cast("bigint").alias("k1"),
@@ -337,7 +370,19 @@ def text_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").cast("double").alias("score"),
         F.col("rk").cast("int").alias("rk"),
     )
-    return bm.unionByName(tf)
+    from .quality import text_bm25_indexed, text_bm25_indexed_deletes
+    from .streaming_queries import stream_bm25_ingest
+
+    bi = _bm("bm25_indexed", text_bm25_indexed(spark, sf_dir))
+    bs = _bm("bm25_stream", stream_bm25_ingest(spark, sf_dir))
+    bd = text_bm25_indexed_deletes(spark, sf_dir).select(
+        F.concat(F.lit("bm25_del_"), F.col("phase")).alias("method"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("n_terms_hit").cast("bigint").alias("k2"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+    return bm.unionByName(tf).unionByName(bi).unionByName(bs).unionByName(bd)
 
 
 def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +541,11 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       as doc_id=n_docs, n_tokens=n_mismatch, n_removed=replay_noop;
     - ``minhash_incr``   — the MinHash index certification scalars
       packed as doc_id=n_planted, n_tokens=recall_ok,
-      n_removed=incremental_equals_full.
+      n_removed=incremental_equals_full;
+    - ``minhash_del`` / ``substr_del`` (round-9 fold, landing round) —
+      the two stores' DELETE-lifecycle certs packed as
+      doc_id=n_deleted, n_tokens=logical flag, n_removed=physical
+      flag, kept_hash=reingest flag ('true'/'false').
     """
     mh = dedup_incremental(spark, sf_dir).select(
         F.lit("minhash_incr").alias("step"),
@@ -522,7 +571,26 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("replay_noop"), 1).otherwise(0).cast("bigint").alias("n_removed"),
         F.lit("").alias("kept_hash"),
     )
-    return mh.unionByName(one).unionByName(inc)
+    from .curation import dedup_substring_index_deletes
+    from .extensions import dedup_minhash_index_deletes
+
+    mhd = dedup_minhash_index_deletes(spark, sf_dir).select(
+        F.lit("minhash_del").alias("step"),
+        F.col("n_deleted").cast("bigint").alias("doc_id"),
+        F.col("logical_identical").cast("bigint").alias("n_tokens"),
+        F.col("physical_store_ok").cast("bigint").alias("n_removed"),
+        F.col("reingest_ok").cast("string").alias("kept_hash"),
+    )
+    ssd = dedup_substring_index_deletes(spark, sf_dir).select(
+        F.lit("substr_del").alias("step"),
+        F.col("n_deleted").cast("bigint").alias("doc_id"),
+        F.col("logical_grams_exact").cast("bigint").alias("n_tokens"),
+        F.col("physical_firsts_exact").cast("bigint").alias("n_removed"),
+        F.col("reingest_ok").cast("string").alias("kept_hash"),
+    )
+    return (
+        mh.unionByName(one).unionByName(inc).unionByName(mhd).unionByName(ssd)
+    )
 
 
 QUERIES = {
@@ -568,6 +636,18 @@ SELECT 'substr_incr' AS step, CAST(n_docs AS BIGINT) AS doc_id,
        CAST(CASE WHEN replay_noop THEN 1 ELSE 0 END AS BIGINT) AS n_removed,
        '' AS kept_hash
 FROM ({curation.ORACLE["dedup_substring_incremental"]}) __si
+UNION ALL
+SELECT 'minhash_del' AS step, CAST(n_deleted AS BIGINT) AS doc_id,
+       CAST(logical_identical AS BIGINT) AS n_tokens,
+       CAST(physical_store_ok AS BIGINT) AS n_removed,
+       CAST(reingest_ok AS VARCHAR) AS kept_hash
+FROM ({extensions.ORACLE["dedup_minhash_index_deletes"]}) __md
+UNION ALL
+SELECT 'substr_del' AS step, CAST(n_deleted AS BIGINT) AS doc_id,
+       CAST(logical_grams_exact AS BIGINT) AS n_tokens,
+       CAST(physical_firsts_exact AS BIGINT) AS n_removed,
+       CAST(reingest_ok AS VARCHAR) AS kept_hash
+FROM ({curation.ORACLE["dedup_substring_index_deletes"]}) __sd2
 """,
     "cdc_apply_suite": f"""
 SELECT 'append' AS mode, key, seq, file_seq, ts, value, event_type
@@ -624,6 +704,10 @@ UNION ALL
 SELECT 'ivf_stream' AS method, CAST(n_indexed AS BIGINT) AS n,
        (n_mismatch = 0 AND manifest_adopted) AS ok
 FROM ({streaming_queries.ORACLE["stream_ivf_ingest"]}) __st
+UNION ALL
+SELECT 'ivf_deletes' AS method, CAST(n_deleted AS BIGINT) AS n,
+       (logical_identical AND physical_identical AND reingest_ok) AS ok
+FROM ({extensions.ORACLE["ann_ivf_deletes"]}) __del
 """,
     "text_ranking_suite": f"""
 SELECT 'bm25' AS method, CAST(doc_id AS BIGINT) AS k1,
@@ -635,6 +719,21 @@ SELECT 'tfidf' AS method, CAST(src AS BIGINT) AS k1,
        CAST(dst AS BIGINT) AS k2, CAST(sim AS DOUBLE) AS score,
        CAST(rk AS INT) AS rk
 FROM ({quality.ORACLE["text_tfidf_docsim"]}) __tf
+UNION ALL
+SELECT 'bm25_indexed' AS method, CAST(doc_id AS BIGINT) AS k1,
+       CAST(n_terms_hit AS BIGINT) AS k2, CAST(score AS DOUBLE) AS score,
+       CAST(rk AS INT) AS rk
+FROM ({quality.ORACLE["text_bm25_indexed"]}) __bi
+UNION ALL
+SELECT 'bm25_stream' AS method, CAST(doc_id AS BIGINT) AS k1,
+       CAST(n_terms_hit AS BIGINT) AS k2, CAST(score AS DOUBLE) AS score,
+       CAST(rk AS INT) AS rk
+FROM ({streaming_queries.ORACLE["stream_bm25_ingest"]}) __bs
+UNION ALL
+SELECT 'bm25_del_' || phase AS method, CAST(doc_id AS BIGINT) AS k1,
+       CAST(n_terms_hit AS BIGINT) AS k2, CAST(score AS DOUBLE) AS score,
+       CAST(rk AS INT) AS rk
+FROM ({quality.ORACLE["text_bm25_indexed_deletes"]}) __bd
 """,
     "sketch_suite": f"""
 SELECT 'profile_hll' AS method, 'all' AS k1,

@@ -180,3 +180,99 @@ def test_compact_crash_after_commit_rolls_forward(spark, tmp_path):
     full = verified_near_dups(corpus, "doc_id", threshold=0.7)
     assert idx.pairs_equal(full, acc)
     corpus.unpersist()
+
+
+def _base(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _mutants(d):
+    return d.select(
+        (F.col("doc_id") + MUT).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+
+
+def test_delete_lifecycle_logical_physical_reingest(spark, tmp_path):
+    """remove_batch → deleted docs answer as never ingested (no pair
+    ever emitted against them); compact → physically gone, tombstones
+    cleared; a deleted id re-ingests as new and pairs against its own
+    mutant already in the store."""
+    d = _base(spark).cache()
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(d)
+
+    doomed = d.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    n_doomed = doomed.count()
+    assert idx.remove_batch(doomed) == n_doomed
+    assert idx.remove_batch(doomed) == 0  # idempotent re-delete
+
+    # LOGICAL: mutants of every base doc — pairs must be exactly the
+    # one-shot over (survivors ∪ mutants) restricted to mutant pairs
+    mut = _mutants(d)
+    p1 = idx.add_batch(mut)
+    survivors = d.filter(F.col("doc_id") % 5 != 2)
+    full = verified_near_dups(
+        survivors.unionByName(mut), "doc_id", threshold=0.7
+    )
+    want = full.filter((F.col("id_a") >= MUT) | (F.col("id_b") >= MUT))
+    assert idx.pairs_equal(want, p1)
+
+    # PHYSICAL: compact drops the doomed rows and clears tombstones
+    idx.compact()
+    assert not os.path.isdir(idx.tombstones_path)
+    stored = {
+        r.doc_id
+        for r in spark.read.parquet(idx.sigs_path).select("doc_id").collect()
+    }
+    doomed_ids = {r.doc_id for r in doomed.collect()}
+    assert stored.isdisjoint(doomed_ids)
+    assert stored == {r.doc_id for r in survivors.unionByName(mut).select("doc_id").collect()}
+
+    # RE-INGEST: a deleted id is new again and pairs with its mutant
+    d0 = min(doomed_ids)
+    p2 = idx.add_batch(d.filter(F.col("doc_id") == d0))
+    got = {(r.id_a, r.id_b) for r in p2.collect()}
+    assert (d0, d0 + MUT) in got
+    d.unpersist()
+
+
+def test_remove_batch_crash_rolls_forward(spark, tmp_path):
+    """Kill the tombstone swap between the committed marker and the
+    live-dir rename: the next add_batch entry must roll it forward, so
+    the delete takes effect exactly once — never torn, never lost."""
+    import pytest
+
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailNthRename(LocalFS):
+        def __init__(self, fail_on: int):
+            self.calls = 0
+            self.fail_on = fail_on
+
+        def rename(self, src, dst):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise OSError(f"injected rename failure #{self.calls}: {src}")
+            super().rename(src, dst)
+
+    d = _base(spark).cache()
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(d)
+    doomed = d.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+
+    idx.fs = _FailNthRename(fail_on=1)  # first fs.rename IS the swap
+    with pytest.raises(OSError, match="injected"):
+        idx.remove_batch(doomed)
+    assert os.path.exists(idx._staging(idx.tombstones_path))  # committed
+    assert not os.path.isdir(idx.tombstones_path)
+
+    idx.fs = LocalFS()
+    p1 = idx.add_batch(_mutants(d))  # recover() at entry applies the delete
+    survivors = d.filter(F.col("doc_id") % 5 != 2)
+    full = verified_near_dups(
+        survivors.unionByName(_mutants(d)), "doc_id", threshold=0.7
+    )
+    want = full.filter((F.col("id_a") >= MUT) | (F.col("id_b") >= MUT))
+    assert idx.pairs_equal(want, p1)
+    d.unpersist()

@@ -508,3 +508,44 @@ def test_substring_store_membership_join_never_exchanges_the_store(spark, tmp_pa
     # detail section — same accounting as the consistency-check pin)
     assert plan.count("Exchange") == 2
     assert "hashpartitioning(gram" in plan
+
+
+def test_substring_membership_join_with_tombstones_stays_store_shuffle_free(
+    spark, tmp_path
+):
+    """The delete lifecycle must not break the O(batch) ingest
+    contract: with tombstones present, the membership view adds only a
+    BroadcastExchange of the minority delete set above the store scan
+    — the store side still streams out of its bucketed layout with the
+    batch side paying the single shuffle (the F.broadcast hint is
+    load-bearing: it must hold even with the auto threshold off)."""
+    from mysql2clickhouse_spark.functions.text import gram_rows, tokenized_docs
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    idx = SubstringIndex(spark, str(tmp_path / "ssidx"), k=4, n_buckets=8)
+    idx.add_batch(
+        spark.createDataFrame(
+            [(1, "w1 w2 w3 w4 w5 w6"), (2, "x1 x2 x3 x4 x5")],
+            "doc_id bigint, text string",
+        )
+    )
+    idx.remove_batch(spark.createDataFrame([(1,)], "doc_id bigint"))
+    batch2 = spark.createDataFrame(
+        [(5, "x1 x2 x3 x4 x5"), (7, "z1 z2 z3 z4 z5")],
+        "doc_id bigint, text string",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        grams = gram_rows(tokenized_docs(batch2), 4)
+        plan = plan_of(spark, grams.join(idx._stored_grams(), "gram", "left"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # exactly one SHUFFLE exchange in the whole plan — the batch side
+    # hashing into the store's bucket space — plus the tombstone
+    # anti-join's BroadcastExchange; nothing re-shuffles the store
+    # ("Exchange" ×2 tree+detail for each of the two nodes)
+    assert plan.count("Exchange") == 4
+    assert plan.count("BroadcastExchange") == 2
+    assert plan.count("hashpartitioning(gram") == 1

@@ -121,3 +121,77 @@ def test_interrupted_compact_swap_rolls_forward(spark, tmp_path):
     assert idx2.n_grams() == n
     r = idx2.add_batch(_mk(spark, [(9, "x1 x2 x3 x4 x5")]))
     assert {x["doc_id"]: x["n_removed"] for x in r.collect()}[9] == 5
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+def test_delete_forget_semantics_logical(spark, tmp_path):
+    """remove_batch FORGETS grams owned by deleted docs: a later copy
+    of a deleted doc is judged fresh (missed dedup, never false
+    removal), re-claims the grams, and survivor-owned grams keep
+    deduplicating; pre-compact redelivery of a deleted id is dropped."""
+    import os
+
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    idx.add_batch(_mk(spark, B1))
+    idx.add_batch(_mk(spark, B2))
+
+    # doc 1 owns all three w-grams; doc 7 its four z-grams; 999 unknown
+    assert idx.remove_batch(_ids(spark, [1, 7, 999])) == 2
+    assert idx.remove_batch(_ids(spark, [1, 7])) == 0  # re-delete no-op
+
+    # copy of deleted doc 1 at a new id: FRESH (grams forgotten)...
+    by8 = {r[0]: r for r in _rows(idx.add_batch(_mk(spark, [(8, "w1 w2 w3 w4 w5 w6")])))}
+    assert by8[8][2] == 0
+    # ...and doc 8 re-claimed them: the next copy is fully duplicated
+    by9 = {r[0]: r for r in _rows(idx.add_batch(_mk(spark, [(9, "w1 w2 w3 w4 w5 w6")])))}
+    assert by9[9][2] == 6
+    # survivor-owned grams still dedup (doc 2 was not deleted)
+    by10 = {r[0]: r for r in _rows(idx.add_batch(_mk(spark, [(10, "x1 x2 x3 x4 x5")])))}
+    assert by10[10][2] == 5
+    # pre-compact redelivery of a tombstoned id: dropped by the ledger
+    assert idx.add_batch(_mk(spark, [(1, "w1 w2 w3 w4 w5 w6")])).count() == 0
+
+    # PHYSICAL: compact drops the deleted docs' rows + ledger entries
+    idx.compact()
+    assert not os.path.isdir(idx.tombstones_path)
+    owners = {
+        r.doc_id for r in spark.read.parquet(idx.firsts_path).select("doc_id").collect()
+    }
+    assert owners.isdisjoint({1, 7})
+    # post-compact a deleted id re-ingests as new: judged afresh, and
+    # its solely-owned grams (z1..z7, forgotten) re-enter the store
+    n_before = idx.n_grams()
+    by7 = {r[0]: r for r in _rows(idx.add_batch(_mk(spark, [(7, "z1 z2 z3 z4 z5 z6 z7")])))}
+    assert by7[7][2] == 0
+    assert idx.n_grams() == n_before + 4
+
+
+def test_remove_crash_before_marker_leaves_store_intact(spark, tmp_path):
+    """Pre-commit crash during remove_batch: no tombstone lands, the
+    membership view is unchanged, and the retried delete converges."""
+    import pytest
+
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailMarkerWrite(LocalFS):
+        def write_text_atomic(self, path: str, text: str) -> None:
+            if path.endswith("_INGEST_COMMIT"):
+                raise OSError("injected crash before tombstone commit")
+            super().write_text_atomic(path, text)
+
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    idx.add_batch(_mk(spark, B1))
+    idx.fs = _FailMarkerWrite()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.remove_batch(_ids(spark, [1]))
+
+    idx2 = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    # nothing committed: a copy of doc 1 is still fully duplicated
+    byc = {r[0]: r for r in _rows(idx2.add_batch(_mk(spark, [(20, "w1 w2 w3 w4 w5 w6")])))}
+    assert byc[20][2] == 6
+    # the retried delete converges (doc 1 still the w-gram owner: the
+    # reclaim by doc 20 never happened because nothing was forgotten)
+    assert idx2.remove_batch(_ids(spark, [1])) == 1
