@@ -97,11 +97,16 @@ class SubstringIndex:
         self,
         spark: SparkSession,
         path: str,
-        k: int = 10,
+        k: int | None = 10,
         id_col: str = "doc_id",
         text_col: str = "text",
         n_buckets: int = 32,
     ):
+        """``k=None`` ADOPTS the gram width from the store's meta — the
+        path-only reopen shape a streaming ingest job uses (it knows
+        only the store location); a fresh store requires an explicit
+        ``k``. A mismatching explicit ``k`` still raises: silently
+        re-gramming an existing store would corrupt it."""
         self.spark = spark
         self.path = path
         self.k = k
@@ -110,12 +115,24 @@ class SubstringIndex:
         self.fs = fs_for(spark, path)
         meta_path = os.path.join(path, _META)
         fresh = not self.fs.exists(meta_path)
-        if not fresh:
+        if fresh:
+            if k is None:
+                raise ValueError(f"no store at {path}: a new store needs k")
+            # the geometry is part of the store identity — write it at
+            # creation so a path-only (k=None) reopen works even before
+            # the first ingest commits (add_batch re-writes it, which
+            # is idempotent and keeps pre-existing stores valid)
+            self.fs.makedirs(path)
+            self.fs.write_text_atomic(
+                meta_path, json.dumps({"k": k, "n_buckets": n_buckets})
+            )
+        else:
             meta = json.loads(self.fs.read_text(meta_path))
-            if meta["k"] != k:
+            if k is not None and meta["k"] != k:
                 raise ValueError(
                     f"store at {path} was built with k={meta['k']}, got k={k}"
                 )
+            self.k = int(meta["k"])
             self.n_buckets = int(meta["n_buckets"])
         # catalog-fronted bucketed firsts table; the shared seam also
         # drops a stale catalog entry left by a previous (deleted)

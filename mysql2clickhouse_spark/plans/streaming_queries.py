@@ -348,6 +348,92 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BM25Index(spark, path).search(BM25_QUERY, BM25_TOPK)
 
 
+def stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the PERSISTED first-occurrence gram store
+    (``operators/substring_index.py``) — the last cell of the
+    streaming×store matrix (MinHash: ``stream_neardup_index``; IVF:
+    ``stream_ivf_ingest``; BM25: ``stream_bm25_ingest``): the CC corpus
+    lands as 3 parquet files in ascending-id generations with FORCED
+    ascending mtimes (the file source processes oldest-first, so the
+    stream delivers the same ascending arrival order the incremental
+    cert pins — first-seen order == the one-shot's lexicographic
+    order), a file stream feeds one micro-batch each, and
+    ``foreachBatch`` REOPENS the store by PATH ALONE (``k=None``
+    adopts the gram width from the store meta — the production shape)
+    and runs ``add_batch``, appending each batch's removal report to a
+    sink. ``foreachBatch`` is at-least-once; the journaled docs-ledger
+    anti-join makes a retried micro-batch a no-op.
+
+    Certification row: ``n_docs`` (every doc got a report row — DuckDB
+    recounts 3× the documents table), ``n_mismatch = 0`` — the
+    accumulated sink reports are row-identical to the ONE-SHOT
+    ``substring_dedup`` over the full corpus — and ``meta_adopted``
+    (the path-only reopen recovered k and the bucket count).
+    ``dedup_substring_incremental`` pins the explicit batch loop
+    against the same one-shot, so stream == batch-loop == one-shot.
+
+    Folded into ``dedup_incr_suite`` as member ``substr_stream``
+    (rotation discipline: the un-folded original stays in the extended
+    registry)."""
+    from ..functions.text import substring_dedup
+    from ..operators.substring_index import SubstringIndex
+    from .curation import CC_OFF_1, CC_OFF_2, SUBSTR_K, _cc_corpus
+
+    corpus = _cc_corpus(spark, sf_dir)
+    base = scratch_dir("m2c_stream_ss_")
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    batches = [
+        corpus.filter(F.col("doc_id") < CC_OFF_1),
+        corpus.filter((F.col("doc_id") >= CC_OFF_1) & (F.col("doc_id") < CC_OFF_2)),
+        corpus.filter(F.col("doc_id") >= CC_OFF_2),
+    ]
+    for i, b in enumerate(batches):
+        tmp = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            n for n in os.listdir(tmp) if n.endswith(".parquet")
+        )
+        dst = os.path.join(docs_dir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        # deterministic oldest-first delivery: generation i arrives i-th
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    path = os.path.join(base, "idx")
+    SubstringIndex(spark, path, k=SUBSTR_K)  # create meta owner's geometry
+    sink = os.path.join(base, "reports")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        # path-only reopen per micro-batch: k/buckets come from meta
+        .foreachBatch(
+            lambda batch, _id: SubstringIndex(spark, path, k=None)
+            .add_batch(batch)
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    reopened = SubstringIndex(spark, path, k=None)
+    meta_adopted = reopened.k == SUBSTR_K and reopened.n_buckets >= 1
+    got = spark.read.parquet(sink)
+    want = substring_dedup(corpus, SUBSTR_K).select(*got.columns)
+    n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    return spark.createDataFrame(
+        [(got.count(), n_mismatch, bool(meta_adopted))],
+        "n_docs bigint, n_mismatch bigint, meta_adopted boolean",
+    )
+
+
 def stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest of the INCREMENTAL near-dup index — the
     curation×streaming composition a 100 TB pipeline actually runs: the
@@ -646,6 +732,7 @@ QUERIES = {
     "stream_enrich_join": stream_enrich_join,
     "stream_bm25_ingest": stream_bm25_ingest,
     "stream_neardup_index": stream_neardup_index,
+    "stream_substring_ingest": stream_substring_ingest,
     "stream_ivf_ingest": stream_ivf_ingest,
 }
 
@@ -686,6 +773,15 @@ FROM i JOIN u ON key = u_key
     "stream_neardup_index": """
         SELECT count(*) AS n_planted, CAST(TRUE AS BOOLEAN) AS recall_ok,
                CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
+        FROM documents
+    """,
+    # foreachBatch ingest of the gram store (ascending delivery) == the
+    # one-shot ExactSubstr report, geometry adopted from meta alone:
+    # fixed expected outcomes; n_docs recounted (3 CC generations)
+    "stream_substring_ingest": """
+        SELECT CAST(3 * count(*) AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_mismatch,
+               CAST(TRUE AS BOOLEAN) AS meta_adopted
         FROM documents
     """,
     # final stateful state == global argmax by seq per key; the deleted

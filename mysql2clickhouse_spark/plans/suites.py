@@ -27,6 +27,9 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            + dedup_substring_index_deletes (round 9:
                            the two stores' delete lifecycles, folded
                            in their landing round)
+                           + stream_substring_ingest (round 9: the
+                           gram store's foreachBatch streaming twin —
+                           completes the streaming×store matrix)
   (rotation note, round 9: REPLACED the bare ``dedup_incremental``
   registry slot so the round-8 exact-substring family is visible to
   the ~50-row driver hard signal; the cert rows pack their scalars
@@ -545,7 +548,10 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``minhash_del`` / ``substr_del`` (round-9 fold, landing round) —
       the two stores' DELETE-lifecycle certs packed as
       doc_id=n_deleted, n_tokens=logical flag, n_removed=physical
-      flag, kept_hash=reingest flag ('true'/'false').
+      flag, kept_hash=reingest flag ('true'/'false');
+    - ``substr_stream`` (round-9 fold) — the gram store's foreachBatch
+      streaming-ingest twin packed as doc_id=n_docs,
+      n_tokens=n_mismatch, n_removed=meta_adopted.
     """
     mh = dedup_incremental(spark, sf_dir).select(
         F.lit("minhash_incr").alias("step"),
@@ -588,8 +594,21 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("physical_firsts_exact").cast("bigint").alias("n_removed"),
         F.col("reingest_ok").cast("string").alias("kept_hash"),
     )
+    from .streaming_queries import stream_substring_ingest
+
+    sst = stream_substring_ingest(spark, sf_dir).select(
+        F.lit("substr_stream").alias("step"),
+        F.col("n_docs").cast("bigint").alias("doc_id"),
+        F.col("n_mismatch").cast("bigint").alias("n_tokens"),
+        F.col("meta_adopted").cast("bigint").alias("n_removed"),
+        F.lit("").alias("kept_hash"),
+    )
     return (
-        mh.unionByName(one).unionByName(inc).unionByName(mhd).unionByName(ssd)
+        mh.unionByName(one)
+        .unionByName(inc)
+        .unionByName(mhd)
+        .unionByName(ssd)
+        .unionByName(sst)
     )
 
 
@@ -648,6 +667,12 @@ SELECT 'substr_del' AS step, CAST(n_deleted AS BIGINT) AS doc_id,
        CAST(physical_firsts_exact AS BIGINT) AS n_removed,
        CAST(reingest_ok AS VARCHAR) AS kept_hash
 FROM ({curation.ORACLE["dedup_substring_index_deletes"]}) __sd2
+UNION ALL
+SELECT 'substr_stream' AS step, CAST(n_docs AS BIGINT) AS doc_id,
+       CAST(n_mismatch AS BIGINT) AS n_tokens,
+       CAST(meta_adopted AS BIGINT) AS n_removed,
+       '' AS kept_hash
+FROM ({streaming_queries.ORACLE["stream_substring_ingest"]}) __ss
 """,
     "cdc_apply_suite": f"""
 SELECT 'append' AS mode, key, seq, file_seq, ts, value, event_type

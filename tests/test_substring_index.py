@@ -195,3 +195,27 @@ def test_remove_crash_before_marker_leaves_store_intact(spark, tmp_path):
     # the retried delete converges (doc 1 still the w-gram owner: the
     # reclaim by doc 20 never happened because nothing was forgotten)
     assert idx2.remove_batch(_ids(spark, [1])) == 1
+
+
+def test_path_only_reopen_adopts_geometry(spark, tmp_path):
+    """k=None adopts k and n_buckets from the store meta (the
+    streaming-ingest production shape: the job knows only the path) —
+    including for a freshly created, never-ingested store; a fresh
+    path with k=None is refused, and a mismatching explicit k still
+    raises."""
+    import pytest
+
+    path = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="needs k"):
+        SubstringIndex(spark, path, k=None)
+    SubstringIndex(spark, path, k=K, n_buckets=8)  # meta lands at creation
+    re1 = SubstringIndex(spark, path, k=None)
+    assert (re1.k, re1.n_buckets) == (K, 8)
+    re1.add_batch(_mk(spark, B1))
+    re2 = SubstringIndex(spark, path, k=None)
+    assert (re2.k, re2.n_buckets) == (K, 8)
+    # the adopted reopen judges against the existing store
+    by = {r[0]: r for r in _rows(re2.add_batch(_mk(spark, [(30, "w1 w2 w3 w4 w5 w6")])))}
+    assert by[30][2] == 6
+    with pytest.raises(ValueError, match="built with k"):
+        SubstringIndex(spark, path, k=K + 1)
