@@ -128,9 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--threshold", type=float, default=0.7)
     nd.add_argument("--pairs-out", default=None,
                     help="write the batch's near-dup pairs here (parquet)")
+    nd.add_argument("--remove-dir", default=None,
+                    help="parquet (doc_id) to tombstone — deleted docs "
+                         "never pair again; --compact applies physically")
     nd.add_argument("--compact", action="store_true",
                     help="journaled small-files rewrite of the sig/band "
-                         "stores (run between ingest sessions)")
+                         "stores, applying tombstones (run between "
+                         "ingest sessions)")
 
     ai = sub.add_parser("annindex", help="persistent incremental IVF index")
     ai.add_argument("--index-dir", required=True, help="index root")
@@ -155,10 +159,53 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet queries (vec_id, embedding) to search")
     ai.add_argument("--k", type=int, default=10)
     ai.add_argument("--nprobe", type=int, default=8)
+    ai.add_argument("--remove-dir", default=None,
+                    help="parquet (vec_id) to tombstone — searches answer "
+                         "as if never ingested; --compact applies physically")
     ai.add_argument("--compact", action="store_true",
-                    help="journaled small-files rewrite of the lists store")
+                    help="journaled small-files rewrite of the lists store, "
+                         "applying tombstones")
     ai.add_argument("--output", default=None,
                     help="write search results as parquet here (else print top rows)")
+
+    bi = sub.add_parser("bm25index", help="persistent incremental BM25 inverted index")
+    bi.add_argument("--index-dir", required=True, help="store root")
+    bi.add_argument("--n-buckets", type=int, default=32,
+                    help="postings buckets for a NEW store (an existing "
+                         "store reads its geometry from the meta)")
+    bi.add_argument("--add-dir", default=None,
+                    help="parquet batch (doc_id, text) to ingest")
+    bi.add_argument("--remove-dir", default=None,
+                    help="parquet (doc_id) to tombstone — search answers "
+                         "as if never ingested; --compact applies physically")
+    bi.add_argument("--search", default=None,
+                    help="space-separated query terms")
+    bi.add_argument("--k", type=int, default=20)
+    bi.add_argument("--compact", action="store_true",
+                    help="apply tombstones + small-files rewrite (journaled)")
+    bi.add_argument("--output", default=None,
+                    help="write search results as parquet here (else print rows)")
+
+    si = sub.add_parser(
+        "substrindex",
+        help="persistent first-occurrence gram store (incremental "
+             "exact-substring dedup)",
+    )
+    si.add_argument("--index-dir", required=True, help="store root")
+    si.add_argument("--gram-k", type=int, default=None,
+                    help="k-gram width for a NEW store (an existing store "
+                         "adopts it from the meta)")
+    si.add_argument("--n-buckets", type=int, default=32,
+                    help="firsts buckets for a NEW store")
+    si.add_argument("--add-dir", default=None,
+                    help="parquet batch (doc_id, text) to ingest")
+    si.add_argument("--remove-dir", default=None,
+                    help="parquet (doc_id) to tombstone — owned grams are "
+                         "forgotten; --compact applies physically")
+    si.add_argument("--compact", action="store_true",
+                    help="apply tombstones + one-file-per-bucket rewrite")
+    si.add_argument("--report-out", default=None,
+                    help="write the batch's removal report here (parquet)")
 
     ex = sub.add_parser("export", help="curate and write training shards + manifest")
     ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
@@ -295,19 +342,26 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.neardup_index import MinHashIndex
 
         idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
+        acted = False
+        if args.remove_dir:
+            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
+            _emit({"job": "neardup-remove", "n_tombstoned": n})
+            acted = True
         if args.compact:
             _emit({"job": "neardup-compact", **idx.compact()})
-            if not args.batch_dir:
-                return 0
-        elif not args.batch_dir:
-            _emit({"error": "neardup needs --batch-dir and/or --compact"})
+            acted = True
+        if args.batch_dir:
+            pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
+            out = {"n_pairs": pairs.count()}
+            if args.pairs_out:
+                pairs.write.mode("overwrite").parquet(args.pairs_out)
+                out["pairs_out"] = args.pairs_out
+            _emit(out)
+            acted = True
+        if not acted:
+            _emit({"error": "neardup needs --batch-dir, --remove-dir "
+                            "and/or --compact"})
             return 2
-        pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
-        out = {"n_pairs": pairs.count()}
-        if args.pairs_out:
-            pairs.write.mode("overwrite").parquet(args.pairs_out)
-            out["pairs_out"] = args.pairs_out
-        _emit(out)
         return 0
 
     if args.cmd == "annindex":
@@ -317,6 +371,10 @@ def main(argv: list[str] | None = None) -> int:
                        n_list=args.n_list, pq_m=args.pq_m,
                        pq_ksub=args.pq_ksub)
         acted = False
+        if args.remove_dir:
+            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
+            _emit({"job": "annindex-remove", "n_tombstoned": n})
+            acted = True
         if args.compact:
             _emit({"job": "annindex-compact", **idx.compact()})
             acted = True
@@ -341,7 +399,72 @@ def main(argv: list[str] | None = None) -> int:
                     _emit({"job": "annindex-search", **row.asDict()})
             acted = True
         if not acted:
-            _emit({"error": "annindex needs --add-dir, --search-dir and/or --compact"})
+            _emit({"error": "annindex needs --add-dir, --search-dir, "
+                            "--remove-dir and/or --compact"})
+            return 2
+        return 0
+
+    if args.cmd == "bm25index":
+        from .operators.bm25_index import BM25Index
+
+        idx = BM25Index(spark, args.index_dir, n_buckets=args.n_buckets)
+        acted = False
+        if args.remove_dir:
+            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
+            _emit({"job": "bm25index-remove", "n_tombstoned": n})
+            acted = True
+        if args.compact:
+            _emit({"job": "bm25index-compact", **idx.compact()})
+            acted = True
+        if args.add_dir:
+            n = idx.add_batch(spark.read.parquet(args.add_dir))
+            _emit({"job": "bm25index-add", "docs_indexed": n})
+            acted = True
+        if args.search:
+            res = idx.search(tuple(args.search.split()), args.k)
+            if args.output:
+                res.write.mode("overwrite").parquet(args.output)
+                _emit({"job": "bm25index-search", "output": args.output})
+            else:
+                for row in res.collect():
+                    _emit({"job": "bm25index-search", **row.asDict()})
+            acted = True
+        if not acted:
+            _emit({"error": "bm25index needs --add-dir, --search, "
+                            "--remove-dir and/or --compact"})
+            return 2
+        return 0
+
+    if args.cmd == "substrindex":
+        from .operators.substring_index import SubstringIndex
+
+        try:
+            idx = SubstringIndex(
+                spark, args.index_dir, k=args.gram_k, n_buckets=args.n_buckets
+            )
+        except ValueError as e:  # fresh store without --gram-k
+            _emit({"error": str(e)})
+            return 2
+        acted = False
+        if args.remove_dir:
+            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
+            _emit({"job": "substrindex-remove", "n_tombstoned": n})
+            acted = True
+        if args.compact:
+            _emit({"job": "substrindex-compact", **idx.compact()})
+            acted = True
+        if args.add_dir:
+            report = idx.add_batch(spark.read.parquet(args.add_dir))
+            out = {"job": "substrindex-add", "n_docs": report.count(),
+                   "n_grams_stored": idx.n_grams()}
+            if args.report_out:
+                report.write.mode("overwrite").parquet(args.report_out)
+                out["report_out"] = args.report_out
+            _emit(out)
+            acted = True
+        if not acted:
+            _emit({"error": "substrindex needs --add-dir, --remove-dir "
+                            "and/or --compact"})
             return 2
         return 0
 

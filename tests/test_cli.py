@@ -253,3 +253,121 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
     assert len(hits) == 2 * 3 and {r["qid"] for r in hits} == {0, 1}
     # no arguments at all -> usage error
     assert main(["annindex", "--index-dir", idx]) == 2
+
+
+def test_cli_bm25index_lifecycle(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "spark join window"), (2, "spark batch"), (3, "join stream")],
+        "doc_id bigint, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    spark.createDataFrame([(1,)], "doc_id bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "dead"))
+
+    idx_dir = str(tmp_path / "idx")
+    rc = main(["bm25index", "--index-dir", idx_dir,
+               "--add-dir", str(tmp_path / "docs")])
+    assert rc == 0
+    added = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert added == {"job": "bm25index-add", "docs_indexed": 3}
+
+    rc = main(["bm25index", "--index-dir", idx_dir, "--search", "spark join",
+               "--k", "10"])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert {h["doc_id"] for h in hits} == {1, 2, 3}
+
+    # tombstone doc 1, search answers without it, compact applies
+    rc = main(["bm25index", "--index-dir", idx_dir,
+               "--remove-dir", str(tmp_path / "dead")])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.splitlines()[-1])[
+        "n_tombstoned"] == 1
+    rc = main(["bm25index", "--index-dir", idx_dir, "--compact",
+               "--search", "spark join"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[0]["job"] == "bm25index-compact"
+    assert {h["doc_id"] for h in lines[1:]} == {2, 3}
+    # no action is a usage error
+    assert main(["bm25index", "--index-dir", idx_dir]) == 2
+    capsys.readouterr()
+
+
+def test_cli_substrindex_lifecycle(spark, tmp_path, capsys):
+    spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "x1 x2 x3 x4")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(
+        [(5, "w1 w2 w3 w4 w5")], "doc_id bigint, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    spark.createDataFrame([(1,)], "doc_id bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "dead"))
+
+    idx_dir = str(tmp_path / "idx")
+    # a fresh store without --gram-k is a clean usage error
+    assert main(["substrindex", "--index-dir", idx_dir,
+                 "--add-dir", str(tmp_path / "b1")]) == 2
+    capsys.readouterr()
+    rc = main(["substrindex", "--index-dir", idx_dir, "--gram-k", "4",
+               "--add-dir", str(tmp_path / "b1")])
+    assert rc == 0
+    added = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert added["n_docs"] == 2 and added["n_grams_stored"] == 3
+    # an exact copy of stored doc 1 is fully duplicated (report written)
+    rc = main(["substrindex", "--index-dir", idx_dir,
+               "--add-dir", str(tmp_path / "b2"),
+               "--report-out", str(tmp_path / "rep")])
+    assert rc == 0
+    capsys.readouterr()
+    rep = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "rep")).collect()}
+    assert rep[5].n_removed == rep[5].n_tokens == 5
+    # forget doc 1's grams, compact, geometry adopted without --gram-k
+    rc = main(["substrindex", "--index-dir", idx_dir,
+               "--remove-dir", str(tmp_path / "dead"), "--compact"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[0] == {"job": "substrindex-remove", "n_tombstoned": 1}
+    assert lines[1]["job"] == "substrindex-compact"
+
+
+def test_cli_neardup_and_annindex_remove(spark, tmp_path, capsys):
+    from mysql2clickhouse_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(200)
+    d.write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    d.select("doc_id").limit(20).write.mode("overwrite").parquet(
+        str(tmp_path / "dead")
+    )
+    main(["neardup", "--index-dir", str(tmp_path / "nd"),
+          "--batch-dir", str(tmp_path / "b1")])
+    capsys.readouterr()
+    rc = main(["neardup", "--index-dir", str(tmp_path / "nd"),
+               "--remove-dir", str(tmp_path / "dead"), "--compact"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[0] == {"job": "neardup-remove", "n_tombstoned": 20}
+    assert lines[1]["job"] == "neardup-compact"
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(300)
+    emb.write.mode("overwrite").parquet(str(tmp_path / "vecs"))
+    emb.select("vec_id").limit(25).write.mode("overwrite").parquet(
+        str(tmp_path / "vdead")
+    )
+    main(["annindex", "--index-dir", str(tmp_path / "ai"), "--dim", "64",
+          "--add-dir", str(tmp_path / "vecs")])
+    capsys.readouterr()
+    rc = main(["annindex", "--index-dir", str(tmp_path / "ai"),
+               "--remove-dir", str(tmp_path / "vdead"), "--compact"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[0] == {"job": "annindex-remove", "n_tombstoned": 25}
+    assert lines[1]["job"] == "annindex-compact"
