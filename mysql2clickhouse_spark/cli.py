@@ -224,6 +224,22 @@ def _emit(obj) -> None:
     print(json.dumps(obj, default=str), flush=True)
 
 
+def _store_maintenance(spark, args, idx, name: str) -> bool:
+    """The remove/compact prologue every maintained-store subcommand
+    shares (neardup, annindex, bm25index, substrindex) — one
+    implementation so a lifecycle change lands once, not four times.
+    Returns whether anything ran."""
+    acted = False
+    if getattr(args, "remove_dir", None):
+        n = idx.remove_batch(spark.read.parquet(args.remove_dir))
+        _emit({"job": f"{name}-remove", "n_tombstoned": n})
+        acted = True
+    if args.compact:
+        _emit({"job": f"{name}-compact", **idx.compact()})
+        acted = True
+    return acted
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from .session import get_spark
@@ -342,14 +358,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.neardup_index import MinHashIndex
 
         idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
-        acted = False
-        if args.remove_dir:
-            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
-            _emit({"job": "neardup-remove", "n_tombstoned": n})
-            acted = True
-        if args.compact:
-            _emit({"job": "neardup-compact", **idx.compact()})
-            acted = True
+        acted = _store_maintenance(spark, args, idx, "neardup")
         if args.batch_dir:
             pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
             out = {"n_pairs": pairs.count()}
@@ -370,14 +379,7 @@ def main(argv: list[str] | None = None) -> int:
         idx = IVFIndex(spark, args.index_dir, dim=args.dim,
                        n_list=args.n_list, pq_m=args.pq_m,
                        pq_ksub=args.pq_ksub)
-        acted = False
-        if args.remove_dir:
-            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
-            _emit({"job": "annindex-remove", "n_tombstoned": n})
-            acted = True
-        if args.compact:
-            _emit({"job": "annindex-compact", **idx.compact()})
-            acted = True
+        acted = _store_maintenance(spark, args, idx, "annindex")
         if args.add_dir:
             batch = spark.read.parquet(args.add_dir)
             # build() returns the ingested row count from its internal
@@ -408,14 +410,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.bm25_index import BM25Index
 
         idx = BM25Index(spark, args.index_dir, n_buckets=args.n_buckets)
-        acted = False
-        if args.remove_dir:
-            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
-            _emit({"job": "bm25index-remove", "n_tombstoned": n})
-            acted = True
-        if args.compact:
-            _emit({"job": "bm25index-compact", **idx.compact()})
-            acted = True
+        acted = _store_maintenance(spark, args, idx, "bm25index")
         if args.add_dir:
             n = idx.add_batch(spark.read.parquet(args.add_dir))
             _emit({"job": "bm25index-add", "docs_indexed": n})
@@ -445,14 +440,7 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:  # fresh store without --gram-k
             _emit({"error": str(e)})
             return 2
-        acted = False
-        if args.remove_dir:
-            n = idx.remove_batch(spark.read.parquet(args.remove_dir))
-            _emit({"job": "substrindex-remove", "n_tombstoned": n})
-            acted = True
-        if args.compact:
-            _emit({"job": "substrindex-compact", **idx.compact()})
-            acted = True
+        acted = _store_maintenance(spark, args, idx, "substrindex")
         if args.add_dir:
             report = idx.add_batch(spark.read.parquet(args.add_dir))
             out = {"job": "substrindex-add", "n_docs": report.count(),

@@ -548,12 +548,16 @@ class IVFIndex:
         untouched or rolls forward at next entry.
 
         Tombstones are applied PHYSICALLY in the same rewrite — the
-        deleted rows drop from the lists, the ids ledger forgets them
-        (so a deleted id can re-ingest, the BM25 store's contract), and
-        the tombstone table clears. A crash at any point is safe: the
-        lists swap converges at the next entry; a stale ledger merely
-        blocks re-ingest until the next compact; stale tombstones are
-        no-op anti-joins and clear on the next compact."""
+        deleted rows drop from the lists, and the ids-ledger forget and
+        the tombstone CLEAR commit together through the ingest journal
+        (one replace-mode marker): a deleted id becomes re-ingestable
+        at exactly the moment the tombstone stops hiding it. A crash at
+        any point is safe: the lists swap converges at the next entry,
+        and until the journal commit the ledger still blocks re-ingest
+        while the tombstones still filter searches — never a state
+        where a re-ingested id is silently hidden (the stale-tombstone
+        window the round-9 self-review reproduced, fixed in all 4
+        stores)."""
         self.recover()
         if not self.fs.is_dir(self.lists_path):
             return {"files_before": 0, "files_after": 0, "rows": 0}
@@ -581,17 +585,19 @@ class IVFIndex:
             self.fs.rmtree(marker)
         if tombs is not None:
             if self._has_files(self.ids_path):
-                # ledger forgets the deleted ids, via the ingest
-                # journal's whole-dir replace swap (only ids staged)
+                # ledger forgets the deleted ids via the ingest
+                # journal's whole-dir replace swap
                 (
                     self.spark.read.parquet(self.ids_path)
                     .join(tombs, "cid", "left_anti")
                     .write.mode("overwrite")
                     .parquet(os.path.join(self.ingest_staging_path, "ids"))
                 )
-                self._ingest_journal().commit(replace=True)
-            if self.fs.exists(self.tombstones_path):
-                self.fs.rmtree(self.tombstones_path)
+            # the CLEARED (empty) tombstone set swaps in under the SAME
+            # marker as the ledger forget — atomic, never a stale
+            # tombstone hiding a now-re-ingestable id
+            self.fs.makedirs(os.path.join(self.ingest_staging_path, "tombstones"))
+            self._ingest_journal().commit(replace=True)
         return {
             "files_before": files_before,
             "files_after": self._n_data_files(),

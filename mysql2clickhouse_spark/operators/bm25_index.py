@@ -215,10 +215,11 @@ class BM25Index:
         """Apply tombstones PHYSICALLY: rewrite postings (bucketed, one
         file per bucket — also fixing per-ingest small-file decay) and
         doclens without the deleted docs, committed as the journal's
-        whole-dir replace swap; tombstones clear afterwards (a crash
-        between the swap and the clear leaves stale tombstones whose
-        ids no longer exist in the store — harmless no-ops, cleared by
-        the next compact)."""
+        whole-dir replace swap; the CLEARED tombstone set rides the
+        same commit (an empty staged dir), so the rewrites and the
+        clear can never land separately — a crash at any point either
+        leaves the store fully pre-compact or rolls the whole set
+        forward at the next entry."""
         self.recover()
         report: dict = {}
         if not self._has_files(self.doclens_path):
@@ -243,9 +244,13 @@ class BM25Index:
                 postings, os.path.join(staging, "postings")
             )
         doclens.write.mode("overwrite").parquet(os.path.join(staging, "doclens"))
+        if tombs is not None:
+            # the CLEARED (empty) tombstone set swaps in atomically
+            # with the rewrites — a stale tombstone surviving a partial
+            # compact would hide, then silently delete, a re-ingested
+            # doc (round-9 self-review finding, fixed in all 4 stores)
+            self.fs.makedirs(os.path.join(staging, "tombstones"))
         self._journal().commit(replace=True)
-        if self.fs.exists(self.tombstones_path):
-            self.fs.rmtree(self.tombstones_path)
         report["postings"] = {
             "files_before": files_before,
             "files_after": len(

@@ -42,12 +42,14 @@ candidate nets are identical by construction. ``dedup_incremental``
 
 Delete lifecycle (round 9 — the same tombstone discipline as
 ``BM25Index``/``IVFIndex``): ``remove_batch`` journals doc ids into
-``tombstones/`` (whole-dir swap, crash-converged); every subsequent
-``add_batch`` filters its candidate pairs against the tombstone set
-(batch-bounded anti-join — the store is untouched), so deleted docs
-answer as never ingested; ``compact`` applies tombstones physically
-(both store tables rewritten without the deleted rows) and clears
-them, after which a deleted id may re-ingest as new.
+``tombstones/`` through the shared ``StagedCommit`` maintenance
+journal; every subsequent ``add_batch`` filters its candidate pairs
+against the tombstone set (batch-bounded anti-join — the store is
+untouched), so deleted docs answer as never ingested; ``compact``
+applies tombstones physically — the sigs rewrite, the bands rewrite,
+and the cleared tombstone set all promote under ONE commit marker, so
+no crash can leave a stale tombstone hiding a re-ingestable id — after
+which a deleted id may re-ingest as new.
 ``dedup_minhash_index_deletes`` (plans/extensions.py) certifies the
 logical phase, the physical store content, and post-compact re-ingest
 as one oracle row.
@@ -65,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fs import fs_for
+from .journal import StagedCommit
 from ..functions.minhash import (
     DEFAULT_BANDS,
     DEFAULT_ESTIMATE_MARGIN,
@@ -126,10 +129,13 @@ class MinHashIndex:
         return os.path.join(self.path, "tombstones")
 
     def _exists(self) -> bool:
-        return os.path.isdir(self.sigs_path)
+        # through the fs seam, so hdfs://s3a:// index roots work (the
+        # review caught remove_batch silently no-oping on remote roots
+        # via a bare os.path.isdir here)
+        return self.fs.is_dir(self.sigs_path)
 
     def _tombstones(self) -> DataFrame | None:
-        if not os.path.isdir(self.tombstones_path) or not any(
+        if not self.fs.is_dir(self.tombstones_path) or not any(
             n.endswith(".parquet") for n in self.fs.listdir(self.tombstones_path)
         ):
             return None
@@ -307,18 +313,42 @@ class MinHashIndex:
     # --- store maintenance ---------------------------------------------------
 
     def _staging(self, store: str) -> str:
+        """Legacy (pre-round-9) per-store swap staging path — kept so
+        ``recover`` converges stores crashed under the old protocol."""
         return store + "__compactidx"
 
+    @property
+    def maint_staging_path(self) -> str:
+        return os.path.join(self.path, "__maint_staging")
+
+    def _journal(self) -> StagedCommit:
+        """The maintenance journal: sigs, bands, AND the tombstone set
+        commit under ONE marker (replace mode), so a compaction's store
+        rewrites and its tombstone clear can never land separately —
+        the crash window the round-9 self-review reproduced (stale
+        tombstones after a partial compact silently hide, then delete,
+        a re-ingested doc). Constructed per call so crash tests can
+        swap ``self.fs``."""
+        return StagedCommit(
+            self.spark,
+            self.fs,
+            self.maint_staging_path,
+            (
+                ("sigs", self.sigs_path),
+                ("bands", self.bands_path),
+                ("tombstones", self.tombstones_path),
+            ),
+        )
+
     def recover(self) -> int:
-        """Roll forward any committed-but-interrupted compaction swap
-        (and clear debris: torn markers, a stale live-path marker left
-        by a crash between rename and marker removal) — called at
-        ``add_batch`` and ``compact`` entry, same contract as the
-        runner's ``recover_all``. Returns the number of true
-        roll-forwards; control-plane listings only."""
+        """Converge any interrupted maintenance commit (journal) plus
+        any legacy per-store swap left by the pre-round-9 protocol —
+        called at ``add_batch``, ``remove_batch``, and ``compact``
+        entry, same contract as the runner's ``recover_all``. Returns
+        the number of true roll-forwards; control-plane listings only."""
         import json
 
-        rolled = 0
+        rolled = self._journal().recover()
         for store in (self.sigs_path, self.bands_path, self.tombstones_path):
             staging = self._staging(store)
             marker = os.path.join(staging, _SWAP_MARKER)
@@ -337,23 +367,6 @@ class MinHashIndex:
                 self.fs.rmtree(stale)
         return rolled
 
-    def _commit_swap(self, store: str) -> None:
-        """COMMIT POINT of the whole-dir swap: marker the staged dir
-        (atomic), delete-and-rename into place, drop the marker from
-        the now-live dir. Everything before the marker write is
-        reconstructible debris; everything after is rolled forward by
-        ``recover()`` if interrupted."""
-        staging = self._staging(store)
-        self.fs.write_text_atomic(
-            os.path.join(staging, _SWAP_MARKER), '{"whole": true}'
-        )
-        if self.fs.exists(store):
-            self.fs.rmtree(store)
-        self.fs.rename(staging, store)
-        marker = os.path.join(store, _SWAP_MARKER)
-        if self.fs.exists(marker):
-            self.fs.rmtree(marker)
-
     def remove_batch(self, ids: DataFrame) -> int:
         """Mark documents DELETED; returns the number newly tombstoned.
         Idempotent: ids never ingested, or already tombstoned, are
@@ -366,10 +379,9 @@ class MinHashIndex:
         deleted id may re-ingest as a brand-new document (pre-compact
         redelivery of a tombstoned id is dropped by the ingest
         anti-join — the store cannot hold two signature rows for one
-        id). The tombstone write is the same journaled whole-dir swap
-        as compaction: the merged tombstone set stages beside the live
-        dir and promotes through ``_commit_swap``, so a crash leaves
-        either the old set or the new set, never a torn one."""
+        id). The tombstone write commits through the maintenance
+        journal (replace mode, tombstones route only), so a crash
+        leaves either the old set or the new set, never a torn one."""
         self.recover()
         ids = ids.select(self.id_col).dropDuplicates([self.id_col])
         if not self._exists():
@@ -388,8 +400,10 @@ class MinHashIndex:
         if n == 0:
             return 0
         merged = ids if tombs is None else tombs.localCheckpoint().unionByName(ids)
-        merged.write.mode("overwrite").parquet(self._staging(self.tombstones_path))
-        self._commit_swap(self.tombstones_path)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.maint_staging_path, "tombstones")
+        )
+        self._journal().commit(replace=True)
         return n
 
     def compact(self) -> dict:
@@ -418,15 +432,19 @@ class MinHashIndex:
         self.recover()
         report: dict = {}
         rows_per_file = 2_000_000
-        # tombstones apply PHYSICALLY here: both rewrites drop the
-        # deleted docs' rows, and the tombstone set clears afterwards
-        # (a crash between the swaps and the clear leaves stale
-        # tombstones whose ids no longer exist in the store — harmless
-        # no-ops on the pair filter, cleared by the next compact; same
-        # window as BM25Index.compact, same runbook: re-run compact)
+        # tombstones apply PHYSICALLY here. The sigs rewrite, the bands
+        # rewrite, AND the cleared (empty) tombstone set all stage under
+        # ONE journal commit — they can never land separately. The old
+        # per-store-swap form had a window where the store had already
+        # forgotten a deleted id but the stale tombstone survived; a
+        # re-ingest of that id then lost its pairs silently and the
+        # NEXT compact deleted it (reproduced in the round-9
+        # self-review). One marker closes the whole class.
         tombs = self._tombstones()
         if tombs is not None:
             tombs = tombs.localCheckpoint()  # sever before tombstones/ clears
+        staging = self.maint_staging_path
+        staged = []
         for store, part_col in ((self.sigs_path, None), (self.bands_path, "band_idx")):
             if not self.fs.is_dir(store):
                 continue
@@ -436,23 +454,29 @@ class MinHashIndex:
             if tombs is not None:
                 df = df.join(tombs, self.id_col, "left_anti")
             nfiles = max(1, math.ceil(df.count() / rows_per_file))
-            staging = self._staging(store)
+            dst = os.path.join(staging, name)
             if part_col:
                 (
                     df.repartition(nfiles, F.col(part_col), F.col("band_hash"))
                     .write.mode("overwrite")
                     .partitionBy(part_col)
-                    .parquet(staging)
+                    .parquet(dst)
                 )
             else:
-                df.repartition(nfiles).write.mode("overwrite").parquet(staging)
-            self._commit_swap(store)
+                df.repartition(nfiles).write.mode("overwrite").parquet(dst)
+            staged.append((name, store, files_before))
+        if not staged:
+            return report
+        if tombs is not None:
+            # an EMPTY staged tombstones dir = the cleared set; the
+            # replace promotion swaps it in atomically with the stores
+            self.fs.makedirs(os.path.join(staging, "tombstones"))
+        self._journal().commit(replace=True)
+        for name, store, files_before in staged:
             report[name] = {
                 "files_before": files_before,
                 "files_after": sum(1 for _ in self._data_files(store)),
             }
-        if tombs is not None and self.fs.exists(self.tombstones_path):
-            self.fs.rmtree(self.tombstones_path)
         return report
 
     def _data_files(self, store: str):

@@ -362,11 +362,12 @@ class SubstringIndex:
             return report
         staging = self.staging_path
         # tombstones apply PHYSICALLY here: deleted docs' first-
-        # occurrence rows and ledger rows are dropped from the rewrite,
-        # and the tombstone set clears after the swap (a crash between
-        # the two leaves stale tombstones whose rows no longer exist —
-        # harmless anti-join no-ops, cleared by the next compact; same
-        # window and runbook as BM25Index.compact)
+        # occurrence rows and ledger rows drop from the rewrite, and
+        # the CLEARED (empty) tombstone set stages through the SAME
+        # replace commit — rewrite and clear can never land separately.
+        # (A stale tombstone surviving a partial compact would hide,
+        # then on the next compact silently delete, a re-ingested doc —
+        # the crash window the round-9 self-review reproduced.)
         tombs = self._tombstones()
         if tombs is not None:
             tombs = tombs.localCheckpoint()  # sever before tombstones/ clears
@@ -384,9 +385,11 @@ class SubstringIndex:
         docs.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(staging, "docs")
         )
+        if tombs is not None:
+            # an EMPTY staged dir = the cleared set, swapped in with
+            # the store rewrites under the one commit marker
+            self.fs.makedirs(os.path.join(staging, "tombstones"))
         self._journal().commit(replace=True)
-        if tombs is not None and self.fs.exists(self.tombstones_path):
-            self.fs.rmtree(self.tombstones_path)
         report["firsts"] = {
             "files_before": files_before,
             "files_after": len(

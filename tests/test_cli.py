@@ -338,13 +338,14 @@ def test_cli_neardup_and_annindex_remove(spark, tmp_path, capsys):
     from mysql2clickhouse_spark.sources.tables import load_table
     import pyspark.sql.functions as F
 
-    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "text"
-    ).limit(200)
-    d.write.mode("overwrite").parquet(str(tmp_path / "b1"))
-    d.select("doc_id").limit(20).write.mode("overwrite").parquet(
-        str(tmp_path / "dead")
-    )
+    ).limit(200).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    # derive the delete set from the WRITTEN batch (a re-evaluated
+    # limit() is not guaranteed to pick the same rows)
+    spark.read.parquet(str(tmp_path / "b1")).select("doc_id").orderBy(
+        "doc_id"
+    ).limit(20).write.mode("overwrite").parquet(str(tmp_path / "dead"))
     main(["neardup", "--index-dir", str(tmp_path / "nd"),
           "--batch-dir", str(tmp_path / "b1")])
     capsys.readouterr()
@@ -359,9 +360,9 @@ def test_cli_neardup_and_annindex_remove(spark, tmp_path, capsys):
         "vec_id", "embedding"
     ).limit(300)
     emb.write.mode("overwrite").parquet(str(tmp_path / "vecs"))
-    emb.select("vec_id").limit(25).write.mode("overwrite").parquet(
-        str(tmp_path / "vdead")
-    )
+    spark.read.parquet(str(tmp_path / "vecs")).select("vec_id").orderBy(
+        "vec_id"
+    ).limit(25).write.mode("overwrite").parquet(str(tmp_path / "vdead"))
     main(["annindex", "--index-dir", str(tmp_path / "ai"), "--dim", "64",
           "--add-dir", str(tmp_path / "vecs")])
     capsys.readouterr()

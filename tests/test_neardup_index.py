@@ -171,12 +171,13 @@ def test_compact_crash_after_commit_rolls_forward(spark, tmp_path):
     idx.fs = _FailNthRename(fail_on=1)
     with pytest.raises(OSError, match="injected"):
         idx.compact()
-    assert os.path.exists(idx._staging(idx.sigs_path))  # staged, committed
-    assert not os.path.isdir(idx.sigs_path)             # live dir deleted
+    # staged + committed under the maintenance journal, live dir deleted
+    assert os.path.isdir(os.path.join(idx.maint_staging_path, "sigs"))
+    assert not os.path.isdir(idx.sigs_path)
 
     idx.fs = LocalFS()
     acc = acc.unionByName(idx.add_batch(batches[2]))    # recover() at entry
-    assert not os.path.exists(idx._staging(idx.sigs_path))
+    assert not os.path.exists(idx.maint_staging_path)
     full = verified_near_dups(corpus, "doc_id", threshold=0.7)
     assert idx.pairs_equal(full, acc)
     corpus.unpersist()
@@ -220,7 +221,7 @@ def test_delete_lifecycle_logical_physical_reingest(spark, tmp_path):
 
     # PHYSICAL: compact drops the doomed rows and clears tombstones
     idx.compact()
-    assert not os.path.isdir(idx.tombstones_path)
+    assert idx._tombstones() is None  # cleared (empty swapped-in dir)
     stored = {
         r.doc_id
         for r in spark.read.parquet(idx.sigs_path).select("doc_id").collect()
@@ -264,8 +265,9 @@ def test_remove_batch_crash_rolls_forward(spark, tmp_path):
     idx.fs = _FailNthRename(fail_on=1)  # first fs.rename IS the swap
     with pytest.raises(OSError, match="injected"):
         idx.remove_batch(doomed)
-    assert os.path.exists(idx._staging(idx.tombstones_path))  # committed
-    assert not os.path.isdir(idx.tombstones_path)
+    # committed in the journal, not yet promoted
+    assert os.path.isdir(os.path.join(idx.maint_staging_path, "tombstones"))
+    assert idx._tombstones() is None  # cleared (empty swapped-in dir)
 
     idx.fs = LocalFS()
     p1 = idx.add_batch(_mutants(d))  # recover() at entry applies the delete
@@ -275,4 +277,56 @@ def test_remove_batch_crash_rolls_forward(spark, tmp_path):
     )
     want = full.filter((F.col("id_a") >= MUT) | (F.col("id_b") >= MUT))
     assert idx.pairs_equal(want, p1)
+    d.unpersist()
+
+
+def test_compact_crash_cannot_strand_stale_tombstones(spark, tmp_path):
+    """Regression for the reproduced round-9 review finding: under the
+    old per-store-swap protocol, a crash after the store swaps but
+    before the tombstone clear left a stale tombstone that silently hid
+    (and on the next compact, deleted) a re-ingested doc. The journal
+    commits sigs + bands + cleared tombstones under ONE marker, so any
+    partial promotion converges at the next entry and the re-ingested
+    deleted id pairs normally."""
+    import pytest
+
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailNthRename(LocalFS):
+        def __init__(self, fail_on: int):
+            self.calls = 0
+            self.fail_on = fail_on
+
+        def rename(self, src, dst):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise OSError(f"injected rename failure #{self.calls}: {src}")
+            super().rename(src, dst)
+
+    d = _base(spark).cache()
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(d)
+    idx.add_batch(_mutants(d))
+    doomed = d.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    idx.remove_batch(doomed)
+
+    # crash AFTER sigs+bands promoted but BEFORE the tombstone swap —
+    # exactly the old protocol's poison state
+    idx.fs = _FailNthRename(fail_on=3)
+    with pytest.raises(OSError, match="injected"):
+        idx.compact()
+    assert os.path.isdir(os.path.join(idx.maint_staging_path, "tombstones"))
+
+    # re-ingest one deleted id: recover() at entry converges the clear
+    # first, so the doc is judged as brand-new and pairs with its mutant
+    idx.fs = LocalFS()
+    d0 = min(r.doc_id for r in doomed.collect())
+    p = idx.add_batch(d.filter(F.col("doc_id") == d0))
+    assert (d0, d0 + MUT) in {(r.id_a, r.id_b) for r in p.collect()}
+    assert idx._tombstones() is None  # cleared, not stale
+    # a further compact must keep the re-ingested doc
+    idx.compact()
+    stored = {r.doc_id for r in spark.read.parquet(idx.sigs_path)
+              .select("doc_id").collect()}
+    assert d0 in stored
     d.unpersist()

@@ -156,7 +156,7 @@ def test_delete_forget_semantics_logical(spark, tmp_path):
 
     # PHYSICAL: compact drops the deleted docs' rows + ledger entries
     idx.compact()
-    assert not os.path.isdir(idx.tombstones_path)
+    assert idx._tombstones() is None  # cleared (empty swapped-in dir)
     owners = {
         r.doc_id for r in spark.read.parquet(idx.firsts_path).select("doc_id").collect()
     }
@@ -219,3 +219,51 @@ def test_path_only_reopen_adopts_geometry(spark, tmp_path):
     assert by[30][2] == 6
     with pytest.raises(ValueError, match="built with k"):
         SubstringIndex(spark, path, k=K + 1)
+
+
+def test_compact_crash_cannot_strand_stale_tombstones(spark, tmp_path):
+    """Regression for the reproduced round-9 review finding: a crash
+    between the compact promotion and the tombstone clear must not
+    leave a stale tombstone that hides (and later silently deletes) a
+    re-ingested doc — the cleared set now rides the same commit."""
+    import os
+
+    import pytest
+
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailNthRename(LocalFS):
+        def __init__(self, fail_on: int):
+            self.calls = 0
+            self.fail_on = fail_on
+
+        def rename(self, src, dst):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise OSError(f"injected rename failure #{self.calls}: {src}")
+            super().rename(src, dst)
+
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    idx.add_batch(_mk(spark, B1))
+    idx.remove_batch(_ids(spark, [1]))
+
+    # replace-mode promotion order is (firsts, docs, tombstones): fail
+    # the THIRD rename — stores swapped, clear still staged
+    idx.fs = _FailNthRename(fail_on=3)
+    with pytest.raises(OSError, match="injected"):
+        idx.compact()
+    assert os.path.isdir(os.path.join(idx.staging_path, "tombstones"))
+
+    # re-ingest the deleted doc: recover() at entry converges the clear
+    # first — judged fresh, grams re-enter, and a further compact keeps
+    # them (the old protocol silently deleted them here)
+    idx2 = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    by = {r[0]: r for r in _rows(idx2.add_batch(_mk(spark, [(1, "w1 w2 w3 w4 w5 w6")])))}
+    assert by[1][2] == 0
+    assert idx2._tombstones() is None
+    idx2.compact()
+    owners = {
+        r.doc_id
+        for r in spark.read.parquet(idx2.firsts_path).select("doc_id").collect()
+    }
+    assert 1 in owners
