@@ -355,32 +355,24 @@ class IVFIndex:
         answer as if the vectors were never ingested; ``compact``
         applies tombstones physically and forgets the ids (so a deleted
         id can re-ingest — the BM25 store's contract)."""
+        from .journal import journaled_tombstone_append
+
         self.recover()
-        ids = ids.select(F.col(self.id_col).alias("cid")).dropDuplicates(["cid"])
+        ids = ids.select(F.col(self.id_col).alias("cid"))
         if self._has_files(self.ids_path):
-            ids = ids.join(
-                self.spark.read.parquet(self.ids_path), "cid", "left_semi"
-            )
+            ledger = self.spark.read.parquet(self.ids_path)
         elif self.fs.is_dir(self.lists_path):
-            ids = ids.join(
-                self.spark.read.parquet(self.lists_path).select("cid"),
-                "cid",
-                "left_semi",
-            )
+            ledger = self.spark.read.parquet(self.lists_path).select("cid")
         else:
             return 0
-        tombs = self._tombstones()
-        if tombs is not None:
-            ids = ids.join(tombs, "cid", "left_anti")
-        ids = ids.localCheckpoint()  # sever from tombstones/ pre-commit
-        n = ids.count()
-        if n == 0:
-            return 0
-        ids.write.mode("overwrite").parquet(
-            os.path.join(self.ingest_staging_path, "tombstones")
+        return journaled_tombstone_append(
+            self._ingest_journal(),
+            self.ingest_staging_path,
+            ids,
+            "cid",
+            ledger,
+            self._tombstones(),
         )
-        self._ingest_journal().commit()
-        return n
 
     def _tombstones(self) -> DataFrame | None:
         if not self._has_files(self.tombstones_path):

@@ -181,30 +181,19 @@ class BM25Index:
         ``search`` then answers as if the docs were never ingested
         (N/avgdl/df recompute over the survivors); ``compact`` applies
         tombstones physically."""
+        from .journal import journaled_tombstone_append
+
         self.recover()
-        ids = ids.select(self.id_col).dropDuplicates([self.id_col])
         if not self._has_files(self.doclens_path):
             return 0
-        ids = ids.join(
-            self.spark.read.parquet(self.doclens_path).select(self.id_col),
+        return journaled_tombstone_append(
+            self._journal(),
+            self.staging_path,
+            ids,
             self.id_col,
-            "left_semi",
+            self.spark.read.parquet(self.doclens_path).select(self.id_col),
+            self._tombstones(),
         )
-        if self._has_files(self.tombstones_path):
-            ids = ids.join(
-                self.spark.read.parquet(self.tombstones_path),
-                self.id_col,
-                "left_anti",
-            )
-        ids = ids.localCheckpoint()  # sever from tombstones/ pre-commit
-        n = ids.count()
-        if n == 0:
-            return 0
-        ids.write.mode("overwrite").parquet(
-            os.path.join(self.staging_path, "tombstones")
-        )
-        self._journal().commit()
-        return n
 
     def _tombstones(self) -> DataFrame | None:
         if not self._has_files(self.tombstones_path):

@@ -380,31 +380,22 @@ class MinHashIndex:
         redelivery of a tombstoned id is dropped by the ingest
         anti-join — the store cannot hold two signature rows for one
         id). The tombstone write commits through the maintenance
-        journal (replace mode, tombstones route only), so a crash
-        leaves either the old set or the new set, never a torn one."""
+        journal (append mode — the shared remove_batch body of all
+        four stores), so a crash leaves either the old set or the
+        converged new set, never a torn one."""
+        from .journal import journaled_tombstone_append
+
         self.recover()
-        ids = ids.select(self.id_col).dropDuplicates([self.id_col])
         if not self._exists():
             return 0
-        ids = ids.join(
-            self.spark.read.parquet(self.sigs_path).select(self.id_col),
+        return journaled_tombstone_append(
+            self._journal(),
+            self.maint_staging_path,
+            ids,
             self.id_col,
-            "left_semi",
+            self.spark.read.parquet(self.sigs_path).select(self.id_col),
+            self._tombstones(),
         )
-        tombs = self._tombstones()
-        if tombs is not None:
-            ids = ids.join(tombs, self.id_col, "left_anti")
-        # sever from tombstones/ BEFORE the swap replaces it
-        ids = ids.localCheckpoint()
-        n = ids.count()
-        if n == 0:
-            return 0
-        merged = ids if tombs is None else tombs.localCheckpoint().unionByName(ids)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.maint_staging_path, "tombstones")
-        )
-        self._journal().commit(replace=True)
-        return n
 
     def compact(self) -> dict:
         """Rewrite both store tables to a bounded file count — every

@@ -233,27 +233,19 @@ class SubstringIndex:
         a brand-new document; pre-compact redelivery of a tombstoned
         id is dropped by the ledger anti-join (same epoch rule as
         ``BM25Index``)."""
+        from .journal import journaled_tombstone_append
+
         self.recover()
-        ids = ids.select(self.id_col).dropDuplicates([self.id_col])
         if not self._has_files(self.docs_path):
             return 0
-        ids = ids.join(
-            self.spark.read.parquet(self.docs_path).select(self.id_col),
+        return journaled_tombstone_append(
+            self._journal(),
+            self.staging_path,
+            ids,
             self.id_col,
-            "left_semi",
+            self.spark.read.parquet(self.docs_path).select(self.id_col),
+            self._tombstones(),
         )
-        tombs = self._tombstones()
-        if tombs is not None:
-            ids = ids.join(tombs, self.id_col, "left_anti")
-        ids = ids.localCheckpoint()  # sever from tombstones/ pre-commit
-        n = ids.count()
-        if n == 0:
-            return 0
-        ids.write.mode("overwrite").parquet(
-            os.path.join(self.staging_path, "tombstones")
-        )
-        self._journal().commit()
-        return n
 
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its per-doc removal report
