@@ -123,6 +123,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     nd = sub.add_parser("neardup", help="incremental near-dup index: ingest one batch")
     nd.add_argument("--index-dir", required=True, help="persistent index root")
+    nd.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (docs/tombstones/files)")
     nd.add_argument("--batch-dir", default=None,
                     help="parquet batch with (doc_id, text)")
     nd.add_argument("--threshold", type=float, default=0.7)
@@ -138,6 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     ai = sub.add_parser("annindex", help="persistent incremental IVF index")
     ai.add_argument("--index-dir", required=True, help="index root")
+    ai.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (vectors/tombstones/files)")
     ai.add_argument("--dim", type=int, default=None,
                     help="embedding dim (required for a NEW index; an "
                          "existing index reads it from manifest.json)")
@@ -170,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     bi = sub.add_parser("bm25index", help="persistent incremental BM25 inverted index")
     bi.add_argument("--index-dir", required=True, help="store root")
+    bi.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (docs/tombstones/files)")
     bi.add_argument("--n-buckets", type=int, default=32,
                     help="postings buckets for a NEW store (an existing "
                          "store reads its geometry from the meta)")
@@ -192,6 +198,8 @@ def build_parser() -> argparse.ArgumentParser:
              "exact-substring dedup)",
     )
     si.add_argument("--index-dir", required=True, help="store root")
+    si.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (grams/docs/tombstones/files)")
     si.add_argument("--gram-k", type=int, default=None,
                     help="k-gram width for a NEW store (an existing store "
                          "adopts it from the meta)")
@@ -236,6 +244,9 @@ def _store_maintenance(spark, args, idx, name: str) -> bool:
         acted = True
     if args.compact:
         _emit({"job": f"{name}-compact", **idx.compact()})
+        acted = True
+    if getattr(args, "stats", False):
+        _emit({"job": f"{name}-stats", **idx.stats()})
         acted = True
     return acted
 
@@ -368,8 +379,8 @@ def main(argv: list[str] | None = None) -> int:
             _emit(out)
             acted = True
         if not acted:
-            _emit({"error": "neardup needs --batch-dir, --remove-dir "
-                            "and/or --compact"})
+            _emit({"error": "neardup needs --batch-dir, --remove-dir, "
+                            "--stats and/or --compact"})
             return 2
         return 0
 
@@ -402,7 +413,7 @@ def main(argv: list[str] | None = None) -> int:
             acted = True
         if not acted:
             _emit({"error": "annindex needs --add-dir, --search-dir, "
-                            "--remove-dir and/or --compact"})
+                            "--remove-dir, --stats and/or --compact"})
             return 2
         return 0
 
@@ -426,7 +437,7 @@ def main(argv: list[str] | None = None) -> int:
             acted = True
         if not acted:
             _emit({"error": "bm25index needs --add-dir, --search, "
-                            "--remove-dir and/or --compact"})
+                            "--remove-dir, --stats and/or --compact"})
             return 2
         return 0
 
@@ -451,8 +462,8 @@ def main(argv: list[str] | None = None) -> int:
             _emit(out)
             acted = True
         if not acted:
-            _emit({"error": "substrindex needs --add-dir, --remove-dir "
-                            "and/or --compact"})
+            _emit({"error": "substrindex needs --add-dir, --remove-dir, "
+                            "--stats and/or --compact"})
             return 2
         return 0
 

@@ -596,6 +596,23 @@ class IVFIndex:
             "rows": n,
         }
 
+    def stats(self) -> dict:
+        """Operational snapshot: ingested vectors (ids ledger; falls
+        back to a lists count for pre-ledger stores), pending
+        tombstones, and the lists file census (compaction trigger)."""
+        if self._has_files(self.ids_path):
+            n = self.spark.read.parquet(self.ids_path).count()
+        elif self.fs.is_dir(self.lists_path):
+            n = self.spark.read.parquet(self.lists_path).count()
+        else:
+            n = 0
+        tombs = self._tombstones()
+        return {
+            "n_vectors": n,
+            "n_tombstoned": tombs.count() if tombs is not None else 0,
+            "lists_files": self._n_data_files(),
+        }
+
     def _n_data_files(self) -> int:
         """Report-only parquet census (local paths only, like
         ``MinHashIndex._data_files``)."""

@@ -359,3 +359,17 @@ class BM25Index:
         if not self._has_files(self.doclens_path):
             return 0
         return self.spark.read.parquet(self.doclens_path).count()
+
+    def stats(self) -> dict:
+        """Operational snapshot: live doc count, pending tombstones,
+        and the postings file census (the compaction trigger)."""
+        tombs = self._tombstones()
+        return {
+            "n_docs": self.n_docs(),
+            "n_tombstoned": tombs.count() if tombs is not None else 0,
+            "postings_files": len(
+                [n for n in self.fs.listdir(self.postings_path)
+                 if n.endswith(".parquet")]
+            ) if self._has_files(self.postings_path) else 0,
+        }
+

@@ -470,6 +470,17 @@ class MinHashIndex:
             }
         return report
 
+    def stats(self) -> dict:
+        """Operational snapshot: ingested docs, pending tombstones,
+        and the band file census (the compaction trigger)."""
+        tombs = self._tombstones()
+        return {
+            "n_docs": self.spark.read.parquet(self.sigs_path).count()
+            if self._exists() else 0,
+            "n_tombstoned": tombs.count() if tombs is not None else 0,
+            "band_files": sum(1 for _ in self._data_files(self.bands_path)),
+        }
+
     def _data_files(self, store: str):
         """Report-only parquet file census (local paths; a remote index
         root reports 0 rather than paying a recursive RPC listing)."""

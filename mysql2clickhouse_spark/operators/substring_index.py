@@ -401,3 +401,18 @@ class SubstringIndex:
         if not self._has_files(self.firsts_path):
             return 0
         return self.spark.read.parquet(self.firsts_path).count()
+
+    def stats(self) -> dict:
+        """Operational snapshot: stored grams, ledgered docs, pending
+        tombstones, and the firsts file census (compaction trigger)."""
+        tombs = self._tombstones()
+        return {
+            "n_grams": self.n_grams(),
+            "n_docs": self.spark.read.parquet(self.docs_path).count()
+            if self._has_files(self.docs_path) else 0,
+            "n_tombstoned": tombs.count() if tombs is not None else 0,
+            "firsts_files": len(
+                [n for n in self.fs.listdir(self.firsts_path)
+                 if n.endswith(".parquet")]
+            ) if self._has_files(self.firsts_path) else 0,
+        }

@@ -47,7 +47,15 @@ aggregate classes being waived; the callers pass
 so an un-allowlisted exact aggregate — including a NEW class sneaking
 into an already-allowlisted query — fails CI, not review.
 
-``scripts/check_parity.py`` and the pytest oracle loop run all three
+Rule 4: NO row-at-a-time Python UDF (``BatchEvalPythonExec``). The
+row form pickles one row per crossing — the 10-100× slow path; every
+Python crossing in this engine is Arrow-batched (``pandas_udf`` /
+``mapInPandas`` / ``applyInPandas[WithState]``, which plan as
+``ArrowEvalPython``/``MapInPandas``/``FlatMapGroupsInPandas`` nodes,
+all allowed). No allowlist: no registered query has ever needed the
+row form, so one appearing is a regression by definition.
+
+``scripts/check_parity.py`` and the pytest oracle loop run all four
 rules on every extended-registry query right after building its frame;
 ``test_plan_shapes.py`` pins the detectors themselves plus the
 headline window queries.
@@ -56,6 +64,26 @@ headline window queries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def row_python_udfs(df: DataFrame) -> list[str]:
+    """Rule 4: NO row-at-a-time Python UDF anywhere in the planned
+    physical tree. ``BatchEvalPythonExec`` ships rows to the Python
+    worker one pickled row at a time — the 10-100× slow path the
+    Arrow-vectorized forms exist to avoid. Every Python crossing in
+    this engine is Arrow-batched (``ArrowEvalPythonExec``,
+    ``MapInPandasExec``, ``FlatMapGroupsInPandasExec``,
+    ``ApplyInPandasWithState``) — all allowed; there is no allowlist
+    for the row form because no registered query has ever needed it,
+    and one sneaking in should fail CI, not review."""
+    bad: list[str] = []
+
+    def check(node) -> None:
+        if node.getClass().getSimpleName().startswith("BatchEvalPython"):
+            bad.append(node.simpleString(200))
+
+    _walk(df._jdf.queryExecution().sparkPlan(), check)
+    return bad
 
 
 def _walk(node, hit) -> None:
@@ -205,9 +233,11 @@ def lint(
     grows a NEW kind of exact aggregate (e.g. a global collect_list in
     a percentile-twin suite) still fails CI. ``True`` waives every
     rule-3 class (gate self-tests only)."""
-    findings = [
-        f"UNPARTITIONED WINDOW: {s}" for s in unpartitioned_windows(df)
-    ] + [f"CARTESIAN PRODUCT: {s}" for s in cartesian_products(df)]
+    findings = (
+        [f"UNPARTITIONED WINDOW: {s}" for s in unpartitioned_windows(df)]
+        + [f"CARTESIAN PRODUCT: {s}" for s in cartesian_products(df)]
+        + [f"ROW PYTHON UDF: {s}" for s in row_python_udfs(df)]
+    )
     if allow_exact_aggregates is True:
         return findings
     allowed = allow_exact_aggregates or frozenset()

@@ -372,3 +372,33 @@ def test_cli_neardup_and_annindex_remove(spark, tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert lines[0] == {"job": "annindex-remove", "n_tombstoned": 25}
     assert lines[1]["job"] == "annindex-compact"
+
+
+def test_cli_store_stats(spark, tmp_path, capsys):
+    """--stats emits one JSON snapshot per store; fields reflect the
+    lifecycle state (post-remove tombstone count, post-compact zero)."""
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i")], "doc_id bigint, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    spark.createDataFrame([(1,)], "doc_id bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "dead"))
+
+    for cmd, extra, n_key in (
+        ("bm25index", [], "n_docs"),
+        ("substrindex", ["--gram-k", "4"], "n_docs"),
+        ("neardup", [], "n_docs"),
+    ):
+        idx_dir = str(tmp_path / f"idx_{cmd}")
+        ingest = "--batch-dir" if cmd == "neardup" else "--add-dir"
+        assert main([cmd, "--index-dir", idx_dir, *extra,
+                     ingest, str(tmp_path / "docs")]) == 0
+        capsys.readouterr()
+        assert main([cmd, "--index-dir", idx_dir,
+                     "--remove-dir", str(tmp_path / "dead"), "--stats"]) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        assert lines[-1]["job"] == f"{cmd}-stats"
+        assert lines[-1][n_key] == 2 and lines[-1]["n_tombstoned"] == 1
+        assert main([cmd, "--index-dir", idx_dir, "--compact", "--stats"]) == 0
+        lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        assert lines[-1]["n_tombstoned"] == 0

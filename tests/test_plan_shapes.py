@@ -549,3 +549,33 @@ def test_substring_membership_join_with_tombstones_stays_store_shuffle_free(
     assert plan.count("Exchange") == 4
     assert plan.count("BroadcastExchange") == 2
     assert plan.count("hashpartitioning(gram") == 1
+
+
+def test_row_python_udf_detector(spark):
+    """Rule 4 self-test: the row-at-a-time UDF form is flagged; every
+    Arrow-batched crossing (pandas_udf, mapInPandas) is not."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf
+
+    from mysql2clickhouse_spark.plans.plancheck import lint, row_python_udfs
+
+    @udf("long")
+    def slow(x):
+        return x + 1
+
+    @pandas_udf("long")
+    def fast(s):
+        return s + 1
+
+    df = spark.range(10)
+    assert row_python_udfs(df.select(slow(F.col("id"))))
+    assert any(
+        f.startswith("ROW PYTHON UDF") for f in lint(df.select(slow(F.col("id"))))
+    )
+    assert not row_python_udfs(df.select(fast(F.col("id"))))
+
+    def gen(it):
+        for p in it:
+            yield p
+
+    assert not row_python_udfs(df.mapInPandas(gen, "id long"))
