@@ -245,10 +245,17 @@ def _store_maintenance(spark, args, idx, name: str) -> bool:
     if args.compact:
         _emit({"job": f"{name}-compact", **idx.compact()})
         acted = True
+    return acted
+
+
+def _store_stats(args, idx, name: str) -> bool:
+    """The --stats epilogue: emitted AFTER any ingest/search action in
+    the same invocation, so the snapshot reflects what the command just
+    did (a combined --add-dir --stats reports the post-ingest store)."""
     if getattr(args, "stats", False):
         _emit({"job": f"{name}-stats", **idx.stats()})
-        acted = True
-    return acted
+        return True
+    return False
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -378,6 +385,7 @@ def main(argv: list[str] | None = None) -> int:
                 out["pairs_out"] = args.pairs_out
             _emit(out)
             acted = True
+        acted |= _store_stats(args, idx, "neardup")
         if not acted:
             _emit({"error": "neardup needs --batch-dir, --remove-dir, "
                             "--stats and/or --compact"})
@@ -411,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
                 for row in res.limit(50).collect():
                     _emit({"job": "annindex-search", **row.asDict()})
             acted = True
+        acted |= _store_stats(args, idx, "annindex")
         if not acted:
             _emit({"error": "annindex needs --add-dir, --search-dir, "
                             "--remove-dir, --stats and/or --compact"})
@@ -435,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
                 for row in res.collect():
                     _emit({"job": "bm25index-search", **row.asDict()})
             acted = True
+        acted |= _store_stats(args, idx, "bm25index")
         if not acted:
             _emit({"error": "bm25index needs --add-dir, --search, "
                             "--remove-dir, --stats and/or --compact"})
@@ -461,6 +471,7 @@ def main(argv: list[str] | None = None) -> int:
                 out["report_out"] = args.report_out
             _emit(out)
             acted = True
+        acted |= _store_stats(args, idx, "substrindex")
         if not acted:
             _emit({"error": "substrindex needs --add-dir, --remove-dir, "
                             "--stats and/or --compact"})

@@ -599,10 +599,15 @@ class IVFIndex:
     def stats(self) -> dict:
         """Operational snapshot: ingested vectors (ids ledger; falls
         back to a lists count for pre-ledger stores), pending
-        tombstones, and the lists file census (compaction trigger)."""
+        tombstones, and the lists file census (compaction trigger).
+        Converges any interrupted commit first (see recover); the
+        fallback requires actual parquet files — a delete-all compact
+        can leave lists/ as an empty dir that must read as 0, not as
+        a schema-inference error."""
+        self.recover()
         if self._has_files(self.ids_path):
             n = self.spark.read.parquet(self.ids_path).count()
-        elif self.fs.is_dir(self.lists_path):
+        elif self._has_files(self.lists_path):
             n = self.spark.read.parquet(self.lists_path).count()
         else:
             n = 0

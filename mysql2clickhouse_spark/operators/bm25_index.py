@@ -362,7 +362,9 @@ class BM25Index:
 
     def stats(self) -> dict:
         """Operational snapshot: live doc count, pending tombstones,
-        and the postings file census (the compaction trigger)."""
+        and the postings file census (the compaction trigger).
+        Converges any interrupted commit first (see recover)."""
+        self.recover()
         tombs = self._tombstones()
         return {
             "n_docs": self.n_docs(),

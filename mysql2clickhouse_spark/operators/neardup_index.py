@@ -472,7 +472,11 @@ class MinHashIndex:
 
     def stats(self) -> dict:
         """Operational snapshot: ingested docs, pending tombstones,
-        and the band file census (the compaction trigger)."""
+        and the band file census (the compaction trigger). Converges
+        any interrupted maintenance commit first — like every other
+        entry point — so a crash-interrupted store reports its true
+        state, not the mid-promotion one."""
+        self.recover()
         tombs = self._tombstones()
         return {
             "n_docs": self.spark.read.parquet(self.sigs_path).count()

@@ -404,7 +404,9 @@ class SubstringIndex:
 
     def stats(self) -> dict:
         """Operational snapshot: stored grams, ledgered docs, pending
-        tombstones, and the firsts file census (compaction trigger)."""
+        tombstones, and the firsts file census (compaction trigger).
+        Converges any interrupted commit first (see recover)."""
+        self.recover()
         tombs = self._tombstones()
         return {
             "n_grams": self.n_grams(),

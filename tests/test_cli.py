@@ -402,3 +402,34 @@ def test_cli_store_stats(spark, tmp_path, capsys):
         assert main([cmd, "--index-dir", idx_dir, "--compact", "--stats"]) == 0
         lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
         assert lines[-1]["n_tombstoned"] == 0
+
+
+def test_cli_annindex_stats_and_post_ingest_snapshot(spark, tmp_path, capsys):
+    """annindex --stats (the one store with a ledger-fallback stats
+    path), and the ordering contract: a combined --add-dir --stats
+    reports the POST-ingest store, not the pre-ingest one."""
+    spark.createDataFrame(
+        [(i, [float(i), 0.5, -1.0, 2.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "vecs"))
+    spark.createDataFrame([(3,), (8,)], "vec_id bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "vdead"))
+
+    idx_dir = str(tmp_path / "ai")
+    rc = main(["annindex", "--index-dir", idx_dir, "--dim", "4",
+               "--n-list", "4", "--add-dir", str(tmp_path / "vecs"),
+               "--stats"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["job"] == "annindex-stats"
+    assert lines[-1]["n_vectors"] == 40  # post-ingest, not 0
+    rc = main(["annindex", "--index-dir", idx_dir,
+               "--remove-dir", str(tmp_path / "vdead"), "--stats"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["n_tombstoned"] == 2
+    rc = main(["annindex", "--index-dir", idx_dir, "--compact", "--stats"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["n_vectors"] == 38 and lines[-1]["n_tombstoned"] == 0
