@@ -351,3 +351,45 @@ def test_remove_batch_logical_then_physical(spark, corpus, tmp_path):
     # the ledger forgot the ids: one of them re-ingests
     one = corpus.filter("vec_id = 2")
     assert idx.add_batch(one) == 1
+
+
+def test_compact_crash_cannot_strand_stale_tombstones(spark, corpus, tmp_path):
+    """Regression (round-9 review class, pinned per store): compact's
+    ids-ledger forget and tombstone clear commit under ONE journal
+    marker — a crash between the ledger swap and the tombstone swap
+    converges at the next entry, so a re-ingested deleted id is
+    searchable, never hidden by a stale tombstone."""
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailNthRename(LocalFS):
+        def __init__(self, fail_on: int):
+            self.calls = 0
+            self.fail_on = fail_on
+
+        def rename(self, src, dst):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise OSError(f"injected rename failure #{self.calls}: {src}")
+            super().rename(src, dst)
+
+    idx = IVFIndex(spark, str(tmp_path / "idx"), dim=DIM, n_list=4)
+    idx.build(corpus)
+    doomed = corpus.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    n_doomed = doomed.count()
+    assert idx.remove_batch(doomed) == n_doomed
+    # rename #1 = the lists swap (own marker); the journal promotion
+    # then renames ids (#2) and tombstones (#3) — fail the third
+    idx.fs = _FailNthRename(fail_on=3)
+    with pytest.raises(OSError, match="injected"):
+        idx.compact()
+
+    idx2 = IVFIndex(spark, str(tmp_path / "idx"))
+    st = idx2.stats()  # recover() converges the staged clear first
+    assert st["n_tombstoned"] == 0
+    assert st["n_vectors"] == corpus.count() - n_doomed
+    # a deleted id re-ingests and is immediately searchable
+    one = corpus.filter(F.col("vec_id") % 5 == 2).limit(1)
+    assert idx2.add_batch(one) == 1
+    vid = one.collect()[0].vec_id
+    got = idx2.search(one, k=1, nprobe=4).collect()
+    assert got and got[0].cid == vid

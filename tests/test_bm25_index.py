@@ -286,3 +286,38 @@ def test_remove_crash_before_marker_leaves_store_intact(spark, tmp_path):
     assert _searched(idx2) == _one_shot(
         spark, [r for r in DOCS if r[0] != 3]
     )
+
+
+def test_compact_crash_cannot_strand_stale_tombstones(spark, tmp_path):
+    """Regression (round-9 review class, pinned per store): a crash
+    during compact's journal promotion AFTER the doclens swap (ledger
+    forgot the deleted doc) but BEFORE the tombstone-clear swap must
+    not leave a stale tombstone — recover() at the next entry converges
+    the clear, so a re-ingested deleted id is visible, not silently
+    hidden-then-deleted."""
+
+    class _FailNthRename(LocalFS):
+        def __init__(self, fail_on: int):
+            self.calls = 0
+            self.fail_on = fail_on
+
+        def rename(self, src, dst):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise OSError(f"injected rename failure #{self.calls}: {src}")
+            super().rename(src, dst)
+
+    idx = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.add_batch(_mk(spark, DOCS))
+    assert idx.remove_batch(_mk_ids(spark, [1])) == 1
+    # replace promotion order is (postings, doclens, tombstones): fail
+    # the THIRD rename — stores swapped, cleared set still staged
+    idx.fs = _FailNthRename(fail_on=3)
+    with pytest.raises(OSError, match="injected"):
+        idx.compact()
+    assert os.path.isdir(os.path.join(idx.staging_path, "tombstones"))
+
+    idx2 = BM25Index(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx2.add_batch(_mk(spark, [DOCS[0]])) == 1  # recover() first
+    assert idx2.stats()["n_tombstoned"] == 0
+    assert _searched(idx2) == _one_shot(spark, DOCS)
