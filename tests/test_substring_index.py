@@ -267,3 +267,27 @@ def test_compact_crash_cannot_strand_stale_tombstones(spark, tmp_path):
         for r in spark.read.parquet(idx2.firsts_path).select("doc_id").collect()
     }
     assert 1 in owners
+
+
+def test_arrival_precedence_under_non_ascending_order(spark, tmp_path):
+    """The docstring's arbitrary-arrival contract: the store encodes
+    FIRST-SEEN order, so when batches arrive out of id order the
+    earlier ARRIVAL owns the gram and later copies are judged against
+    it — well-defined, just not equal to the one-shot's lexicographic
+    report."""
+    idx = SubstringIndex(spark, str(tmp_path / "idx"), k=K)
+    r2 = {r[0]: r for r in _rows(idx.add_batch(_mk(spark, B2)))}  # arrives FIRST
+    r1 = {r[0]: r for r in _rows(idx.add_batch(_mk(spark, B1)))}
+
+    # within the first-arriving batch, doc 5's copy text is fresh (its
+    # original, doc 2, has not arrived yet)
+    assert r2[5][2] == 0
+    # doc 2 then arrives second and is judged fully duplicated against
+    # doc 5's stored grams (x1..x4, x2..x5)
+    assert r1[2][2] == 5
+    # doc 6 ("y1 y2 w1 w2 w3 w4 y3") arrived first and owns the gram
+    # w1w2w3w4, so doc 1's copy of that span is removed: positions 1-4
+    # of "w1 w2 w3 w4 w5 w6" (k=4 span), rest kept
+    assert r1[1][2] == 4
+    # doc 3 (exact copy of doc 1, same batch) is fully duplicated
+    assert r1[3][2] == 6
