@@ -181,12 +181,45 @@ def with_lsh_buckets(
     )
 
 
+def lsh_planes_for(n: int, target_bucket: int = 64, lo: int = 4, hi: int = 24) -> int:
+    """CORPUS-DERIVED hyperplane count: enough planes that the expected
+    bucket occupancy ``n / 2^planes`` sits near ``target_bucket`` — the
+    knob that keeps LSH recall/cost stable as the corpus grows (fixed
+    planes at a growing corpus either blow past the hot-bucket cap,
+    silently dropping true neighbors, or leave buckets so sparse that
+    multiprobe never finds them; the r9 sf0.1 sweep measured exactly
+    that dip). Same derive-don't-fix discipline as
+    ``shuffle_shards_for``. Clamped to [lo, hi]; hi=24 covers 10^9 rows
+    at 64/bucket."""
+    import math
+
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / target_bucket)))))
+
+
+def pq_refine_for(n: int, lo: int = 5) -> int:
+    """CORPUS-DERIVED exact-refine factor: the ADC shortlist
+    (``k × refine``) must grow with corpus size — quantization error is
+    scale-free, so at a bigger corpus more near-optimal rows crowd the
+    true top-k out of a FIXED-size shortlist (measured: 1 hit@10 at the
+    sf0.1 sweep). ~4·log10(n) keeps the shortlist poly-log in n: 12 at
+    10^3, 24 at 10^6, 36 at 10^9 — still a vanishing fraction of the
+    corpus, and the only part of the PQ plan that ever touches a real
+    vector."""
+    import math
+
+    if n <= 0:
+        return lo
+    return max(lo, 4 * math.ceil(math.log10(max(10.0, float(n)))))
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -221,6 +254,10 @@ def lsh_bucketed_topk(
     from .minhash import _quarantine_hot_buckets
     from ..session import release_cache, rotate_cache
 
+    if n_planes is None:
+        # corpus-derived geometry (lsh_planes_for): one count() — a
+        # parquet-footer metadata job, cheap at any corpus size
+        n_planes = lsh_planes_for(corpus.count())
     cb = with_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col, seed).select(
         F.col(id_col).alias("cid"), "tbl", "bucket"
     )
@@ -564,7 +601,7 @@ def pq_topk(
     k: int = 10,
     m: int = 8,
     ksub: int = 16,
-    refine: int = 5,
+    refine: int | None = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -584,6 +621,8 @@ def pq_topk(
     query row, the ADC score is a pure JVM fold over 8 elements, and
     only |queries| × k × refine rows ever touch a real vector again.
     """
+    if refine is None:
+        refine = pq_refine_for(corpus.count())  # corpus-derived shortlist
     books = train_pq_codebooks(
         corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col, seed=seed
     )
@@ -633,7 +672,7 @@ def ivfpq_topk(
     nprobe: int = 8,
     m: int = 8,
     ksub: int = 16,
-    refine: int = 5,
+    refine: int | None = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -652,6 +691,8 @@ def ivfpq_topk(
     of an LUT per (query, probed list), the wrong trade below ~2^20
     rows per list. Returns (qid, cid, sim, rk) with EXACT sims.
     """
+    if refine is None:
+        refine = pq_refine_for(corpus.count())  # corpus-derived shortlist
     C = train_ivf_centroids(
         corpus, dim, n_list, id_col=id_col, vec_col=vec_col, seed=seed
     )

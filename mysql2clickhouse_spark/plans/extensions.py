@@ -745,11 +745,15 @@ def ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path). Rows-only driver check; recall vs
-    brute force is pytest-asserted."""
+    brute force is pytest-asserted. Hyperplane count is CORPUS-DERIVED
+    (``lsh_planes_for``: expected occupancy pinned near 64/bucket) —
+    the r9 sf0.1 sweep measured a fixed-6-plane recall dip at 4x the
+    driver-scale corpus; derived geometry holds the recall bound at
+    every tested scale and is the only rule that survives 10^9 rows."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return lsh_bucketed_topk(c, q, dim=EMB_DIM, k=TOPK, n_planes=6)
+    return lsh_bucketed_topk(c, q, dim=EMB_DIM, k=TOPK, n_planes=None)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,7 +783,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return pq_topk(c, q, dim=EMB_DIM, k=TOPK)
+    # refine=None: corpus-derived ADC shortlist (pq_refine_for) — the
+    # fixed 5x shortlist measurably starves recall as the corpus grows
+    return pq_topk(c, q, dim=EMB_DIM, k=TOPK, refine=None)
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,7 +806,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return ivfpq_topk(c, q, dim=EMB_DIM, k=TOPK)
+    return ivfpq_topk(c, q, dim=EMB_DIM, k=TOPK, refine=None)
 
 
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
