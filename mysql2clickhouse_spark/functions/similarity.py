@@ -187,12 +187,10 @@ def lsh_planes_for(n: int, target_bucket: int = 64, lo: int = 4, hi: int = 24) -
     knob that keeps LSH recall/cost stable as the corpus grows (fixed
     planes at a growing corpus either blow past the hot-bucket cap,
     silently dropping true neighbors, or leave buckets so sparse that
-    multiprobe never finds them; the r9 sf0.1 sweep measured exactly
-    that dip). Same derive-don't-fix discipline as
-    ``shuffle_shards_for``. Clamped to [lo, hi]; hi=24 covers 10^9 rows
-    at 64/bucket."""
-    import math
-
+    a query and its neighbor rarely collide in any of the multi-table
+    hashes; the r9 sf0.1 sweep measured exactly that dip). Same
+    derive-don't-fix discipline as ``shuffle_shards_for``. Clamped to
+    [lo, hi]; hi=24 covers 10^9 rows at 64/bucket."""
     if n <= 0:
         return lo
     return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / target_bucket)))))
@@ -207,8 +205,6 @@ def pq_refine_for(n: int, lo: int = 5) -> int:
     10^3, 24 at 10^6, 36 at 10^9 — still a vanishing fraction of the
     corpus, and the only part of the PQ plan that ever touches a real
     vector."""
-    import math
-
     if n <= 0:
         return lo
     return max(lo, 4 * math.ceil(math.log10(max(10.0, float(n)))))
@@ -255,8 +251,10 @@ def lsh_bucketed_topk(
     from ..session import release_cache, rotate_cache
 
     if n_planes is None:
-        # corpus-derived geometry (lsh_planes_for): one count() — a
-        # parquet-footer metadata job, cheap at any corpus size
+        # corpus-derived geometry (lsh_planes_for): one count() job at
+        # plan build — callers that build plans repeatedly should
+        # derive once and pass the value (the registry queries memoize
+        # the corpus count per sf_dir for exactly this reason)
         n_planes = lsh_planes_for(corpus.count())
     cb = with_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col, seed).select(
         F.col(id_col).alias("cid"), "tbl", "bucket"

@@ -37,6 +37,8 @@ from ..functions.similarity import (
     cosine_sim_col,
     cosine_topk,
     lsh_bucketed_topk,
+    lsh_planes_for,
+    pq_refine_for,
     unit_vec_col,
     with_lsh_buckets,
 )
@@ -285,15 +287,32 @@ def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   minhash planted recall measured 0.994-0.998  -> bound 0.95
 #   simhash planted frac(hamming<=16) measured 1 -> bound 0.95
 #   simhash banding vs brute force: EXACT (pigeonhole) -> equality
-#   lsh-ann per-query hits@10 measured 1-5       -> bound >= 1
+#   lsh-ann per-query hits@10 (corpus-derived planes, r9) measured
+#     min 6 (sf0.001) / 6 (sf0.01) / 1 (sf0.1)  -> bound >= 1
+#     (sf0.1 sits AT the bound — sf0.1 is a sweep, not a driver gate;
+#      the "far under" margin applies at the calibrated driver scales)
 #   ivf-ann per-query hits@10 measured 4-8       -> bound >= 3
+
+#: embeddings row count per sf_dir, memoized: the derived-geometry
+#: queries need n DRIVER-SIDE (hyperplane generation / shortlist
+#: sizing), and paying a count() at every plan build would violate the
+#: zero-jobs-at-build discipline the plan sweeps rely on — one count
+#: per sf_dir per process instead.
+_EMB_N_CACHE: dict[str, int] = {}
+
+
+def _emb_corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _EMB_N_CACHE:
+        _EMB_N_CACHE[sf_dir] = _emb(spark, sf_dir).count()
+    return _EMB_N_CACHE[sf_dir] - N_QUERIES
+
 
 MINHASH_RECALL_BOUND = 0.95
 SIMHASH_LOCALITY_BOUND = 0.95
 ANN_LSH_MIN_HITS = 1
 ANN_IVF_MIN_HITS = 3
-ANN_PQ_MIN_HITS = 3     # measured per-query hits@10: 7-9 (sf0.001), 5-7 (sf0.01)
-ANN_IVFPQ_MIN_HITS = 2  # measured per-query hits@10: 4-8 (sf0.001), 3-7 (sf0.01)
+ANN_PQ_MIN_HITS = 3     # derived refine, r9: min 9 (sf0.001) / 8 (sf0.01) / 4 (sf0.1)
+ANN_IVFPQ_MIN_HITS = 2  # derived refine, r9: min 4 (sf0.001) / 5 (sf0.01) / 5 (sf0.1)
 
 
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,7 +772,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return lsh_bucketed_topk(c, q, dim=EMB_DIM, k=TOPK, n_planes=None)
+    return lsh_bucketed_topk(
+        c, q, dim=EMB_DIM, k=TOPK,
+        n_planes=lsh_planes_for(_emb_corpus_n(spark, sf_dir)),
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,9 +805,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    # refine=None: corpus-derived ADC shortlist (pq_refine_for) — the
-    # fixed 5x shortlist measurably starves recall as the corpus grows
-    return pq_topk(c, q, dim=EMB_DIM, k=TOPK, refine=None)
+    # corpus-derived ADC shortlist (pq_refine_for) — the fixed 5x
+    # shortlist measurably starves recall as the corpus grows; derived
+    # via the memoized count so plan builds stay job-free
+    return pq_topk(
+        c, q, dim=EMB_DIM, k=TOPK,
+        refine=pq_refine_for(_emb_corpus_n(spark, sf_dir)),
+    )
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,7 +832,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return ivfpq_topk(c, q, dim=EMB_DIM, k=TOPK, refine=None)
+    return ivfpq_topk(
+        c, q, dim=EMB_DIM, k=TOPK,
+        refine=pq_refine_for(_emb_corpus_n(spark, sf_dir)),
+    )
 
 
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

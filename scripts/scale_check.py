@@ -164,11 +164,11 @@ def main() -> None:
         c = e.filter(F.col("vec_id") >= 5)
         if tag == "1x":
             run("warm", emb_cosine_pairs(e))
-            run("warm", lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=6))
+            run("warm", lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=None))
             spark.catalog.clearCache()
         out[f"embcos_{tag}"] = run(tag, emb_cosine_pairs(e))
         spark.catalog.clearCache()
-        out[f"annlsh_{tag}"] = run(tag, lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=6))
+        out[f"annlsh_{tag}"] = run(tag, lsh_bucketed_topk(c, q, dim=64, k=10, n_planes=None))
         spark.catalog.clearCache()
 
     # incremental index: a FIXED-size batch added against a 1× vs k×
