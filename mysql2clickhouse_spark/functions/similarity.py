@@ -181,6 +181,21 @@ def with_lsh_buckets(
     )
 
 
+def ivf_lists_for(n: int, lo: int = 8, hi: int = 65536) -> int:
+    """CORPUS-DERIVED coarse-list count: the faiss sizing rule
+    ``n_list ~ sqrt(n)`` snapped to a power of two — balances the two
+    scan costs (probe work ~ n/n_list per list, quantizer work ~
+    n_list per query), the split that survives any corpus size
+    (32768 lists at 10^9 rows; a fixed 32 would ADC-score 25% of the
+    corpus per query there). Pair with ``nprobe = max(8, n_list // 4)``
+    to hold the probe fraction constant across scales (the floor of 8
+    is the faiss-practice minimum — below it the assignment tail
+    dominates recall at small list counts)."""
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, 2 ** round(math.log2(max(2.0, math.sqrt(n))))))
+
+
 def lsh_planes_for(n: int, target_bucket: int = 64, lo: int = 4, hi: int = 24) -> int:
     """CORPUS-DERIVED hyperplane count: enough planes that the expected
     bucket occupancy ``n / 2^planes`` sits near ``target_bucket`` — the

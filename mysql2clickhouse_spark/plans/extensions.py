@@ -37,6 +37,7 @@ from ..functions.similarity import (
     cosine_sim_col,
     cosine_topk,
     lsh_bucketed_topk,
+    ivf_lists_for,
     lsh_planes_for,
     pq_refine_for,
     unit_vec_col,
@@ -291,7 +292,8 @@ def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     min 6 (sf0.001) / 6 (sf0.01) / 1 (sf0.1)  -> bound >= 1
 #     (sf0.1 sits AT the bound — sf0.1 is a sweep, not a driver gate;
 #      the "far under" margin applies at the calibrated driver scales)
-#   ivf-ann per-query hits@10 measured 4-8       -> bound >= 3
+#   ivf-ann per-query hits@10 (derived sqrt-n lists, r9) measured
+#     min 6 (sf0.001) / 7 (sf0.01) / 5 (sf0.1)  -> bound >= 3
 
 #: embeddings row count per sf_dir, memoized: the derived-geometry
 #: queries need n DRIVER-SIDE (hyperplane generation / shortlist
@@ -789,7 +791,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
-    return ivf_topk(c, q, dim=EMB_DIM, k=TOPK, n_list=32, nprobe=8)
+    # corpus-derived coarse geometry (ivf_lists_for: ~sqrt(n) lists,
+    # constant probe fraction), via the memoized count — closes the
+    # fixed-test-geometry backlog the sf0.1 sweep record carried
+    n_list = ivf_lists_for(_emb_corpus_n(spark, sf_dir))
+    return ivf_topk(
+        c, q, dim=EMB_DIM, k=TOPK, n_list=n_list, nprobe=max(8, n_list // 4)
+    )
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,8 +840,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    n_list = ivf_lists_for(_emb_corpus_n(spark, sf_dir))
     return ivfpq_topk(
         c, q, dim=EMB_DIM, k=TOPK,
+        n_list=n_list, nprobe=max(8, n_list // 4),
         refine=pq_refine_for(_emb_corpus_n(spark, sf_dir)),
     )
 
@@ -861,7 +871,13 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     c = emb.filter(F.col("vec_id") >= N_QUERIES)
     path = scratch_dir("m2c_ivf_") + "/index"
-    return ivf_topk_partitioned(c, q, dim=EMB_DIM, index_path=path, k=TOPK, n_list=32, nprobe=8)
+    # SAME derived geometry as ann_ivf_topk — the equivalence twin
+    # compares the two result sets row-for-row
+    n_list = ivf_lists_for(_emb_corpus_n(spark, sf_dir))
+    return ivf_topk_partitioned(
+        c, q, dim=EMB_DIM, index_path=path, k=TOPK,
+        n_list=n_list, nprobe=max(8, n_list // 4),
+    )
 
 
 def ann_ivf_partitioned_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
