@@ -266,6 +266,14 @@ class IVFIndex:
             n.endswith(".parquet") for n in self.fs.listdir(d)
         )
 
+    def _list_files(self) -> bool:
+        """True iff the partitioned lists store holds any parquet FILE
+        (nested under ``list_id=N/`` dirs — a top-level listing can't
+        see them). Every lists read must gate on this, not on the dir:
+        a delete-all compact leaves an empty-but-present lists/ whose
+        unconditional read fails schema inference."""
+        return self._n_data_files() > 0
+
     def add_batch(self, batch: DataFrame) -> int:
         """Assign the batch against the FROZEN centroids (one Arrow
         GEMM, nprobe=1) and append to the partitioned lists store.
@@ -291,7 +299,7 @@ class IVFIndex:
                 F.col("cid").alias(self.id_col)
             )
             batch = batch.join(stored_ids, self.id_col, "left_anti")
-        elif self.fs.is_dir(self.lists_path):
+        elif self._list_files():
             # pre-ledger store: one compatibility probe of the lists id
             # column, and this ingest's staged ledger BACKFILLS the
             # stored ids so every later batch probes the ledger only
@@ -361,7 +369,11 @@ class IVFIndex:
         ids = ids.select(F.col(self.id_col).alias("cid"))
         if self._has_files(self.ids_path):
             ledger = self.spark.read.parquet(self.ids_path)
-        elif self.fs.is_dir(self.lists_path):
+        elif self._list_files():
+            # pre-ledger store; FILES required, not just the dir — a
+            # delete-all compact leaves lists/ as an empty dir that
+            # must read as an empty store, never a schema-inference
+            # error (the hazard stats() documents)
             ledger = self.spark.read.parquet(self.lists_path).select("cid")
         else:
             return 0
@@ -387,6 +399,17 @@ class IVFIndex:
         return rows if tombs is None else rows.join(tombs, "cid", "left_anti")
 
     # --- query -----------------------------------------------------------
+    def _empty_result(self, queries: DataFrame) -> DataFrame:
+        """Zero rows with the search result schema — the empty-store
+        answer (qid typed from the caller's id column)."""
+        return (
+            queries.select(F.col(self.id_col).alias("qid"))
+            .limit(0)
+            .withColumn("cid", F.col("qid"))
+            .withColumn("sim", F.lit(0.0))
+            .withColumn("rk", F.lit(1))
+        )
+
     def search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 8
     ) -> DataFrame:
@@ -399,6 +422,10 @@ class IVFIndex:
         self.recover()  # a search-only invocation must also roll a
         # committed-but-interrupted compaction swap forward, else the
         # live lists path may simply be missing
+        if not self._list_files():
+            # empty store (never ingested, or delete-all compacted):
+            # answer with zero rows, not a schema-inference failure
+            return self._empty_result(queries)
         C = self._centroids()
         qb = with_ivf_lists(
             queries.select(
@@ -448,6 +475,8 @@ class IVFIndex:
         if not self.pq_m:
             raise ValueError("index was built without pq_m — use search()")
         self.recover()  # same roll-forward contract as search()
+        if not self._list_files():
+            return self._empty_result(queries)
         C = self._centroids()
         books = self._codebooks()
         m, ksub, _ = books.shape
@@ -607,7 +636,7 @@ class IVFIndex:
         self.recover()
         if self._has_files(self.ids_path):
             n = self.spark.read.parquet(self.ids_path).count()
-        elif self._has_files(self.lists_path):
+        elif self._list_files():
             n = self.spark.read.parquet(self.lists_path).count()
         else:
             n = 0
@@ -619,11 +648,22 @@ class IVFIndex:
         }
 
     def _n_data_files(self) -> int:
-        """Report-only parquet census (local paths only, like
-        ``MinHashIndex._data_files``)."""
-        if not os.path.isdir(self.lists_path):
+        """Parquet census through the ``fs`` seam, so the count — and
+        the compaction trigger and empty-store guards reading it — is
+        truthful on ``hdfs://``/``s3a://`` index roots too (the
+        ``os.walk`` form silently reported 0 there). Recursion descends
+        the one level of ``list_id=N/`` partition dirs."""
+        fs = self.fs
+        if not fs.is_dir(self.lists_path):
             return 0
         total = 0
-        for _root, _dirs, files in os.walk(self.lists_path):
-            total += sum(1 for f in files if f.endswith(".parquet"))
+        stack = [self.lists_path]
+        while stack:
+            d = stack.pop()
+            for name in fs.listdir(d):
+                full = os.path.join(d, name)
+                if fs.is_dir(full):
+                    stack.append(full)
+                elif name.endswith(".parquet"):
+                    total += 1
         return total

@@ -43,7 +43,7 @@ class BucketedStore:
         spark: SparkSession,
         fs_provider,
         location: str,
-        key_col: str,
+        key_col: str | tuple[str, ...],
         n_buckets: int,
         table_prefix: str,
         fresh: bool,
@@ -51,7 +51,12 @@ class BucketedStore:
         self.spark = spark
         self._fs = fs_provider
         self.location = location
-        self.key_col = key_col
+        # composite keys supported (the MinHash bands store joins on
+        # (band_idx, band_hash)): bucketing on ALL join keys keeps the
+        # join's required distribution satisfied straight from the scan
+        # with the default requireAllClusterKeysForCoPartition
+        self.key_cols = (key_col,) if isinstance(key_col, str) else tuple(key_col)
+        self.key_col = self.key_cols[0]
         self.n_buckets = n_buckets
         self.table = table_prefix + hashlib.md5(
             os.path.abspath(os.path.dirname(location)).encode()
@@ -78,9 +83,10 @@ class BucketedStore:
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in schema
             )
+            keys = ", ".join(self.key_cols)
             self.spark.sql(
                 f"CREATE TABLE `{self.table}` ({cols}) USING PARQUET "
-                f"CLUSTERED BY ({self.key_col}) SORTED BY ({self.key_col}) "
+                f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
                 f"INTO {self.n_buckets} BUCKETS "
                 f"LOCATION '{self.location}'"
             )
@@ -104,10 +110,11 @@ class BucketedStore:
 
         stage_tbl = self.table + "__stage"
         self.spark.sql(f"DROP TABLE IF EXISTS `{stage_tbl}`")
+        first, *rest = self.key_cols
         (
-            df.repartition(self.n_buckets, F.col(self.key_col))
-            .write.bucketBy(self.n_buckets, self.key_col)
-            .sortBy(self.key_col)
+            df.repartition(self.n_buckets, *[F.col(c) for c in self.key_cols])
+            .write.bucketBy(self.n_buckets, first, *rest)
+            .sortBy(first, *rest)
             .option("path", staging_dir)
             .mode("overwrite")
             .saveAsTable(stage_tbl)

@@ -70,12 +70,21 @@ class StagedCommit:
     owner's CURRENT ``fs`` (crash tests inject failing filesystems by
     swapping the owner's ``fs`` attribute after construction)."""
 
-    def __init__(self, spark, fs, staging_path: str, routes, refresh_table: str | None = None):
+    def __init__(self, spark, fs, staging_path: str, routes, refresh_table=None):
         self.spark, self.fs = spark, fs
         self.staging = staging_path
         #: ((staging subdir name, live destination dir), ...)
         self.routes = tuple(routes)
-        self.refresh_table = refresh_table
+        #: str | iterable of str — a store may front MORE THAN ONE
+        #: bucketed catalog table (MinHash: sigs on doc_id + bands on
+        #: (band_idx, band_hash)); every one needs its file listing
+        #: refreshed after a rename promotion
+        if refresh_table is None:
+            self.refresh_tables: tuple[str, ...] = ()
+        elif isinstance(refresh_table, str):
+            self.refresh_tables = (refresh_table,)
+        else:
+            self.refresh_tables = tuple(refresh_table)
 
     @property
     def marker_path(self) -> str:
@@ -136,8 +145,9 @@ class StagedCommit:
         # a bucketed catalog table caches its file listing; files that
         # arrive by rename are invisible until refreshed (saveAsTable
         # appends refresh implicitly — rename promotion must, explicitly)
-        if self.refresh_table and self.spark.catalog.tableExists(self.refresh_table):
-            self.spark.catalog.refreshTable(self.refresh_table)
+        for tbl in self.refresh_tables:
+            if self.spark.catalog.tableExists(tbl):
+                self.spark.catalog.refreshTable(tbl)
 
     def _walk_parquet(self, root: str, prefix: str = ""):
         """Relative paths of every ``*.parquet`` under ``root``, any

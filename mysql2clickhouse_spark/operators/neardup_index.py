@@ -8,29 +8,49 @@ runner's micro-batches) — re-hashing an ever-growing corpus per batch
 is O(corpus) work for O(batch) new data, the same scale-killer the
 runner's mutate path avoids by partition-scoped folds.
 
-This operator persists the two derived tables the pipeline actually
-needs:
+Layout under ``path`` — the SAME bucketed-plus-slim-ledger standard as
+the store's three siblings (SubstringIndex's gram store, BM25Index's
+postings, IVFIndex's lists+ids), adopted in round 10 after the round-9
+adjudication flagged this as the last maintained store whose per-batch
+joins could re-shuffle the store at scale:
 
 - ``sigs/``  — (doc_id, hset, minhash): the integer shingle set and
-  signature per document (text is never re-read after ingest);
-- ``bands/`` — (band_idx, band_hash, doc_id), written
-  ``partitionBy(band_idx)``: the LSH bucket membership table.
+  signature per document (text is never re-read after ingest), written
+  BUCKETED on ``doc_id`` through the shared ``BucketedStore`` seam, so
+  the verify join resolves stored signatures with NO Exchange above
+  the store scan — only the batch-bounded candidate pairs shuffle.
+- ``bands/`` — (band_idx, band_hash, doc_id): the LSH bucket
+  membership table, BUCKETED on the join's exact composite key
+  ``(band_idx, band_hash)`` — the new×old candidate join's required
+  distribution is satisfied straight from the scan (default
+  ``requireAllClusterKeysForCoPartition`` holds because the bucket
+  columns equal the join keys), so each ingest exchanges only the
+  batch's band rows into the store's bucket space. Bucketing on the
+  composite key (not ``band_hash`` alone) keeps candidate semantics
+  bit-identical to the one-shot: no hash folding, no spurious
+  cross-band candidates.
+- ``ids/``   — (doc_id,): the slim ingest ledger; the at-least-once
+  replay anti-join probes THIS, not the signature store — O(ledger)
+  single-column rows per batch (the IVF ``ids/`` pattern).
+- ``tombstones/`` — (doc_id,): the delete lifecycle (see below).
 
 Per batch, ``add_batch``:
 
-1. computes hset + signatures for the BATCH only (one scan of the new
+1. converges any interrupted prior commit (``recover``), including the
+   one-time journaled migration of a pre-round-10 store layout;
+2. computes hset + signatures for the BATCH only (one scan of the new
    text);
-2. finds new×old candidates by joining the batch's band rows against
-   the stored band table — a shuffle on (band_idx, band_hash) whose
-   probe side is batch-sized; the store is never re-signed, only
-   joined;
-3. finds new×new candidates with the ordinary in-batch self-join;
-4. estimate-filters and exact-verifies both candidate sets against
-   signatures/hsets fetched FROM THE STORE (shuffle joins keyed on
-   doc_id — batch-bounded row counts on the probe side);
-5. appends the batch's sig and band rows to the store (pure columnar
-   append, no rewrite — same append-only discipline as the runner's
-   versioned tables).
+3. finds new×old candidates by joining the batch's band rows against
+   the bucketed band table — one Exchange of the batch side, zero of
+   the store side (plan-pinned in ``tests/test_plan_shapes.py``);
+4. finds new×new candidates with the ordinary in-batch self-join;
+5. estimate-filters and exact-verifies both candidate sets against
+   signatures/hsets resolved from the bucketed sigs table (store side
+   never exchanged) with batch-local rows filling the new ids;
+6. commits the batch's sig rows, band rows, and ledger ids ATOMICALLY
+   through the shared ``StagedCommit`` journal (one marker — sigs,
+   bands, and ids can never land separately, which closes the old
+   bands-appended-sigs-not crash overlap by construction).
 
 Incremental-vs-batch contract: after any sequence of ``add_batch``
 calls, the union of returned pair sets equals ``verified_near_dups``
@@ -47,9 +67,9 @@ journal; every subsequent ``add_batch`` filters its candidate pairs
 against the tombstone set (batch-bounded anti-join — the store is
 untouched), so deleted docs answer as never ingested; ``compact``
 applies tombstones physically — the sigs rewrite, the bands rewrite,
-and the cleared tombstone set all promote under ONE commit marker, so
-no crash can leave a stale tombstone hiding a re-ingestable id — after
-which a deleted id may re-ingest as new.
+the ledger forget, and the cleared tombstone set all promote under ONE
+commit marker, so no crash can leave a stale tombstone hiding a
+re-ingestable id — after which a deleted id may re-ingest as new.
 ``dedup_minhash_index_deletes`` (plans/extensions.py) certifies the
 logical phase, the physical store content, and post-compact re-ingest
 as one oracle row.
@@ -61,12 +81,14 @@ discipline applied to the LLM-pipeline extension family.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fs import fs_for
+from .bucketed import BucketedStore
 from .journal import StagedCommit
 from ..functions.minhash import (
     DEFAULT_BANDS,
@@ -81,11 +103,17 @@ from ..functions.minhash import (
 )
 from ..session import release_cache, rotate_cache
 
-#: same commit-marker protocol as the runner's journaled swaps
-#: (streaming/runner.py SWAP_COMMIT_MARKER): a staging dir carrying a
-#: parsable marker is committed — roll it forward; without one it is
-#: pre-commit debris
+#: legacy (pre-round-10) per-store swap marker — kept so ``recover``
+#: converges stores crashed under the old protocol
 _SWAP_MARKER = "_SWAP_COMMIT"
+
+#: store geometry + layout version, written once per store: signature
+#: geometry is part of the on-disk identity (sigs signed under one
+#: (num_perm, seed, k) must never be joined with another), and the
+#: bucket count is baked into file names — a reopening index adopts
+#: the stored bucket count and refuses contradictory geometry
+_META = "_STORE_META"
+_GEOMETRY_FIELDS = ("num_perm", "bands", "rows", "seed", "k")
 
 
 class MinHashIndex:
@@ -104,6 +132,7 @@ class MinHashIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         k: int = 5,
+        n_buckets: int = 32,
     ):
         self.spark = spark
         self.path = path
@@ -111,10 +140,52 @@ class MinHashIndex:
         self.seed, self.threshold = seed, threshold
         self.estimate_margin = estimate_margin
         self.id_col, self.text_col, self.k = id_col, text_col, k
-        # swap seam for compaction — POSIX for bare paths, Hadoop
+        self.n_buckets = n_buckets
+        # swap seam for staged commits — POSIX for bare paths, Hadoop
         # FileSystem for hdfs://s3a:// index roots (same seam the
         # runner uses; injectable for crash tests)
         self.fs = fs_for(spark, path)
+        meta_path = os.path.join(path, _META)
+        self._legacy_pending = False
+        if self.fs.exists(meta_path):
+            meta = json.loads(self.fs.read_text(meta_path))
+            for name in _GEOMETRY_FIELDS:
+                if int(meta[name]) != getattr(self, name):
+                    raise ValueError(
+                        f"store at {path} was built with {name}="
+                        f"{meta[name]}, got {getattr(self, name)} — "
+                        "signature geometry is store identity"
+                    )
+            self.n_buckets = int(meta["n_buckets"])
+            fresh = False
+        elif self.fs.is_dir(self.sigs_path):
+            # a sigs dir with no meta is a pre-round-10 store (plain
+            # parquet sigs, bands partitioned by band_idx): migrated
+            # ONCE — a journaled replace rewrite — at the next entry
+            self._legacy_pending = True
+            fresh = True  # no live catalog tables can belong to it
+        else:
+            fresh = True
+            self._write_meta()
+        # catalog-fronted bucketed tables; the shared seam also drops a
+        # stale catalog entry left by a previous (deleted) store here
+        self._sigs = BucketedStore(
+            spark, lambda: self.fs, self.sigs_path,
+            self.id_col, self.n_buckets, "m2c_ndsig_", fresh,
+        )
+        self._bands = BucketedStore(
+            spark, lambda: self.fs, self.bands_path,
+            ("band_idx", "band_hash"), self.n_buckets, "m2c_ndband_", fresh,
+        )
+
+    def _write_meta(self) -> None:
+        self.fs.write_text_atomic(
+            os.path.join(self.path, _META),
+            json.dumps(
+                {name: getattr(self, name) for name in _GEOMETRY_FIELDS}
+                | {"n_buckets": self.n_buckets, "layout": "bucketed"}
+            ),
+        )
 
     @property
     def sigs_path(self) -> str:
@@ -125,19 +196,23 @@ class MinHashIndex:
         return os.path.join(self.path, "bands")
 
     @property
+    def ids_path(self) -> str:
+        return os.path.join(self.path, "ids")
+
+    @property
     def tombstones_path(self) -> str:
         return os.path.join(self.path, "tombstones")
 
-    def _exists(self) -> bool:
-        # through the fs seam, so hdfs://s3a:// index roots work (the
-        # review caught remove_batch silently no-oping on remote roots
-        # via a bare os.path.isdir here)
-        return self.fs.is_dir(self.sigs_path)
+    def _has_files(self, d: str) -> bool:
+        # every store read guards on actual parquet FILES, not the dir:
+        # a delete-all compact legitimately leaves an empty dir, which
+        # must read as an empty store, never a schema-inference error
+        return self.fs.is_dir(d) and any(
+            n.endswith(".parquet") for n in self.fs.listdir(d)
+        )
 
     def _tombstones(self) -> DataFrame | None:
-        if not self.fs.is_dir(self.tombstones_path) or not any(
-            n.endswith(".parquet") for n in self.fs.listdir(self.tombstones_path)
-        ):
+        if not self._has_files(self.tombstones_path):
             return None
         return self.spark.read.parquet(self.tombstones_path)
 
@@ -165,37 +240,15 @@ class MinHashIndex:
         # reach the bands) but their hset row is still stored for verify
         return hashed.join(sigs, self.id_col, "left")
 
-    def add_batch(self, batch: DataFrame) -> DataFrame:
-        """Ingest one batch; return its near-dup pairs (id_a, id_b,
-        jaccard) — new×old (id_a in store) and new×new (both in batch).
-        Appends the batch to the store AFTER the pairs materialize, so
-        a replayed batch cannot pair against its own first delivery's
-        rows mid-flight.
+    # --- candidate + verify plans (fragments, pinned by plan tests) -------
 
-        Idempotent under at-least-once redelivery: doc_ids already in
-        the store (and duplicate deliveries inside the batch itself) are
-        dropped up front, so a replayed batch appends nothing, pairs
-        nothing, and later batches never join against duplicated sig or
-        band rows — the incremental==full bag-equality contract holds
-        across redeliveries, not just clean runs."""
-        self.recover()  # converge any interrupted compaction swap first
-        batch = batch.dropDuplicates([self.id_col])
-        if self._exists():
-            stored_ids = self.spark.read.parquet(self.sigs_path).select(self.id_col)
-            batch = batch.join(stored_ids, self.id_col, "left_anti")
-        release_cache("neardup_index.add_batch")  # BEFORE persist — see session.py
-        new = self._batch_tables(batch).persist()
-        new.count()  # eager barrier: feeds bands, both verify sides, and the append
-        rotate_cache("neardup_index.add_batch", new)
-        new_sigs = new.filter(F.col("minhash").isNotNull()).select(
-            self.id_col, "minhash"
-        )
-        new_bands = self._band_rows(new_sigs)
-
-        # new×old: batch band rows probe the stored bucket table
+    def _candidates(self, new_bands: DataFrame) -> DataFrame:
+        """Banded candidate pairs for a batch: new×old against the
+        bucketed band store (store side never exchanged — the join keys
+        ARE the bucket columns) plus the in-batch self-join."""
         pairs_sets = []
-        if self._exists():
-            old_bands = self.spark.read.parquet(self.bands_path)
+        if self._bands.has_files():
+            old_bands = self._bands.read()
             cross = (
                 new_bands.alias("n")
                 .join(
@@ -204,8 +257,7 @@ class MinHashIndex:
                     & (F.col("n.band_hash") == F.col("o.band_hash")),
                 )
                 # normalize to id_a < id_b (a stored id is not
-                # necessarily smaller than a batch id); a replayed
-                # doc_id present on both sides must not self-pair
+                # necessarily smaller than a batch id)
                 .select(
                     F.least(
                         F.col(f"o.{self.id_col}"), F.col(f"n.{self.id_col}")
@@ -239,13 +291,96 @@ class MinHashIndex:
         cands = pairs_sets[0]
         for p in pairs_sets[1:]:
             cands = cands.unionByName(p)
-        # the cross and self sets are disjoint on a clean run (store ids
-        # ∩ batch ids = ∅ after the anti-join) but OVERLAP after a crash
-        # between the bands append and the sigs append: the redelivered
-        # batch survives the sigs anti-join yet finds its own first
-        # delivery's band rows in the store, so (d1, d2) arrives from
-        # BOTH sets — without this distinct the pair verifies twice
-        cands = cands.distinct() if len(pairs_sets) > 1 else cands
+        # the cross and self sets are disjoint (store ids ∩ batch ids =
+        # ∅ after the ledger anti-join, and the journaled commit means
+        # no partial-append overlap can exist) — the distinct is kept
+        # as cheap insurance on the batch-bounded set
+        return cands.distinct() if len(pairs_sets) > 1 else cands
+
+    def _attach_sigs(
+        self,
+        pairs: DataFrame,
+        side: str,
+        store_rows: DataFrame | None,
+        batch_rows: DataFrame,
+    ) -> DataFrame:
+        """Resolve ``side``'s (sig, hset) from the bucketed sigs store
+        (left join — store scan never exchanged; the batch-bounded
+        pairs shuffle into its bucket space) with the batch's own rows
+        filling ids not yet stored."""
+        tag = side[-1]  # "a" / "b"
+
+        def sel(rows: DataFrame, suffix: str) -> DataFrame:
+            return rows.select(
+                F.col(self.id_col).alias(side),
+                F.col("minhash").alias(f"sig_{tag}{suffix}"),
+                F.col("hset").alias(f"h_{tag}{suffix}"),
+            )
+
+        out = pairs
+        if store_rows is not None:
+            out = out.join(sel(store_rows, "_s"), side, "left")
+        out = out.join(sel(batch_rows, "_n"), side, "left")
+        if store_rows is not None:
+            sig = F.coalesce(f"sig_{tag}_s", f"sig_{tag}_n")
+            h = F.coalesce(f"h_{tag}_s", f"h_{tag}_n")
+        else:
+            sig, h = F.col(f"sig_{tag}_n"), F.col(f"h_{tag}_n")
+        return (
+            out.withColumn(f"sig_{tag}", sig)
+            .withColumn(f"h_{tag}", h)
+            .drop(f"sig_{tag}_s", f"sig_{tag}_n", f"h_{tag}_s", f"h_{tag}_n")
+        )
+
+    def _verified_pairs(self, cands: DataFrame, new: DataFrame) -> DataFrame:
+        """Signature estimate-filter, then exact verify — sides resolve
+        from store ∪ batch (store rows only ever joined, never
+        re-derived, and never exchanged)."""
+        batch_rows = new.select(self.id_col, "hset", "minhash")
+        store_rows = self._sigs.read() if self._sigs.has_files() else None
+        resolved = cands
+        for side in ("id_a", "id_b"):
+            resolved = self._attach_sigs(resolved, side, store_rows, batch_rows)
+        return (
+            resolved.withColumn(
+                "est",
+                estimated_jaccard_col(F.col("sig_a"), F.col("sig_b"), self.num_perm),
+            )
+            .filter(F.col("est") >= self.threshold - self.estimate_margin)
+            .withColumn("jaccard", F.round(jaccard_col(F.col("h_a"), F.col("h_b")), 4))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # --- ingest ----------------------------------------------------------
+
+    def add_batch(self, batch: DataFrame) -> DataFrame:
+        """Ingest one batch; return its near-dup pairs (id_a, id_b,
+        jaccard) — new×old (one id in store) and new×new (both in
+        batch). Pairs materialize BEFORE the store commit, so a
+        streaming replay of this batch sees the pre-append store.
+
+        Idempotent under at-least-once redelivery: doc_ids already in
+        the ledger (and duplicate deliveries inside the batch itself)
+        are dropped up front, so a replayed batch appends nothing and
+        pairs nothing — and because sigs, bands, and the ledger commit
+        under ONE journal marker, no crash can leave the store with
+        band rows whose ids the ledger has not seen."""
+        self.recover()  # converge any interrupted commit / migration
+        batch = batch.dropDuplicates([self.id_col])
+        if self._has_files(self.ids_path):
+            stored_ids = self.spark.read.parquet(self.ids_path)
+            batch = batch.join(stored_ids, self.id_col, "left_anti")
+        release_cache("neardup_index.add_batch")  # BEFORE persist — see session.py
+        new = self._batch_tables(batch).persist()
+        n_new = new.count()  # eager barrier: feeds bands, verify, and the commit
+        rotate_cache("neardup_index.add_batch", new)
+        new_sigs = new.filter(F.col("minhash").isNotNull()).select(
+            self.id_col, "minhash"
+        )
+        new_bands = self._band_rows(new_sigs)
+
+        cands = self._candidates(new_bands)
 
         # tombstoned docs answer as never ingested: their band rows are
         # still physically in the store until compact, so filter the
@@ -260,48 +395,26 @@ class MinHashIndex:
                 "left_anti",
             )
 
-        # signature estimate-filter, then exact verify — sides resolve
-        # from store ∪ batch (store rows only ever joined, never re-derived)
-        all_rows = new.select(self.id_col, "hset", "minhash")
-        if self._exists():
-            all_rows = self.spark.read.parquet(self.sigs_path).unionByName(all_rows)
-        sa = all_rows.select(
-            F.col(self.id_col).alias("id_a"),
-            F.col("minhash").alias("sig_a"),
-            F.col("hset").alias("h_a"),
-        )
-        sb = all_rows.select(
-            F.col(self.id_col).alias("id_b"),
-            F.col("minhash").alias("sig_b"),
-            F.col("hset").alias("h_b"),
-        )
-        pairs = (
-            cands.join(sa, "id_a")
-            .join(sb, "id_b")
-            .withColumn(
-                "est",
-                estimated_jaccard_col(F.col("sig_a"), F.col("sig_b"), self.num_perm),
-            )
-            .filter(F.col("est") >= self.threshold - self.estimate_margin)
-            .withColumn("jaccard", F.round(jaccard_col(F.col("h_a"), F.col("h_b")), 4))
-            .filter(F.col("jaccard") >= self.threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-        # materialize pairs BEFORE the store append (a streaming replay
-        # of this batch must see the pre-append store)
+        pairs = self._verified_pairs(cands, new)
+        # materialize pairs BEFORE the store commit (severs the report
+        # from the store paths the promotion is about to mutate)
         out = pairs.localCheckpoint(eager=True)
 
-        # ORDER MATTERS: ``new``'s plan anti-joins against the sigs
-        # store, so every derivation of ``new`` must execute while the
-        # store is still in its pre-append state — a cache miss after
-        # the sigs append would re-run the anti-join against a store
-        # that now contains this very batch and silently drop it (zero
-        # band rows written; cross-batch pairs lost). Bands first, sigs
-        # last, nothing derived from ``new`` after that.
-        self._band_rows(
-            new.filter(F.col("minhash").isNotNull()).select(self.id_col, "minhash")
-        ).write.mode("append").partitionBy("band_idx").parquet(self.bands_path)
-        new.write.mode("append").parquet(self.sigs_path)
+        if n_new == 0:
+            # full replay / empty delivery: nothing to commit — the
+            # store (bytes, file census, catalog listings) is untouched
+            return out
+
+        staging = self.staging_path  # recover() left no staging behind
+        self._sigs.stage_bucketed(new, os.path.join(staging, "sigs"))
+        self._bands.stage_bucketed(new_bands, os.path.join(staging, "bands"))
+        new.select(self.id_col).write.mode("overwrite").parquet(
+            os.path.join(staging, "ids")
+        )
+        # COMMIT POINT: everything staged before this call is
+        # reconstructible debris; everything after is pure idempotent
+        # promotion (see journal.StagedCommit)
+        self._journal().commit()
         return out
 
     def pairs_equal(self, other: DataFrame, mine: DataFrame) -> bool:
@@ -318,36 +431,34 @@ class MinHashIndex:
         return store + "__compactidx"
 
     @property
-    def maint_staging_path(self) -> str:
+    def staging_path(self) -> str:
         return os.path.join(self.path, "__maint_staging")
 
     def _journal(self) -> StagedCommit:
-        """The maintenance journal: sigs, bands, AND the tombstone set
-        commit under ONE marker (replace mode), so a compaction's store
-        rewrites and its tombstone clear can never land separately —
-        the crash window the round-9 self-review reproduced (stale
-        tombstones after a partial compact silently hide, then delete,
-        a re-ingested doc). Constructed per call so crash tests can
-        swap ``self.fs``."""
+        """The staged-commit journal: sigs, bands, ids ledger, AND the
+        tombstone set commit under ONE marker, so an ingest's three
+        appends — or a compaction's rewrites and its tombstone clear —
+        can never land separately. Constructed per call so crash tests
+        can swap ``self.fs``."""
         return StagedCommit(
             self.spark,
             self.fs,
-            self.maint_staging_path,
+            self.staging_path,
             (
                 ("sigs", self.sigs_path),
                 ("bands", self.bands_path),
+                ("ids", self.ids_path),
                 ("tombstones", self.tombstones_path),
             ),
+            refresh_table=(self._sigs.table, self._bands.table),
         )
 
     def recover(self) -> int:
-        """Converge any interrupted maintenance commit (journal) plus
-        any legacy per-store swap left by the pre-round-9 protocol —
-        called at ``add_batch``, ``remove_batch``, and ``compact``
-        entry, same contract as the runner's ``recover_all``. Returns
-        the number of true roll-forwards; control-plane listings only."""
-        import json
-
+        """Converge any interrupted commit (journal), any legacy
+        per-store swap left by the pre-round-9 protocol, and the
+        one-time migration of a pre-round-10 (unbucketed) layout —
+        called at every entry point, same contract as the runner's
+        ``recover_all``. Returns the number of true roll-forwards."""
         rolled = self._journal().recover()
         for store in (self.sigs_path, self.bands_path, self.tombstones_path):
             staging = self._staging(store)
@@ -365,7 +476,36 @@ class MinHashIndex:
             stale = os.path.join(store, _SWAP_MARKER)
             if self.fs.exists(stale):
                 self.fs.rmtree(stale)
+        if self._legacy_pending:
+            rolled += self._migrate_legacy()
         return rolled
+
+    def _migrate_legacy(self) -> int:
+        """One-time journaled rewrite of a pre-round-10 store (plain
+        parquet sigs, bands ``partitionBy(band_idx)``, no ids ledger)
+        into the bucketed layout. Replace-mode commit: a crash at any
+        point either leaves the old layout intact (pre-marker — the
+        migration re-runs whole) or rolls forward at the next entry;
+        a crash between the commit and the meta write re-runs the
+        migration over the already-bucketed files, which re-stages the
+        same rows — wasteful once, never wrong. Tombstones carry over
+        untouched (not staged ⇒ not replaced)."""
+        staging = self.staging_path
+        sigs = self.spark.read.parquet(self.sigs_path)
+        self._sigs.stage_bucketed(sigs, os.path.join(staging, "sigs"))
+        bands = self.spark.read.parquet(self.bands_path).select(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            "band_hash",
+            self.id_col,
+        )
+        self._bands.stage_bucketed(bands, os.path.join(staging, "bands"))
+        sigs.select(self.id_col).write.mode("overwrite").parquet(
+            os.path.join(staging, "ids")
+        )
+        self._journal().commit(replace=True)
+        self._write_meta()
+        self._legacy_pending = False
+        return 1
 
     def remove_batch(self, ids: DataFrame) -> int:
         """Mark documents DELETED; returns the number newly tombstoned.
@@ -386,111 +526,113 @@ class MinHashIndex:
         from .journal import journaled_tombstone_append
 
         self.recover()
-        if not self._exists():
+        if not self._has_files(self.ids_path):
             return 0
         return journaled_tombstone_append(
             self._journal(),
-            self.maint_staging_path,
+            self.staging_path,
             ids,
             self.id_col,
-            self.spark.read.parquet(self.sigs_path).select(self.id_col),
+            self.spark.read.parquet(self.ids_path),
             self._tombstones(),
         )
 
     def compact(self) -> dict:
-        """Rewrite both store tables to a bounded file count — every
-        ``add_batch`` APPENDS one file set, so after N batches the band
-        join opens O(N) files per bucket partition; at ingest-pipeline
-        batch cadence that is the classic small-files decay (the same
-        reason the runner ships ``compact_small_files``).
+        """Rewrite both store tables to one file per bucket — every
+        ``add_batch`` appends one file set, so after N batches each
+        bucket's scan opens O(N) files AND loses its sort-merge
+        sortedness (Spark trusts per-bucket sort order only with a
+        single file per bucket); at ingest-pipeline batch cadence that
+        is the classic small-files decay (the same reason the runner
+        ships ``compact_small_files``).
 
-        The rewrite is the journaled whole-dir swap: recompute into a
-        staging dir, commit with an atomic ``_SWAP_COMMIT`` marker,
-        delete-and-rename into place; a crash at any point either
-        leaves the live store untouched (pre-marker) or is rolled
-        forward by ``recover()`` at the next entry (post-marker).
-        File counts are SIZED FROM ROW COUNTS (one metadata-cheap count
-        per store), never a blanket coalesce(1): at 100 TB the sigs
-        table is corpus-sized and a band's bucket rows are
-        corpus-sized too, so both stores repartition to
-        ``ceil(rows / rows_per_file)`` tasks — bands additionally
-        hash-bucketed on (band_idx, band_hash) so a bucket's rows stay
-        co-located for the candidate join. Single-writer discipline
-        (no concurrent ``add_batch``) is the caller's lock, exactly
-        the reference's single-instance rule (B5)."""
+        Tombstones apply PHYSICALLY here. The sigs rewrite, the bands
+        rewrite, the ledger forget, AND the cleared (empty) tombstone
+        set all stage under ONE replace-mode journal commit — they can
+        never land separately (the stale-tombstone crash window the
+        round-9 self-review reproduced stays closed). Single-writer
+        discipline (no concurrent ``add_batch``) is the caller's lock,
+        exactly the reference's single-instance rule (B5)."""
         import math
 
         self.recover()
         report: dict = {}
-        rows_per_file = 2_000_000
-        # tombstones apply PHYSICALLY here. The sigs rewrite, the bands
-        # rewrite, AND the cleared (empty) tombstone set all stage under
-        # ONE journal commit — they can never land separately. The old
-        # per-store-swap form had a window where the store had already
-        # forgotten a deleted id but the stale tombstone survived; a
-        # re-ingest of that id then lost its pairs silently and the
-        # NEXT compact deleted it (reproduced in the round-9
-        # self-review). One marker closes the whole class.
+        if not self._sigs.has_files():
+            return report
         tombs = self._tombstones()
         if tombs is not None:
             tombs = tombs.localCheckpoint()  # sever before tombstones/ clears
-        staging = self.maint_staging_path
-        staged = []
-        for store, part_col in ((self.sigs_path, None), (self.bands_path, "band_idx")):
-            if not self.fs.is_dir(store):
-                continue
-            name = os.path.basename(store)
-            files_before = sum(1 for _ in self._data_files(store))
-            df = self.spark.read.parquet(store)
+        staging = self.staging_path
+        files_before = {
+            "sigs": sum(1 for _ in self._data_files(self.sigs_path)),
+            "bands": sum(1 for _ in self._data_files(self.bands_path)),
+        }
+        sigs = self.spark.read.parquet(self.sigs_path)
+        if tombs is not None:
+            sigs = sigs.join(tombs, self.id_col, "left_anti")
+        self._sigs.stage_bucketed(sigs, os.path.join(staging, "sigs"))
+        if self._has_files(self.bands_path):
+            bands_df = self.spark.read.parquet(self.bands_path)
             if tombs is not None:
-                df = df.join(tombs, self.id_col, "left_anti")
-            nfiles = max(1, math.ceil(df.count() / rows_per_file))
-            dst = os.path.join(staging, name)
-            if part_col:
-                (
-                    df.repartition(nfiles, F.col(part_col), F.col("band_hash"))
-                    .write.mode("overwrite")
-                    .partitionBy(part_col)
-                    .parquet(dst)
-                )
-            else:
-                df.repartition(nfiles).write.mode("overwrite").parquet(dst)
-            staged.append((name, store, files_before))
-        if not staged:
-            return report
+                bands_df = bands_df.join(tombs, self.id_col, "left_anti")
+            self._bands.stage_bucketed(bands_df, os.path.join(staging, "bands"))
+        # ledger rewrite sized from its row count (single slim column)
+        if self._has_files(self.ids_path):
+            ledger = self.spark.read.parquet(self.ids_path)
+            if tombs is not None:
+                ledger = ledger.join(tombs, self.id_col, "left_anti")
+            nfiles = max(1, math.ceil(ledger.count() / 2_000_000))
+            ledger.repartition(nfiles).write.mode("overwrite").parquet(
+                os.path.join(staging, "ids")
+            )
         if tombs is not None:
             # an EMPTY staged tombstones dir = the cleared set; the
             # replace promotion swaps it in atomically with the stores
             self.fs.makedirs(os.path.join(staging, "tombstones"))
         self._journal().commit(replace=True)
-        for name, store, files_before in staged:
+        for name, store in (("sigs", self.sigs_path), ("bands", self.bands_path)):
             report[name] = {
-                "files_before": files_before,
+                "files_before": files_before[name],
                 "files_after": sum(1 for _ in self._data_files(store)),
             }
         return report
 
     def stats(self) -> dict:
-        """Operational snapshot: ingested docs, pending tombstones,
-        and the band file census (the compaction trigger). Converges
-        any interrupted maintenance commit first — like every other
-        entry point — so a crash-interrupted store reports its true
-        state, not the mid-promotion one."""
+        """Operational snapshot: ingested docs (slim ledger count),
+        pending tombstones, and the band file census (the compaction
+        trigger). Converges any interrupted maintenance commit first —
+        like every other entry point — so a crash-interrupted store
+        reports its true state, not the mid-promotion one."""
         self.recover()
         tombs = self._tombstones()
+        if self._has_files(self.ids_path):
+            n_docs = self.spark.read.parquet(self.ids_path).count()
+        elif self._sigs.has_files():
+            n_docs = self.spark.read.parquet(self.sigs_path).count()
+        else:
+            n_docs = 0
         return {
-            "n_docs": self.spark.read.parquet(self.sigs_path).count()
-            if self._exists() else 0,
+            "n_docs": n_docs,
             "n_tombstoned": tombs.count() if tombs is not None else 0,
             "band_files": sum(1 for _ in self._data_files(self.bands_path)),
         }
 
     def _data_files(self, store: str):
-        """Report-only parquet file census (local paths; a remote index
-        root reports 0 rather than paying a recursive RPC listing)."""
-        if not os.path.isdir(store):
+        """Parquet file census through the ``fs`` seam, so the count —
+        and the compaction trigger reading it — is truthful on
+        ``hdfs://``/``s3a://`` index roots too (the round-9 ``os.walk``
+        form silently reported 0 there). The listing is bounded: the
+        bucketed dirs are flat; recursion only ever descends legacy
+        partition subdirs."""
+        fs = self.fs
+        if not fs.is_dir(store):
             return
-        for root, _dirs, files in os.walk(store):
-            for f in files:
-                if f.endswith(".parquet"):
-                    yield os.path.join(root, f)
+        stack = [store]
+        while stack:
+            d = stack.pop()
+            for name in fs.listdir(d):
+                full = os.path.join(d, name)
+                if fs.is_dir(full):
+                    stack.append(full)
+                elif name.endswith(".parquet"):
+                    yield full

@@ -299,7 +299,11 @@ def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: queries need n DRIVER-SIDE (hyperplane generation / shortlist
 #: sizing), and paying a count() at every plan build would violate the
 #: zero-jobs-at-build discipline the plan sweeps rely on — one count
-#: per sf_dir per process instead.
+#: per sf_dir per process instead. ASSUMPTION: an sf_dir's contents
+#: are immutable for the process lifetime (true for the driver's
+#: static test dirs); a session that REBUILDS a dataset in place would
+#: derive geometry from the stale n — key the cache on a file
+#: fingerprint before reusing this for mutable paths.
 _EMB_N_CACHE: dict[str, int] = {}
 
 

@@ -94,6 +94,15 @@ class RunConfig:
                                            # B2 ordering is per-table — so
                                            # this never reorders effects.
                                            # 1 = the reference's serial loop
+    store_maintenance: tuple = ()          # opt-in maintained-store upkeep
+                                           # specs (see maintain_stores):
+                                           # ({"kind": "minhash", "path":
+                                           # ..., "max_files": 64}, ...) —
+                                           # runs inside run_session's
+                                           # budget-gated maintenance block,
+                                           # the reference's entry point C,
+                                           # so store compaction is
+                                           # scheduled, not CLI-manual only
 
     def effective_row_budget(self) -> int:
         if self.degraded:
@@ -884,7 +893,82 @@ class ReplicationRunner:
                 # just rewrote exactly these partitions, so the rollup's
                 # version counts change in exactly these months too
                 self.refresh_daily_aggregate(tbl, compact_months)
+        if max_minutes > 10 and self.cfg.store_maintenance:
+            # maintained-store upkeep rides the SAME entry-point-C gate
+            # as table compaction (short/test runs skip both)
+            self.maintain_stores(self.cfg.store_maintenance)
         return reports
+
+    # --- maintenance: maintained-store upkeep (entry point C) --------------
+    #: store kind -> (opener, stats key carrying the file census)
+    STORE_CENSUS_KEYS = {
+        "minhash": "band_files",
+        "substring": "firsts_files",
+        "bm25": "postings_files",
+        "ivf": "lists_files",
+    }
+
+    def _open_store(self, kind: str, path: str, args: dict):
+        if kind == "minhash":
+            from ..operators.neardup_index import MinHashIndex
+
+            return MinHashIndex(self.spark, path, **args)
+        if kind == "substring":
+            from ..operators.substring_index import SubstringIndex
+
+            # k=None adopts the gram width from the store meta — the
+            # path-only reopen shape
+            return SubstringIndex(self.spark, path, k=None, **args)
+        if kind == "bm25":
+            from ..operators.bm25_index import BM25Index
+
+            return BM25Index(self.spark, path, **args)
+        if kind == "ivf":
+            from ..operators.ann_index import IVFIndex
+
+            # geometry adopts from the store manifest
+            return IVFIndex(self.spark, path, **args)
+        raise ValueError(f"unknown maintained-store kind: {kind!r}")
+
+    def maintain_stores(self, specs) -> list[dict]:
+        """Scheduled upkeep for the engine's maintained stores (MinHash
+        / substring / BM25 / IVF) — the reference runs its dedup and
+        retention maintenance at end-of-run from the SAME entry point
+        as replication (matomo2clickhouse.py:756-766, entry point C);
+        the incremental stores deserve the same scheduled, budget-gated
+        path instead of being CLI-manual only.
+
+        Each spec: ``{"kind": one of STORE_CENSUS_KEYS, "path": store
+        root, "max_files": census threshold (default 64), "args":
+        extra constructor kwargs for non-default store geometry}``.
+        Per store: converge any interrupted commit (``recover`` — runs
+        inside ``stats()``), read the file census from ``stats()``,
+        and run the journaled ``compact`` only when the census exceeds
+        the threshold — compaction rewrites the whole store, so it
+        must be triggered by measured small-files decay, not every
+        session. Single-writer discipline applies: the caller must not
+        schedule this concurrently with the store's ingest job (the
+        reference's single-instance rule, B5)."""
+        out: list[dict] = []
+        for spec in specs:
+            kind, path = spec["kind"], spec["path"]
+            census_key = self.STORE_CENSUS_KEYS[kind]
+            max_files = int(spec.get("max_files", 64))
+            idx = self._open_store(kind, path, dict(spec.get("args", ())))
+            st = idx.stats()  # converges interrupted commits first
+            rep = {
+                "kind": kind,
+                "path": path,
+                "census": st[census_key],
+                "threshold": max_files,
+                "compacted": False,
+            }
+            if st[census_key] > max_files:
+                idx.compact()
+                rep["compacted"] = True
+                rep["census_after"] = idx.stats()[census_key]
+            out.append(rep)
+        return out
 
     # --- initial load: snapshot bootstrap ----------------------------------
     def bootstrap_from_snapshot(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Interleaved A/B bench: CURRENT tree vs the pinned floor ref
-(REF_COMMIT below — since round 9 the r8 tree a228d70, the best code
-measured on this box; rounds 6-8 used the r5 floor 79d3d22), both
+(REF_COMMIT below — since round 10 the r9 tree f31be1b; round 9 used
+the r8 tree a228d70, rounds 6-8 the r5 floor 79d3d22), both
 variants in ONE SparkSession, samples alternated per query so box load
 drift cancels out of the per-query ratio.
 
@@ -41,10 +41,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: the pinned floor: re-pin to the best-measured tree when the current
-#: tree beats the old floor (r9 note — the r8 A/B closed at total 0.979
-#: vs r5, so r8 replaced r5 as the floor per the r8 verdict task 5)
-REF_COMMIT = "a228d70"
-REF_TAG = "r8"
+#: tree beats the old floor (r10 note — the r9 A/B closed at total
+#: 1.019 vs r8 with one deliberate recall-for-cost trade, so per the
+#: r9 verdict task 4 the floor advances to the last r9 code commit;
+#: rounds 6-8 used r5 79d3d22, round 9 used r8 a228d70)
+REF_COMMIT = "f31be1b"
+REF_TAG = "r9"
 REF_PKG = f"m2c_{REF_TAG}ref"
 
 

@@ -263,15 +263,16 @@ def test_local_rmtree_failure_raises(tmp_path, monkeypatch):
         LocalFS().rmtree(str(d))
 
 
-# --- fault: neardup index crash between bands and sigs append ---------------
+# --- fault: neardup index crash around the ingest commit marker -------------
 
-def test_neardup_crash_between_bands_and_sigs_append(spark, tmp_path):
-    """Kill add_batch AFTER the bands append, BEFORE the sigs append —
-    the index's analog of the data-write/ledger-write window. The
-    redelivered batch survives the sigs anti-join but finds its own
-    first delivery's band rows in the store; the pair output must still
-    equal the one-shot result (no duplicated pairs) and the sigs store
-    must hold each doc exactly once."""
+def test_neardup_crash_before_commit_marker_replays_cleanly(spark, tmp_path):
+    """The index's analog of the data-write/ledger-write window. Round 10
+    moved the ingest onto the journaled staged commit (sigs + bands +
+    ids under ONE marker), so the old half-appended state is
+    unreachable by construction; the two fault points that remain are
+    the journal's own — marker never lands (pre-commit) and promotion
+    stops between stores (post-commit) — both driven below, mirroring
+    the substring-store matrix."""
     from mysql2clickhouse_spark.functions.minhash import verified_near_dups
     from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
 
@@ -283,23 +284,18 @@ def test_neardup_crash_between_bands_and_sigs_append(spark, tmp_path):
 
     one_shot = verified_near_dups(batch).select("id_a", "id_b", "jaccard")
 
-    # Reproduce the crash state directly: the bands append completed,
-    # the sigs append never ran — byte-identical on disk to killing
-    # add_batch between its two appends (bands-then-sigs write order is
-    # pinned in add_batch's docstring).
-    idx2 = MinHashIndex(spark, str(tmp_path / "idx3"))
-    tables = idx2._batch_tables(batch)
-    idx2._band_rows(
-        tables.filter(F.col("minhash").isNotNull()).select("doc_id", "minhash")
-    ).write.mode("append").partitionBy("band_idx").parquet(idx2.bands_path)
-    assert os.path.isdir(idx2.bands_path) and not os.path.isdir(idx2.sigs_path)
+    # PRE-COMMIT: staging written, marker never lands — the store must
+    # stay untouched and the redelivery judge exactly like a first run
+    idx = MinHashIndex(spark, str(tmp_path / "idx3"))
+    idx.fs = _FailMarkerWrite()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(batch)
+    assert not os.path.isdir(idx.sigs_path)  # nothing committed
 
-    # redelivery of the SAME batch against the half-written store
-    pairs = idx2.add_batch(batch)
-    assert idx2.pairs_equal(one_shot, pairs), (
-        "redelivered batch must produce exactly the one-shot pair set "
-        "(no duplicates from its own first-delivery band rows)"
-    )
+    idx2 = MinHashIndex(spark, str(tmp_path / "idx3"))
+    pairs = idx2.add_batch(batch)  # recover() clears the debris first
+    assert not os.path.isdir(idx2.staging_path)
+    assert idx2.pairs_equal(one_shot, pairs)
     sigs = spark.read.parquet(idx2.sigs_path)
     assert sigs.count() == sigs.select("doc_id").distinct().count()
 
@@ -307,6 +303,58 @@ def test_neardup_crash_between_bands_and_sigs_append(spark, tmp_path):
     again = idx2.add_batch(batch)
     assert again.count() == 0
     assert spark.read.parquet(idx2.sigs_path).count() == sigs.count()
+
+
+def test_neardup_crash_mid_promotion_rolls_forward(spark, tmp_path):
+    """Post-commit crash: the marker landed but promotion stopped after
+    the sigs and bands files moved and before the IDS ledger files
+    moved — byte-identical on disk to the pre-round-10 code's window
+    (data stored, batch unledgered). recover() at the next entry must
+    finish the promotion, so the replayed batch is dropped whole —
+    never paired against its own first delivery's band rows — and a
+    later batch still finds its cross-batch pairs from the store."""
+    from mysql2clickhouse_spark.functions.minhash import verified_near_dups
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    base = "the quick brown fox jumps over the lazy dog wearing suit number"
+    b1 = spark.createDataFrame(
+        [(i, f"{base} {i} variant") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(1000 + i, f"{base} {i} variant!") for i in range(0, 40, 5)],
+        "doc_id bigint, text string",
+    )
+
+    class _FailIdsPromotion(LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            if f"{os.sep}ids{os.sep}" in dst:
+                raise OSError("injected crash before ids promotion")
+            super().rename(src, dst)
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.fs = _FailIdsPromotion()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_batch(b1)
+    # the dangerous state: data promoted, ledger not, marker present
+    assert idx._has_files(idx.sigs_path)
+    assert not idx._has_files(idx.ids_path)
+    assert os.path.isfile(
+        os.path.join(idx.staging_path, "_INGEST_COMMIT")
+    )
+
+    idx2 = MinHashIndex(spark, str(tmp_path / "idx"))
+    replay = idx2.add_batch(b1)  # recover() finishes the promotion
+    assert not os.path.isdir(idx2.staging_path)
+    assert replay.count() == 0, "redelivery must be dropped whole"
+    sigs = spark.read.parquet(idx2.sigs_path)
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
+
+    # cross-batch pairs surface from the recovered store
+    p2 = idx2.add_batch(b2)
+    full = verified_near_dups(b1.unionByName(b2))
+    want = full.filter(F.col("id_b") >= 1000)
+    assert idx2.pairs_equal(want, p2)
 
 
 # --- fault: substring index crash around the ingest commit marker -----------

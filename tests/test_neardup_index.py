@@ -172,12 +172,12 @@ def test_compact_crash_after_commit_rolls_forward(spark, tmp_path):
     with pytest.raises(OSError, match="injected"):
         idx.compact()
     # staged + committed under the maintenance journal, live dir deleted
-    assert os.path.isdir(os.path.join(idx.maint_staging_path, "sigs"))
+    assert os.path.isdir(os.path.join(idx.staging_path, "sigs"))
     assert not os.path.isdir(idx.sigs_path)
 
     idx.fs = LocalFS()
     acc = acc.unionByName(idx.add_batch(batches[2]))    # recover() at entry
-    assert not os.path.exists(idx.maint_staging_path)
+    assert not os.path.exists(idx.staging_path)
     full = verified_near_dups(corpus, "doc_id", threshold=0.7)
     assert idx.pairs_equal(full, acc)
     corpus.unpersist()
@@ -266,7 +266,7 @@ def test_remove_batch_crash_rolls_forward(spark, tmp_path):
     with pytest.raises(OSError, match="injected"):
         idx.remove_batch(doomed)
     # committed in the journal, not yet promoted
-    assert os.path.isdir(os.path.join(idx.maint_staging_path, "tombstones"))
+    assert os.path.isdir(os.path.join(idx.staging_path, "tombstones"))
     assert idx._tombstones() is None  # cleared (empty swapped-in dir)
 
     idx.fs = LocalFS()
@@ -315,7 +315,7 @@ def test_compact_crash_cannot_strand_stale_tombstones(spark, tmp_path):
     idx.fs = _FailNthRename(fail_on=3)
     with pytest.raises(OSError, match="injected"):
         idx.compact()
-    assert os.path.isdir(os.path.join(idx.maint_staging_path, "tombstones"))
+    assert os.path.isdir(os.path.join(idx.staging_path, "tombstones"))
 
     # re-ingest one deleted id: recover() at entry converges the clear
     # first, so the doc is judged as brand-new and pairs with its mutant
@@ -329,4 +329,73 @@ def test_compact_crash_cannot_strand_stale_tombstones(spark, tmp_path):
     stored = {r.doc_id for r in spark.read.parquet(idx.sigs_path)
               .select("doc_id").collect()}
     assert d0 in stored
+    d.unpersist()
+
+
+def test_stats_census_routes_through_fs_seam(spark, tmp_path):
+    """The file census (the compaction trigger) must list through the
+    injected ``fs`` — an ``os.walk`` census silently reported 0 files
+    for ``hdfs://``/``s3a://`` index roots, blinding the trigger
+    exactly where compaction matters (r9 verdict finding #2)."""
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    d = _base(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(d)
+
+    class _Recording(LocalFS):
+        def __init__(self):
+            self.listed = []
+
+        def listdir(self, path):
+            self.listed.append(path)
+            return super().listdir(path)
+
+    rec = _Recording()
+    idx.fs = rec
+    st = idx.stats()
+    assert st["n_docs"] == d.count()
+    assert st["band_files"] > 0
+    assert any(p.startswith(idx.bands_path) for p in rec.listed), (
+        "band census must go through the fs seam, not os.walk"
+    )
+
+
+def test_legacy_unbucketed_store_migrates_once(spark, tmp_path):
+    """A pre-round-10 store (plain parquet sigs, bands partitioned by
+    band_idx, no ids ledger, no meta) must migrate to the bucketed
+    layout on first entry — one journaled replace rewrite — after which
+    ingest, replay idempotence, and the pair contract all hold."""
+    d = _base(spark).cache()
+    legacy = str(tmp_path / "legacy")
+
+    # fabricate the old on-disk layout with the engine's own signer
+    builder = MinHashIndex(spark, str(tmp_path / "builder"), threshold=0.7)
+    tables = builder._batch_tables(d)
+    tables.write.parquet(os.path.join(legacy, "sigs"))
+    builder._band_rows(
+        tables.filter(F.col("minhash").isNotNull()).select("doc_id", "minhash")
+    ).write.partitionBy("band_idx").parquet(os.path.join(legacy, "bands"))
+    assert not os.path.exists(os.path.join(legacy, "_STORE_META"))
+
+    idx = MinHashIndex(spark, legacy, threshold=0.7)
+    assert idx._legacy_pending
+
+    # first entry migrates, then the mutant batch pairs against the
+    # migrated store exactly as against a natively-built one
+    from mysql2clickhouse_spark.functions.minhash import verified_near_dups
+
+    mut = _mutants(d)
+    p1 = idx.add_batch(mut)
+    full = verified_near_dups(d.unionByName(mut), "doc_id", threshold=0.7)
+    want = full.filter((F.col("id_a") >= MUT) | (F.col("id_b") >= MUT))
+    assert idx.pairs_equal(want, p1)
+
+    # migrated artifacts: meta, slim ids ledger, bucketed reads work
+    assert os.path.exists(os.path.join(legacy, "_STORE_META"))
+    assert idx._has_files(idx.ids_path)
+    assert idx.stats()["n_docs"] == d.count() + mut.count()
+
+    # the pre-migration corpus replays as a no-op (ledger backfilled)
+    assert idx.add_batch(d).count() == 0
     d.unpersist()

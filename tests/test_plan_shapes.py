@@ -579,3 +579,83 @@ def test_row_python_udf_detector(spark):
             yield p
 
     assert not row_python_udfs(df.mapInPandas(gen, "id long"))
+
+
+def _nd_index(spark, tmp_path):
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "ndidx"), n_buckets=8)
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    idx.add_batch(
+        spark.createDataFrame(
+            [(i, f"{base} {i} variant") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+    )
+    return idx
+
+
+def test_minhash_bands_join_never_exchanges_the_store(spark, tmp_path):
+    """The MinHashIndex 100 TB contract (r9 verdict finding #1): the
+    new×old candidate join must exchange only the BATCH's band rows —
+    the store side streams straight out of its composite-key bucketed
+    layout ((band_idx, band_hash) buckets equal the join keys), so
+    ingest cost stays O(batch) no matter how large the store grows.
+    Broadcast is disabled because at scale neither the store nor a
+    production batch can broadcast — this pins the sort-merge plan."""
+    from pyspark.sql import functions as F
+
+    idx = _nd_index(spark, tmp_path)
+    # fabricated batch band rows: the pin isolates the STORE side of
+    # the join (the batch side's own derivation cost is batch-bounded
+    # by construction and pinned elsewhere)
+    new_bands = spark.createDataFrame(
+        [(0, 123, 1000), (1, 456, 1001)],
+        "band_idx int, band_hash int, doc_id bigint",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cross = new_bands.alias("n").join(
+            idx._bands.read().alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        plan = plan_of(spark, cross)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # the store scan carries its bucket layout into the join...
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # ...so exactly ONE exchange node exists in the whole join — the
+    # batch side being hashed into the store's bucket space (formatted
+    # explain names each node twice: tree + detail section)
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(band_idx" in plan
+
+
+def test_minhash_verify_join_never_exchanges_the_sigs_store(spark, tmp_path):
+    """The verify side of the same contract: candidate pairs resolve
+    stored signatures through the doc_id-bucketed sigs table — the
+    batch-bounded pairs shuffle into the store's bucket space, the
+    store scan is never exchanged, and the batch-local fill join adds
+    only batch-bounded work."""
+    idx = _nd_index(spark, tmp_path)
+    cands = spark.createDataFrame([(1, 1001), (2, 1001)], "id_a bigint, id_b bigint")
+    batch_rows = spark.createDataFrame(
+        [(1001, [1, 2, 3], [4, 5, 6])],
+        "doc_id bigint, hset array<int>, minhash array<int>",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frag = idx._attach_sigs(cands, "id_a", idx._sigs.read(), batch_rows)
+        plan = plan_of(spark, frag)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # two shuffle exchanges in the whole fragment — the pairs hashing
+    # into the sigs bucket space and the batch fill side — and NONE
+    # above the store scan (×2 tree+detail accounting)
+    assert plan.count("Exchange") == 4
+    assert plan.count("BroadcastExchange") == 0
+    assert "hashpartitioning(id_a" in plan

@@ -1200,3 +1200,57 @@ def test_backfill_dedup_overlap_slide_and_targeted_retry(spark, tmp_path):
     assert [p["months"] for p in st["passes"]] == [
         [202401, 202402], [202402, 202403], [202403, 202404]
     ]
+
+
+def test_run_session_maintains_stores_past_census_threshold(spark, tmp_path):
+    """Entry-point-C extension: maintained stores listed in
+    RunConfig.store_maintenance get scheduled upkeep inside the SAME
+    budget-gated maintenance block as table compaction — a store driven
+    past its file-census threshold is compacted (journaled) during a
+    long session, left alone during a short one, and a store under the
+    threshold is never rewritten."""
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    store = str(tmp_path / "ndstore")
+    idx = MinHashIndex(spark, store, n_buckets=4)
+    for b in range(3):  # 3 ingests -> 3 file sets per store table
+        idx.add_batch(
+            spark.createDataFrame(
+                [(b * 1000 + i, f"{base} {i} v{b}") for i in range(10)],
+                "doc_id bigint, text string",
+            )
+        )
+    census0 = idx.stats()["band_files"]
+    assert census0 > 4  # past the tiny threshold below
+
+    cfg = RunConfig(
+        target_dir=str(tmp_path / "wh"),
+        store_maintenance=(
+            {"kind": "minhash", "path": store, "max_files": 4},
+        ),
+    )
+    runner = ReplicationRunner(spark, cfg)
+    cl = mk_changelog(spark, n=40, files=2)
+
+    # short session: the gate holds — no store rewrite
+    runner.run_session(cl, max_minutes=5)
+    assert idx.stats()["band_files"] == census0
+
+    # long session: gate opens, the journaled compact runs
+    runner.run_session(cl, max_minutes=50)
+    census1 = idx.stats()["band_files"]
+    assert census1 < census0
+
+    # below-threshold store (compact leaves <= n_buckets=4 files):
+    # upkeep reports but never rewrites
+    rep = runner.maintain_stores(cfg.store_maintenance)
+    assert rep[0]["census"] == census1 and rep[0]["compacted"] is False
+    # pair contract survives scheduled compaction: a mutant batch still
+    # pairs against the compacted store
+    mut = spark.createDataFrame(
+        [(9000 + i, f"{base} {i} v0!") for i in range(0, 10, 3)],
+        "doc_id bigint, text string",
+    )
+    pairs = idx.add_batch(mut)
+    assert pairs.count() > 0
