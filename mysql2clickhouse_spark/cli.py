@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-table applies as concurrent Spark jobs (1 = serial)")
     r.add_argument("--compact-months", type=int, nargs="*", default=None,
                    help="yyyymm partitions for end-of-run dedup compaction")
+    r.add_argument("--maintain-store", action="append", default=None,
+                   metavar="KIND=PATH[:MAX_FILES]",
+                   help="maintained-store upkeep spec (repeatable): kind is "
+                        "minhash|substring|bm25|ivf; the store is recovered "
+                        "every session and compacted when its file census "
+                        "exceeds MAX_FILES (default 64) — runs inside the "
+                        "same budget-gated maintenance block as "
+                        "--compact-months (sessions <= 10 min skip both)")
 
     b = sub.add_parser("bootstrap", help="initial load from a source snapshot")
     b.add_argument("--table", required=True)
@@ -267,6 +275,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         from .streaming.runner import ReplicationRunner, RunConfig
 
+        specs = []
+        for raw in args.maintain_store or ():
+            kind, _, rest = raw.partition("=")
+            if not rest or kind not in (
+                "minhash", "substring", "bm25", "ivf"
+            ):
+                _emit({"error": f"bad --maintain-store spec: {raw!r}",
+                       "expect": "KIND=PATH[:MAX_FILES]"})
+                return 2
+            path, _, max_files = rest.rpartition(":")
+            if path and max_files.isdigit():
+                specs.append({"kind": kind, "path": path,
+                              "max_files": int(max_files)})
+            else:
+                specs.append({"kind": kind, "path": rest})
         cfg = RunConfig(
             target_dir=args.target_dir,
             batch_row_budget=args.row_budget,
@@ -277,6 +300,7 @@ def main(argv: list[str] | None = None) -> int:
             quarantine=not args.no_quarantine,
             schema_drift=args.schema_drift,
             table_concurrency=args.table_concurrency,
+            store_maintenance=tuple(specs),
         )
         runner = ReplicationRunner(spark, cfg)
         changelog = spark.read.parquet(args.changelog_dir)
@@ -287,6 +311,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         for rep in reports:
             _emit(asdict(rep))
+        for srep in runner.last_store_maintenance:
+            _emit({"job": "store-maintain", **srep})
         return 0
 
     if args.cmd == "bootstrap":

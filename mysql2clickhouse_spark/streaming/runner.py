@@ -163,6 +163,9 @@ class ReplicationRunner:
         # empty-store repair) goes through this seam — POSIX for bare
         # paths, Hadoop FileSystem for hdfs://s3a://... target dirs
         self.fs = fs_for(spark, config.target_dir)
+        #: last run_session's maintained-store upkeep report (see
+        #: maintain_stores) — surfaced by the CLI
+        self.last_store_maintenance: list[dict] = []
 
     # --- storage paths -----------------------------------------------------
     def table_path(self, name: str) -> str:
@@ -895,8 +898,11 @@ class ReplicationRunner:
                 self.refresh_daily_aggregate(tbl, compact_months)
         if max_minutes > 10 and self.cfg.store_maintenance:
             # maintained-store upkeep rides the SAME entry-point-C gate
-            # as table compaction (short/test runs skip both)
-            self.maintain_stores(self.cfg.store_maintenance)
+            # as table compaction (short/test runs skip both); the
+            # report is kept on the runner for the CLI to surface
+            self.last_store_maintenance = self.maintain_stores(
+                self.cfg.store_maintenance
+            )
         return reports
 
     # --- maintenance: maintained-store upkeep (entry point C) --------------

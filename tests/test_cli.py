@@ -433,3 +433,53 @@ def test_cli_annindex_stats_and_post_ingest_snapshot(spark, tmp_path, capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert lines[-1]["n_vectors"] == 38 and lines[-1]["n_tombstoned"] == 0
+
+
+def test_cli_run_maintain_store(spark, tmp_path, capsys):
+    """--maintain-store KIND=PATH:MAX_FILES rides the run session's
+    budget-gated maintenance: a store past its census threshold is
+    compacted and the upkeep report is emitted as a JSON line."""
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    store = str(tmp_path / "nd")
+    idx = MinHashIndex(spark, store, n_buckets=4)
+    for b in range(3):
+        idx.add_batch(
+            spark.createDataFrame(
+                [(b * 100 + i, f"{base} {i} v{b}") for i in range(10)],
+                "doc_id bigint, text string",
+            )
+        )
+    census0 = idx.stats()["band_files"]
+    assert census0 > 4
+
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    _stage_changelog(spark, cl)
+
+    # bad spec fails fast
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--maintain-store", f"bogus={store}"])
+    assert rc == 2
+    capsys.readouterr()
+
+    # short session: gate holds, report absent, store untouched
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "1",
+               "--maintain-store", f"minhash={store}:4"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert not [x for x in lines if x.get("job") == "store-maintain"]
+    assert idx.stats()["band_files"] == census0
+
+    # long session: gate opens, journaled compact runs, report emitted
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "50",
+               "--maintain-store", f"minhash={store}:4"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    srep = [x for x in lines if x.get("job") == "store-maintain"]
+    assert len(srep) == 1
+    assert srep[0]["compacted"] is True and srep[0]["census"] == census0
+    assert idx.stats()["band_files"] <= 4
