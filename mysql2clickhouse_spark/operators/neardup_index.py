@@ -375,6 +375,20 @@ class MinHashIndex:
         new = self._batch_tables(batch).persist()
         n_new = new.count()  # eager barrier: feeds bands, verify, and the commit
         rotate_cache("neardup_index.add_batch", new)
+        if n_new == 0:
+            # full replay / empty delivery: nothing to judge, nothing to
+            # commit — answer without touching the store (a streaming
+            # redelivery is the hot no-op path; two store scans for a
+            # guaranteed-empty pair set is O(store) work for nothing)
+            return (
+                new.select(
+                    F.col(self.id_col).alias("id_a"),
+                    F.col(self.id_col).alias("id_b"),
+                    F.lit(0.0).alias("jaccard"),
+                )
+                .limit(0)
+                .localCheckpoint(eager=True)
+            )
         new_sigs = new.filter(F.col("minhash").isNotNull()).select(
             self.id_col, "minhash"
         )
@@ -399,11 +413,6 @@ class MinHashIndex:
         # materialize pairs BEFORE the store commit (severs the report
         # from the store paths the promotion is about to mutate)
         out = pairs.localCheckpoint(eager=True)
-
-        if n_new == 0:
-            # full replay / empty delivery: nothing to commit — the
-            # store (bytes, file census, catalog listings) is untouched
-            return out
 
         staging = self.staging_path  # recover() left no staging behind
         self._sigs.stage_bucketed(new, os.path.join(staging, "sigs"))
