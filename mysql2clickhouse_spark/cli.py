@@ -58,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--maintain-store", action="append", default=None,
                    metavar="KIND=PATH[:MAX_FILES]",
                    help="maintained-store upkeep spec (repeatable): kind is "
-                        "minhash|substring|bm25|ivf; the store is recovered "
+                        "minhash|simhash|substring|bm25|ivf; the store is "
+                        "recovered "
                         "every session and compacted when its file census "
                         "exceeds MAX_FILES (default 64) — runs inside the "
                         "same budget-gated maintenance block as "
@@ -223,6 +224,28 @@ def build_parser() -> argparse.ArgumentParser:
     si.add_argument("--report-out", default=None,
                     help="write the batch's removal report here (parquet)")
 
+    sh = sub.add_parser(
+        "simhashindex",
+        help="persistent pigeonhole SimHash index (incremental near-dup "
+             "pairs at hamming <= 3)",
+    )
+    sh.add_argument("--index-dir", required=True, help="store root")
+    sh.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (docs/tombstones/files)")
+    sh.add_argument("--n-blocks", type=int, default=4,
+                    help="pigeonhole blocks for a NEW store (store identity)")
+    sh.add_argument("--max-hamming", type=int, default=3,
+                    help="pair distance bound (must be <= n_blocks - 1)")
+    sh.add_argument("--batch-dir", default=None,
+                    help="parquet batch (doc_id, text) to ingest")
+    sh.add_argument("--pairs-out", default=None,
+                    help="write the batch's near-dup pairs here (parquet)")
+    sh.add_argument("--remove-dir", default=None,
+                    help="parquet (doc_id) to tombstone; --compact applies "
+                         "physically")
+    sh.add_argument("--compact", action="store_true",
+                    help="apply tombstones + one-file-per-bucket rewrite")
+
     ex = sub.add_parser("export", help="curate and write training shards + manifest")
     ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
     ex.add_argument("--out-dir", required=True)
@@ -242,7 +265,7 @@ def _emit(obj) -> None:
 
 def _store_maintenance(spark, args, idx, name: str) -> bool:
     """The remove/compact prologue every maintained-store subcommand
-    shares (neardup, annindex, bm25index, substrindex) — one
+    shares (neardup, annindex, bm25index, substrindex, simhashindex) — one
     implementation so a lifecycle change lands once, not four times.
     Returns whether anything ran."""
     acted = False
@@ -279,7 +302,7 @@ def main(argv: list[str] | None = None) -> int:
         for raw in args.maintain_store or ():
             kind, _, rest = raw.partition("=")
             if not rest or kind not in (
-                "minhash", "substring", "bm25", "ivf"
+                "minhash", "simhash", "substring", "bm25", "ivf"
             ):
                 _emit({"error": f"bad --maintain-store spec: {raw!r}",
                        "expect": "KIND=PATH[:MAX_FILES]"})
@@ -500,6 +523,31 @@ def main(argv: list[str] | None = None) -> int:
         acted |= _store_stats(args, idx, "substrindex")
         if not acted:
             _emit({"error": "substrindex needs --add-dir, --remove-dir, "
+                            "--stats and/or --compact"})
+            return 2
+        return 0
+
+    if args.cmd == "simhashindex":
+        from .operators.simhash_index import SimHashIndex
+
+        try:
+            idx = SimHashIndex(spark, args.index_dir, n_blocks=args.n_blocks,
+                               max_hamming=args.max_hamming)
+        except ValueError as e:  # geometry contradiction
+            _emit({"error": str(e)})
+            return 2
+        acted = _store_maintenance(spark, args, idx, "simhashindex")
+        if args.batch_dir:
+            pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
+            out = {"job": "simhashindex-add", "n_pairs": pairs.count()}
+            if args.pairs_out:
+                pairs.write.mode("overwrite").parquet(args.pairs_out)
+                out["pairs_out"] = args.pairs_out
+            _emit(out)
+            acted = True
+        acted |= _store_stats(args, idx, "simhashindex")
+        if not acted:
+            _emit({"error": "simhashindex needs --batch-dir, --remove-dir, "
                             "--stats and/or --compact"})
             return 2
         return 0

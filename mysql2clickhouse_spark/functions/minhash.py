@@ -95,7 +95,11 @@ def drain_quarantine_logs() -> int:
 
 
 def _quarantine_hot_buckets(
-    exploded: DataFrame, keys: list[str], max_bucket_size: int, label: str
+    exploded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    label: str,
+    base_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Drop bucket-membership rows belonging to buckets with more than
     ``max_bucket_size`` members, WITH A LOGGED DROP COUNT — never a
@@ -127,9 +131,26 @@ def _quarantine_hot_buckets(
     bucket that large is either (a) near-identical boilerplate, which
     exact/content-hash dedup upstream already collapses, or (b) a hash
     pathology, where emitting n²/2 candidates would stall the job
-    without producing useful near-dup structure."""
+    without producing useful near-dup structure.
+
+    ``base_sizes`` (optional, ``keys + __bn_base``) adds PRE-EXISTING
+    per-bucket occupancy to the frame's own counts — the incremental
+    store's form of the guard, where a bucket's population is the
+    stored rows plus the batch's rows and the blowup to prevent is
+    batch×store, not batch×batch. Left-joined on the batch's buckets
+    only: a hot bucket the batch never touches contributes no
+    candidates and needs no judging."""
     drain_quarantine_logs()
     sizes = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    if base_sizes is not None:
+        sizes = (
+            sizes.join(base_sizes, keys, "left")
+            .withColumn(
+                "__bn",
+                F.col("__bn") + F.coalesce(F.col("__bn_base"), F.lit(0)),
+            )
+            .drop("__bn_base")
+        )
     hot = (
         sizes.filter(F.col("__bn") > max_bucket_size)
         .select(*keys)

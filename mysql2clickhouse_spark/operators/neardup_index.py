@@ -58,7 +58,14 @@ over the full corpus restricted to pairs introduced by each batch —
 banding, estimate margin, and verify are the SAME functions, so the
 candidate nets are identical by construction. ``dedup_incremental``
 (plans/extensions.py) certifies this equivalence as an oracle row, and
-``test_neardup_index.py`` pins multi-batch accumulation.
+``test_neardup_index.py`` pins multi-batch accumulation. The ONE
+divergence case is the hot-bucket quarantine (round 10 — the same
+guard the one-shot applies, judged on store+batch occupancy): mining
+is monotone, so pairs emitted before a bucket crossed the cap stand,
+whereas the one-shot drops the whole bucket retroactively; a bucket
+hot from its first appearance behaves identically in both forms, and
+the equality certification holds on any corpus whose buckets stay
+under the cap.
 
 Delete lifecycle (round 9 — the same tombstone discipline as
 ``BM25Index``/``IVFIndex``): ``remove_batch`` journals doc ids into
@@ -93,9 +100,11 @@ from .journal import StagedCommit
 from ..functions.minhash import (
     DEFAULT_BANDS,
     DEFAULT_ESTIMATE_MARGIN,
+    DEFAULT_MAX_BUCKET,
     DEFAULT_NUM_PERM,
     DEFAULT_ROWS,
     DEFAULT_THRESHOLD,
+    _quarantine_hot_buckets,
     estimated_jaccard_col,
     jaccard_col,
     minhash_signatures_arrow,
@@ -133,6 +142,7 @@ class MinHashIndex:
         text_col: str = "text",
         k: int = 5,
         n_buckets: int = 32,
+        max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     ):
         self.spark = spark
         self.path = path
@@ -141,6 +151,9 @@ class MinHashIndex:
         self.estimate_margin = estimate_margin
         self.id_col, self.text_col, self.k = id_col, text_col, k
         self.n_buckets = n_buckets
+        # mining-cost knob like threshold/margin, NOT store identity:
+        # quarantined docs' sig/band rows are still ingested in full
+        self.max_bucket_size = max_bucket_size
         # swap seam for staged commits — POSIX for bare paths, Hadoop
         # FileSystem for hdfs://s3a:// index roots (same seam the
         # runner uses; injectable for crash tests)
@@ -245,7 +258,36 @@ class MinHashIndex:
     def _candidates(self, new_bands: DataFrame) -> DataFrame:
         """Banded candidate pairs for a batch: new×old against the
         bucketed band store (store side never exchanged — the join keys
-        ARE the bucket columns) plus the in-batch self-join."""
+        ARE the bucket columns) plus the in-batch self-join.
+
+        HOT-BUCKET QUARANTINE (the one-shot's guard, incremental form):
+        a (band_idx, band_hash) bucket whose TOTAL occupancy — stored
+        rows plus this batch's — exceeds ``max_bucket_size`` is dropped
+        from THIS batch's mining with a logged count, because one
+        pathological bucket (mass boilerplate, hash adversary) turns
+        the candidate join into a batch×store blowup concentrated in
+        one task. The store-side occupancy is a groupBy on the bucket
+        keys that inherits the scan's bucketing (no Exchange); only the
+        batch's own buckets are judged. Ingest is UNAFFECTED — a
+        quarantined doc's sig and band rows still land in the store
+        (they keep counting toward occupancy and stay verify-resolvable).
+        Contract note: mining is monotone — pairs emitted before a
+        bucket crossed the cap stand; a bucket hot from its first
+        appearance (the realistic mass-duplicate shape) emits exactly
+        what the one-shot with the same cap emits, which is nothing."""
+        if self.max_bucket_size is not None:
+            base_sizes = None
+            if self._bands.has_files():
+                base_sizes = self._bands.read().groupBy(
+                    "band_idx", "band_hash"
+                ).agg(F.count(F.lit(1)).alias("__bn_base"))
+            new_bands = _quarantine_hot_buckets(
+                new_bands,
+                ["band_idx", "band_hash"],
+                self.max_bucket_size,
+                "neardup_index.add_batch",
+                base_sizes=base_sizes,
+            )
         pairs_sets = []
         if self._bands.has_files():
             old_bands = self._bands.read()

@@ -274,6 +274,124 @@ def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash maintenance (operators/simhash_index.py —
+    the fifth maintained store, round 10): ingest the corpus as batch 1
+    into a persisted pigeonhole-block index, the planted mutants as
+    batch 2, then certify as one oracle row:
+
+    - ``incremental_equals_full`` — the union of per-batch pair sets is
+      BAG-EQUAL to the one-shot ``simhash_near_dups`` over the full
+      corpus. Stronger than the MinHash analog: pigeonhole banding is
+      an EXACT candidate net for hamming ≤ n_blocks - 1, so equality is
+      guaranteed-recall on both sides, not same-net-by-construction;
+    - ``replay_noop`` — redelivering batch 1 pairs nothing and appends
+      nothing (the slim ids ledger + the journaled atomic commit).
+    """
+    from ..operators.simhash_index import SimHashIndex
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    idx = SimHashIndex(spark, scratch_dir("m2c_shidx_") + "/index")
+    p0 = idx.add_batch(spread(d))
+    p1 = idx.add_batch(spread(mut))
+    inc = p0.unionByName(p1)
+
+    full = simhash_near_dups(
+        with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False),
+        "doc_id",
+    )
+    equal = idx.pairs_equal(full, inc)
+    replay_noop = idx.add_batch(spread(d)).isEmpty()
+    return spark.createDataFrame(
+        [(d.count(), bool(equal), bool(replay_noop))],
+        "n_docs bigint, incremental_equals_full boolean, replay_noop boolean",
+    )
+
+
+def dedup_simhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash index's DELETE lifecycle (remove_batch tombstones +
+    tombstone-applying compact) certified as one oracle row — the same
+    three-phase contract as ``dedup_minhash_index_deletes``:
+
+    - ``logical_identical`` — with tombstones live, a mutant batch's
+      pairs equal the one-shot over (survivors ∪ mutants) restricted to
+      mutant-involving pairs;
+    - ``physical_store_ok`` — post-compact the sigs store holds exactly
+      survivors ∪ mutants (one sig row per ledgered doc — null
+      fingerprint for empty text — so the doc-id compare is total);
+    - ``reingest_ok`` — a deleted id re-ingests after compact as a
+      brand-new doc and recovers its one-shot pairs against the store
+      (checked on a doomed id whose planted pair the one-shot actually
+      finds — simhash mutants sit at hamming p50=2, so not every
+      planted pair is ≤ 3)."""
+    from ..operators.simhash_index import SimHashIndex
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = SimHashIndex(spark, scratch_dir("m2c_shdel_") + "/index")
+    idx.add_batch(spread(d))
+
+    doomed = d.filter(F.pmod("doc_id", F.lit(5)) == 3)
+    n_deleted = idx.remove_batch(doomed.select("doc_id"))
+
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    p1 = idx.add_batch(spread(mut))
+    survivors = d.filter(F.pmod("doc_id", F.lit(5)) != 3)
+    full = simhash_near_dups(
+        with_simhash(survivors.unionByName(mut), "text", attach=False), "doc_id"
+    ).localCheckpoint()
+    want = full.filter(
+        (F.col("id_a") >= MUT_OFFSET) | (F.col("id_b") >= MUT_OFFSET)
+    )
+    logical_identical = idx.pairs_equal(want, p1)
+
+    idx.compact()
+    stored = spark.read.parquet(idx.sigs_path).select("doc_id")
+    expect = survivors.unionByName(mut).select("doc_id")
+    physical_store_ok = (
+        stored.exceptAll(expect).isEmpty() and expect.exceptAll(stored).isEmpty()
+    )
+
+    # re-ingest a doomed id whose planted pair the FULL one-shot finds
+    # (re-run over survivors-with-d0 ∪ mutants so d0's pairs are known)
+    found = (
+        simhash_near_dups(
+            with_simhash(d.unionByName(mut), "text", attach=False), "doc_id"
+        )
+        .filter(
+            (F.col("id_b") == F.col("id_a") + MUT_OFFSET)
+            & (F.pmod("id_a", F.lit(5)) == 3)
+        )
+        .agg(F.min("id_a"))
+        .collect()[0][0]
+    )
+    if found is None:
+        reingest_ok = True  # no doomed planted pair is ≤ max_hamming
+    else:
+        p2 = idx.add_batch(d.filter(F.col("doc_id") == found))
+        reingest_ok = (
+            p2.filter(
+                (F.col("id_a") == found)
+                & (F.col("id_b") == found + MUT_OFFSET)
+            ).count()
+            == 1
+        )
+    return spark.createDataFrame(
+        [(n_deleted, bool(logical_identical), bool(physical_store_ok),
+          bool(reingest_ok))],
+        "n_deleted bigint, logical_identical boolean,"
+        " physical_store_ok boolean, reingest_ok boolean",
+    )
+
+
 # --- oracle-checkable recall twins ----------------------------------------
 # The hash-family operators (minhash / simhash / LSH-ANN / IVF-ANN) use
 # Spark-native hash functions (murmur3 / xxhash64) DuckDB cannot
@@ -1614,6 +1732,8 @@ QUERIES = {
     "dedup_minhash_lsh_recall": dedup_minhash_lsh_recall,
     "dedup_incremental": dedup_incremental,
     "dedup_minhash_index_deletes": dedup_minhash_index_deletes,
+    "dedup_simhash_incremental": dedup_simhash_incremental,
+    "dedup_simhash_index_deletes": dedup_simhash_index_deletes,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_locality": dedup_simhash_locality,
@@ -2053,6 +2173,19 @@ SELECT CAST(count(*) AS BIGINT) AS n_deleted,
        CAST(TRUE AS BOOLEAN) AS physical_store_ok,
        CAST(TRUE AS BOOLEAN) AS reingest_ok
 FROM documents WHERE doc_id % 5 = 2
+""",
+    "dedup_simhash_incremental": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(TRUE AS BOOLEAN) AS incremental_equals_full,
+       CAST(TRUE AS BOOLEAN) AS replay_noop
+FROM documents
+""",
+    "dedup_simhash_index_deletes": """
+SELECT CAST(count(*) AS BIGINT) AS n_deleted,
+       CAST(TRUE AS BOOLEAN) AS logical_identical,
+       CAST(TRUE AS BOOLEAN) AS physical_store_ok,
+       CAST(TRUE AS BOOLEAN) AS reingest_ok
+FROM documents WHERE doc_id % 5 = 3
 """,
     "ann_ivf_incremental": f"""
 SELECT CAST(count(*) - {N_QUERIES} AS BIGINT) AS n_indexed,

@@ -502,6 +502,67 @@ def stream_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the PERSISTED incremental SimHash store
+    (``operators/simhash_index.py``) — the fifth member of the
+    streaming×store matrix (MinHash / gram / BM25 / IVF landed rounds
+    8-9): the corpus (∪ planted mutants, doc_id + 10^6) lands as 3
+    parquet files, a file stream feeds them one micro-batch each, and
+    ``foreachBatch`` runs ``SimHashIndex.add_batch`` — batch-scoped
+    fingerprinting, store-joined pigeonhole candidates, journaled
+    append — with each batch's pairs appended to a sink.
+
+    Certification row: (n_docs, stream_equals_oneshot) — the
+    accumulated sink pair set must BAG-EQUAL the one-shot
+    ``simhash_near_dups`` over the whole corpus. Pigeonhole banding is
+    an EXACT candidate net, so the equality is guaranteed-recall on
+    both sides; at-least-once redelivery is absorbed by the slim ids
+    ledger inside the journaled commit."""
+    from ..functions.minhash import simhash_near_dups, with_simhash
+    from ..operators.simhash_index import SimHashIndex
+    from .extensions import MUT_OFFSET
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    base = scratch_dir("m2c_stream_sh_")
+    docs_dir = os.path.join(base, "docs")
+    corpus.repartition(3, "doc_id").write.mode("overwrite").parquet(docs_dir)
+
+    idx = SimHashIndex(spark, os.path.join(base, "idx"))
+    sink = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(
+            lambda batch, _id: idx.add_batch(batch)
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    acc = spark.read.parquet(sink).select("id_a", "id_b", "hamming")
+    oneshot = simhash_near_dups(
+        with_simhash(corpus, "text", attach=False), "doc_id"
+    )
+    equal = idx.pairs_equal(oneshot, acc)
+    return spark.createDataFrame(
+        [(d.count(), bool(equal))],
+        "n_docs bigint, stream_equals_oneshot boolean",
+    )
+
+
 def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest of the PERSISTED incremental IVF store
     (``operators/ann_index.py``) — the ANN×streaming composition of
@@ -732,6 +793,7 @@ QUERIES = {
     "stream_enrich_join": stream_enrich_join,
     "stream_bm25_ingest": stream_bm25_ingest,
     "stream_neardup_index": stream_neardup_index,
+    "stream_simhash_ingest": stream_simhash_ingest,
     "stream_substring_ingest": stream_substring_ingest,
     "stream_ivf_ingest": stream_ivf_ingest,
 }
@@ -772,6 +834,11 @@ FROM i JOIN u ON key = u_key
     # clears the bound: fixed expected outcomes (hash-family twin)
     "stream_neardup_index": """
         SELECT count(*) AS n_planted, CAST(TRUE AS BOOLEAN) AS recall_ok,
+               CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
+        FROM documents
+    """,
+    "stream_simhash_ingest": """
+        SELECT count(*) AS n_docs,
                CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
         FROM documents
     """,

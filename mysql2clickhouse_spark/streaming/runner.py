@@ -909,6 +909,7 @@ class ReplicationRunner:
     #: store kind -> (opener, stats key carrying the file census)
     STORE_CENSUS_KEYS = {
         "minhash": "band_files",
+        "simhash": "block_files",
         "substring": "firsts_files",
         "bm25": "postings_files",
         "ivf": "lists_files",
@@ -919,6 +920,10 @@ class ReplicationRunner:
             from ..operators.neardup_index import MinHashIndex
 
             return MinHashIndex(self.spark, path, **args)
+        if kind == "simhash":
+            from ..operators.simhash_index import SimHashIndex
+
+            return SimHashIndex(self.spark, path, **args)
         if kind == "substring":
             from ..operators.substring_index import SubstringIndex
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Ingest-cost flatness probe — ALL FOUR maintained stores.
+"""Ingest-cost flatness probe — ALL maintained stores (five as of r10).
 
 Round 9's probe (scale_check_r9_ingest.py) certified O(batch) ingest
 for the substring and BM25 stores only; the r9 adjudication flagged the
@@ -44,6 +44,9 @@ from mysql2clickhouse_spark.operators.ann_index import IVFIndex  # noqa: E402
 from mysql2clickhouse_spark.operators.bm25_index import BM25Index  # noqa: E402
 from mysql2clickhouse_spark.operators.neardup_index import (  # noqa: E402
     MinHashIndex,
+)
+from mysql2clickhouse_spark.operators.simhash_index import (  # noqa: E402
+    SimHashIndex,
 )
 from mysql2clickhouse_spark.operators.substring_index import (  # noqa: E402
     SubstringIndex,
@@ -91,6 +94,10 @@ def main() -> None:
 
     nd = MinHashIndex(spark, os.path.join(base, "nd"))
     run("minhash", lambda i: nd.add_batch(batch(i))
+        .write.mode("overwrite").format("noop").save())
+
+    sh = SimHashIndex(spark, os.path.join(base, "sh"))
+    run("simhash", lambda i: sh.add_batch(batch(i))
         .write.mode("overwrite").format("noop").save())
 
     iv = IVFIndex(spark, os.path.join(base, "ivf"), dim=dim)

@@ -483,3 +483,43 @@ def test_cli_run_maintain_store(spark, tmp_path, capsys):
     assert len(srep) == 1
     assert srep[0]["compacted"] is True and srep[0]["census"] == census0
     assert idx.stats()["band_files"] <= 4
+
+
+def test_cli_simhashindex_lifecycle(spark, tmp_path, capsys):
+    """simhashindex: ingest -> pairs, remove -> tombstones, compact,
+    --stats — the fifth maintained store's ops surface."""
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    docs = [(i, f"{base} {i} variant alpha beta") for i in range(20)]
+    # exact copies => hamming 0, guaranteed pairs
+    docs += [(1000 + i, f"{base} {i} variant alpha beta")
+             for i in range(0, 20, 4)]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b"))
+
+    rc = main(["simhashindex", "--index-dir", str(tmp_path / "idx"),
+               "--batch-dir", str(tmp_path / "b"),
+               "--pairs-out", str(tmp_path / "pairs")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert rep["job"] == "simhashindex-add" and rep["n_pairs"] >= 1
+    assert spark.read.parquet(str(tmp_path / "pairs")).columns == [
+        "id_a", "id_b", "hamming"
+    ]
+
+    spark.createDataFrame([(i,) for i in range(0, 20, 4)],
+                          "doc_id bigint").write.mode("overwrite").parquet(
+        str(tmp_path / "rm"))
+    rc = main(["simhashindex", "--index-dir", str(tmp_path / "idx"),
+               "--remove-dir", str(tmp_path / "rm"), "--compact", "--stats"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert lines[0] == {"job": "simhashindex-remove", "n_tombstoned": 5}
+    assert lines[1]["job"] == "simhashindex-compact"
+    assert lines[2]["job"] == "simhashindex-stats"
+    assert lines[2]["n_docs"] == 20 and lines[2]["n_tombstoned"] == 0
+
+    # geometry contradiction fails fast
+    rc = main(["simhashindex", "--index-dir", str(tmp_path / "idx"),
+               "--n-blocks", "2", "--max-hamming", "1", "--stats"])
+    assert rc == 2

@@ -399,3 +399,71 @@ def test_legacy_unbucketed_store_migrates_once(spark, tmp_path):
     # the pre-migration corpus replays as a no-op (ledger backfilled)
     assert idx.add_batch(d).count() == 0
     d.unpersist()
+
+
+def test_hot_bucket_quarantine_total_occupancy(spark, tmp_path):
+    """The one-shot's hot-bucket guard, incremental form: a bucket whose
+    STORE+BATCH occupancy exceeds max_bucket_size stops being mined
+    (batch×store blowup prevented; same degradation direction as the
+    one-shot — dropped candidates, never wrong pairs), while ingest is
+    unaffected and normal buckets keep pairing. Judged on TOTAL
+    occupancy: a bucket under the cap within every single batch still
+    quarantines once the store side pushes it over."""
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    hot_text = "identical boilerplate text repeated verbatim in every document"
+
+    def batch(ids_hot, ids_norm, bump=""):
+        rows = [(i, hot_text) for i in ids_hot]
+        rows += [(i, f"{base} {i} variant{bump}") for i in ids_norm]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # cap 8: batch 1 carries 6 identical docs (under the cap — mined),
+    # batch 2 carries 6 more (total 12 > cap — quarantined)
+    idx = MinHashIndex(
+        spark, str(tmp_path / "idx"), threshold=0.7, max_bucket_size=8
+    )
+    p1 = idx.add_batch(batch(range(6), range(100, 110)))
+    hot1 = p1.filter((F.col("id_a") < 6) & (F.col("id_b") < 6)).count()
+    assert hot1 == 15  # 6 identical docs pair fully while under the cap
+
+    p2 = idx.add_batch(batch(range(6, 12), range(1100, 1110), bump="!"))
+    # the hot bucket crossed the cap: batch 2's identical docs mine NO
+    # pairs (neither new×new nor against the 6 stored copies)...
+    assert p2.filter(F.col("id_b") < 100).count() == 0
+    # ...but ingest was unaffected: all 12 hot docs are in the store
+    assert idx.stats()["n_docs"] == 32
+    stored = spark.read.parquet(idx.sigs_path)
+    assert stored.filter(F.col("doc_id") < 12).count() == 12
+
+    # normal buckets keep pairing across batches: the batch-2 mutants
+    # of batch-1 normals pair via the store
+    idx2 = MinHashIndex(
+        spark, str(tmp_path / "idx2"), threshold=0.7, max_bucket_size=8
+    )
+    # fully-distinct docs (no shared prefix): docs sharing long common
+    # text legitimately co-bucket and would quarantine at this tiny cap
+    def uniq(i, extra=""):
+        return " ".join(f"w{i}x{j}" for j in range(20)) + extra
+
+    idx2.add_batch(
+        spark.createDataFrame(
+            [(i, uniq(i)) for i in range(100, 110)],
+            "doc_id bigint, text string",
+        )
+    )
+    p = idx2.add_batch(
+        spark.createDataFrame(
+            [(1000 + i, uniq(i, " extra")) for i in range(100, 110)],
+            "doc_id bigint, text string",
+        )
+    )
+    assert p.filter(F.col("id_b") == F.col("id_a") + 1000).count() >= 9
+
+    # guard off (None): the same hot corpus mines everything
+    idx3 = MinHashIndex(
+        spark, str(tmp_path / "idx3"), threshold=0.7, max_bucket_size=None
+    )
+    idx3.add_batch(batch(range(6), []))
+    p3 = idx3.add_batch(batch(range(6, 12), []))
+    # every new hot doc pairs with all 6 stored + 5 in-batch peers
+    assert p3.count() == 6 * 6 + 15

@@ -659,3 +659,40 @@ def test_minhash_verify_join_never_exchanges_the_sigs_store(spark, tmp_path):
     assert plan.count("Exchange") == 4
     assert plan.count("BroadcastExchange") == 0
     assert "hashpartitioning(id_a" in plan
+
+
+def test_simhash_blocks_join_never_exchanges_the_store(spark, tmp_path):
+    """The SimHashIndex candidate join under the same 100 TB contract
+    as its MinHash sibling: the store side streams out of its
+    (b_idx, b_val) composite bucketing, only the batch's block rows
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.operators.simhash_index import SimHashIndex
+
+    idx = SimHashIndex(spark, str(tmp_path / "shidx"), n_buckets=8)
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    idx.add_batch(
+        spark.createDataFrame(
+            [(i, f"{base} {i} variant") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+    )
+    new_blocks = spark.createDataFrame(
+        [(0, 123, 1000), (1, 456, 1001)],
+        "b_idx int, b_val bigint, doc_id bigint",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cross = new_blocks.alias("n").join(
+            idx._blocks.read().alias("o"),
+            (F.col("n.b_idx") == F.col("o.b_idx"))
+            & (F.col("n.b_val") == F.col("o.b_val")),
+        )
+        plan = plan_of(spark, cross)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert plan.count("Exchange") == 2
+    assert "hashpartitioning(b_idx" in plan
