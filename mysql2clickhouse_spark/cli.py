@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--threshold", type=float, default=0.7)
     nd.add_argument("--pairs-out", default=None,
                     help="write the batch's near-dup pairs here (parquet)")
+    nd.add_argument("--probe-dir", default=None,
+                    help="READ-ONLY lookup: parquet (doc_id, text) probed "
+                         "against the store (decontam; nothing written)")
     nd.add_argument("--remove-dir", default=None,
                     help="parquet (doc_id) to tombstone — deleted docs "
                          "never pair again; --compact applies physically")
@@ -240,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet batch (doc_id, text) to ingest")
     sh.add_argument("--pairs-out", default=None,
                     help="write the batch's near-dup pairs here (parquet)")
+    sh.add_argument("--probe-dir", default=None,
+                    help="READ-ONLY lookup: parquet (doc_id, text) probed "
+                         "against the store (decontam; nothing written)")
     sh.add_argument("--remove-dir", default=None,
                     help="parquet (doc_id) to tombstone; --compact applies "
                          "physically")
@@ -426,6 +432,10 @@ def main(argv: list[str] | None = None) -> int:
 
         idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
         acted = _store_maintenance(spark, args, idx, "neardup")
+        if args.probe_dir:
+            matches = idx.probe(spark.read.parquet(args.probe_dir))
+            _emit({"job": "neardup-probe", "n_matches": matches.count()})
+            acted = True
         if args.batch_dir:
             pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
             out = {"n_pairs": pairs.count()}
@@ -436,8 +446,8 @@ def main(argv: list[str] | None = None) -> int:
             acted = True
         acted |= _store_stats(args, idx, "neardup")
         if not acted:
-            _emit({"error": "neardup needs --batch-dir, --remove-dir, "
-                            "--stats and/or --compact"})
+            _emit({"error": "neardup needs --batch-dir, --probe-dir, "
+                            "--remove-dir, --stats and/or --compact"})
             return 2
         return 0
 
@@ -537,6 +547,10 @@ def main(argv: list[str] | None = None) -> int:
             _emit({"error": str(e)})
             return 2
         acted = _store_maintenance(spark, args, idx, "simhashindex")
+        if args.probe_dir:
+            matches = idx.probe(spark.read.parquet(args.probe_dir))
+            _emit({"job": "simhashindex-probe", "n_matches": matches.count()})
+            acted = True
         if args.batch_dir:
             pairs = idx.add_batch(spark.read.parquet(args.batch_dir))
             out = {"job": "simhashindex-add", "n_pairs": pairs.count()}
@@ -547,8 +561,8 @@ def main(argv: list[str] | None = None) -> int:
             acted = True
         acted |= _store_stats(args, idx, "simhashindex")
         if not acted:
-            _emit({"error": "simhashindex needs --batch-dir, --remove-dir, "
-                            "--stats and/or --compact"})
+            _emit({"error": "simhashindex needs --batch-dir, --probe-dir, "
+                            "--remove-dir, --stats and/or --compact"})
             return 2
         return 0
 

@@ -345,11 +345,15 @@ class MinHashIndex:
         side: str,
         store_rows: DataFrame | None,
         batch_rows: DataFrame,
+        batch_first: bool = False,
     ) -> DataFrame:
         """Resolve ``side``'s (sig, hset) from the bucketed sigs store
         (left join — store scan never exchanged; the batch-bounded
         pairs shuffle into its bucket space) with the batch's own rows
-        filling ids not yet stored."""
+        filling ids not yet stored. ``batch_first`` flips the coalesce
+        for a side KNOWN to be batch-local (the probe side of
+        ``probe()``), so an id collision with a stored doc can never
+        substitute the stored doc's signature."""
         tag = side[-1]  # "a" / "b"
 
         def sel(rows: DataFrame, suffix: str) -> DataFrame:
@@ -364,8 +368,9 @@ class MinHashIndex:
             out = out.join(sel(store_rows, "_s"), side, "left")
         out = out.join(sel(batch_rows, "_n"), side, "left")
         if store_rows is not None:
-            sig = F.coalesce(f"sig_{tag}_s", f"sig_{tag}_n")
-            h = F.coalesce(f"h_{tag}_s", f"h_{tag}_n")
+            order = ("_n", "_s") if batch_first else ("_s", "_n")
+            sig = F.coalesce(f"sig_{tag}{order[0]}", f"sig_{tag}{order[1]}")
+            h = F.coalesce(f"h_{tag}{order[0]}", f"h_{tag}{order[1]}")
         else:
             sig, h = F.col(f"sig_{tag}_n"), F.col(f"h_{tag}_n")
         return (
@@ -374,7 +379,9 @@ class MinHashIndex:
             .drop(f"sig_{tag}_s", f"sig_{tag}_n", f"h_{tag}_s", f"h_{tag}_n")
         )
 
-    def _verified_pairs(self, cands: DataFrame, new: DataFrame) -> DataFrame:
+    def _verified_pairs(
+        self, cands: DataFrame, new: DataFrame, batch_first_sides: tuple = ()
+    ) -> DataFrame:
         """Signature estimate-filter, then exact verify — sides resolve
         from store ∪ batch (store rows only ever joined, never
         re-derived, and never exchanged)."""
@@ -382,7 +389,10 @@ class MinHashIndex:
         store_rows = self._sigs.read() if self._sigs.has_files() else None
         resolved = cands
         for side in ("id_a", "id_b"):
-            resolved = self._attach_sigs(resolved, side, store_rows, batch_rows)
+            resolved = self._attach_sigs(
+                resolved, side, store_rows, batch_rows,
+                batch_first=side in batch_first_sides,
+            )
         return (
             resolved.withColumn(
                 "est",
@@ -467,6 +477,76 @@ class MinHashIndex:
         # promotion (see journal.StagedCommit)
         self._journal().commit()
         return out
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """READ-ONLY near-dup lookup: (probe_id, match_id, jaccard) for
+        every batch doc within threshold of a STORED doc — the same
+        banding/estimate/verify arithmetic as ``add_batch``'s new×old
+        pass, with NOTHING written (no ledger check, no commit; the
+        store's bytes and file census are untouched). This is the
+        decontamination shape: \"is this eval/query doc a near-dup of
+        anything already in the corpus?\" answered against the
+        maintained store instead of a full recompute
+        (``corpus_decontaminate`` is the one-shot twin).
+
+        In-batch pairs are NOT mined (the caller's one-shot concern);
+        orientation is preserved — ``probe_id`` is always the batch
+        doc, ``match_id`` the stored doc. Tombstoned docs never match.
+        Probe ids that collide with stored ids drop their self-pair
+        only. The hot-bucket quarantine applies with the same
+        store+batch occupancy rule as ingest (a probe against a
+        pathological bucket is the same batch×store blowup)."""
+        self.recover()
+        batch = batch.dropDuplicates([self.id_col])
+        if not self._bands.has_files():
+            return batch.select(
+                F.col(self.id_col).alias("probe_id"),
+                F.col(self.id_col).alias("match_id"),
+                F.lit(0.0).alias("jaccard"),
+            ).limit(0)
+        release_cache("neardup_index.probe")  # BEFORE persist
+        new = self._batch_tables(batch).persist()
+        new.count()
+        rotate_cache("neardup_index.probe", new)
+        new_bands = self._band_rows(
+            new.filter(F.col("minhash").isNotNull()).select(self.id_col, "minhash")
+        )
+        if self.max_bucket_size is not None:
+            base_sizes = self._bands.read().groupBy("band_idx", "band_hash").agg(
+                F.count(F.lit(1)).alias("__bn_base")
+            )
+            new_bands = _quarantine_hot_buckets(
+                new_bands,
+                ["band_idx", "band_hash"],
+                self.max_bucket_size,
+                "neardup_index.probe",
+                base_sizes=base_sizes,
+            )
+        cands = (
+            new_bands.alias("n")
+            .join(
+                self._bands.read().alias("o"),
+                (F.col("n.band_idx") == F.col("o.band_idx"))
+                & (F.col("n.band_hash") == F.col("o.band_hash")),
+            )
+            .select(
+                F.col(f"n.{self.id_col}").alias("id_a"),
+                F.col(f"o.{self.id_col}").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        tombs = self._tombstones()
+        if tombs is not None:
+            dead = tombs.select(F.col(self.id_col).alias("id_b"))
+            cands = cands.join(F.broadcast(dead), "id_b", "left_anti")
+        return self._verified_pairs(
+            cands, new, batch_first_sides=("id_a",)
+        ).select(
+            F.col("id_a").alias("probe_id"),
+            F.col("id_b").alias("match_id"),
+            "jaccard",
+        )
 
     def pairs_equal(self, other: DataFrame, mine: DataFrame) -> bool:
         """Bag equality on (id_a, id_b, jaccard) — certification helper."""

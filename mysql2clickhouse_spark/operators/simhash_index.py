@@ -274,10 +274,13 @@ class SimHashIndex:
         side: str,
         store_rows: DataFrame | None,
         batch_rows: DataFrame,
+        batch_first: bool = False,
     ) -> DataFrame:
         """Resolve ``side``'s block array from the bucketed sigs store
         (left join — store scan never exchanged) with the batch's own
-        rows filling ids not yet stored."""
+        rows filling ids not yet stored. ``batch_first`` flips the
+        coalesce for a side known to be batch-local (the probe side),
+        as in ``MinHashIndex._attach_sigs``."""
         tag = side[-1]
 
         def sel(rows: DataFrame, suffix: str) -> DataFrame:
@@ -291,7 +294,8 @@ class SimHashIndex:
             out = out.join(sel(store_rows, "_s"), side, "left")
         out = out.join(sel(batch_rows, "_n"), side, "left")
         if store_rows is not None:
-            blk = F.coalesce(f"blk_{tag}_s", f"blk_{tag}_n")
+            order = ("_n", "_s") if batch_first else ("_s", "_n")
+            blk = F.coalesce(f"blk_{tag}{order[0]}", f"blk_{tag}{order[1]}")
         else:
             blk = F.col(f"blk_{tag}_n")
         return (
@@ -299,12 +303,17 @@ class SimHashIndex:
             .drop(f"blk_{tag}_s", f"blk_{tag}_n")
         )
 
-    def _verified_pairs(self, cands: DataFrame, new: DataFrame) -> DataFrame:
+    def _verified_pairs(
+        self, cands: DataFrame, new: DataFrame, batch_first_sides: tuple = ()
+    ) -> DataFrame:
         batch_rows = new.select(self.id_col, "simhash")
         store_rows = self._sigs.read() if self._sigs.has_files() else None
         resolved = cands
         for side in ("id_a", "id_b"):
-            resolved = self._attach_blocks(resolved, side, store_rows, batch_rows)
+            resolved = self._attach_blocks(
+                resolved, side, store_rows, batch_rows,
+                batch_first=side in batch_first_sides,
+            )
         return (
             resolved.withColumn(
                 "hamming",
@@ -365,6 +374,68 @@ class SimHashIndex:
         )
         self._journal().commit()
         return out
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """READ-ONLY near-dup lookup: (probe_id, match_id, hamming) for
+        every batch doc within ``max_hamming`` of a STORED doc —
+        pigeonhole candidates against the block store, exact hamming
+        verify, NOTHING written. The decontamination shape against the
+        maintained store; same semantics as ``MinHashIndex.probe``
+        (orientation preserved, tombstoned docs never match, in-batch
+        pairs not mined, quarantine on store+batch occupancy)."""
+        self.recover()
+        batch = batch.dropDuplicates([self.id_col])
+        if not self._blocks.has_files():
+            return batch.select(
+                F.col(self.id_col).alias("probe_id"),
+                F.col(self.id_col).alias("match_id"),
+                F.lit(0).alias("hamming"),
+            ).limit(0)
+        release_cache("simhash_index.probe")  # BEFORE persist
+        new = (
+            with_simhash(batch, self.text_col, id_col=self.id_col)
+            .select(self.id_col, "simhash")
+            .persist()
+        )
+        new.count()
+        rotate_cache("simhash_index.probe", new)
+        new_blocks = self._block_rows(new)
+        if self.max_bucket_size is not None:
+            base_sizes = self._blocks.read().groupBy("b_idx", "b_val").agg(
+                F.count(F.lit(1)).alias("__bn_base")
+            )
+            new_blocks = _quarantine_hot_buckets(
+                new_blocks,
+                ["b_idx", "b_val"],
+                self.max_bucket_size,
+                "simhash_index.probe",
+                base_sizes=base_sizes,
+            )
+        cands = (
+            new_blocks.alias("n")
+            .join(
+                self._blocks.read().alias("o"),
+                (F.col("n.b_idx") == F.col("o.b_idx"))
+                & (F.col("n.b_val") == F.col("o.b_val")),
+            )
+            .select(
+                F.col(f"n.{self.id_col}").alias("id_a"),
+                F.col(f"o.{self.id_col}").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        tombs = self._tombstones()
+        if tombs is not None:
+            dead = tombs.select(F.col(self.id_col).alias("id_b"))
+            cands = cands.join(F.broadcast(dead), "id_b", "left_anti")
+        return self._verified_pairs(
+            cands, new, batch_first_sides=("id_a",)
+        ).select(
+            F.col("id_a").alias("probe_id"),
+            F.col("id_b").alias("match_id"),
+            "hamming",
+        )
 
     def pairs_equal(self, other: DataFrame, mine: DataFrame) -> bool:
         """Bag equality on (id_a, id_b, hamming) — certification helper."""

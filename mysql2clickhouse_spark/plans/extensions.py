@@ -392,6 +392,79 @@ def dedup_simhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ-ONLY decontamination probe against BOTH maintained hash
+    stores (round 10 — ``MinHashIndex.probe`` / ``SimHashIndex.probe``):
+    ingest the corpus, then ask whether the planted mutants near-dup
+    anything stored WITHOUT ingesting them — the maintained-store form
+    of ``corpus_decontaminate``. One row per store:
+
+    - ``matches_equal_oneshot`` — the probe's (probe, match) set is
+      BAG-EQUAL to the one-shot pair set over corpus ∪ mutants
+      restricted to cross (original×mutant) pairs — the probe finds
+      exactly what a full recompute finds, from the store alone;
+    - ``store_untouched`` — the store's data-file set is byte-identical
+      before and after the probe (read-only verified, not assumed).
+    """
+    from ..operators.neardup_index import MinHashIndex
+    from ..operators.simhash_index import SimHashIndex
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    n_probed = mut.count()
+    rows = []
+
+    mh = MinHashIndex(spark, scratch_dir("m2c_ndprobe_") + "/index", threshold=0.7)
+    mh.add_batch(spread(d))
+    census0 = sorted(mh._data_files(mh.sigs_path)) + sorted(
+        mh._data_files(mh.bands_path)
+    )
+    got = mh.probe(spread(mut)).select(
+        F.col("match_id").alias("id_a"), F.col("probe_id").alias("id_b"), "jaccard"
+    )
+    full = verified_near_dups(_docs_with_mutants(spark, sf_dir), "doc_id",
+                              threshold=0.7)
+    cross = full.filter(
+        (F.col("id_a") < MUT_OFFSET) & (F.col("id_b") >= MUT_OFFSET)
+    )
+    mh_equal = got.exceptAll(cross).isEmpty() and cross.exceptAll(got).isEmpty()
+    mh_untouched = census0 == sorted(mh._data_files(mh.sigs_path)) + sorted(
+        mh._data_files(mh.bands_path)
+    )
+    rows.append(("minhash", n_probed, bool(mh_equal), bool(mh_untouched)))
+
+    sh = SimHashIndex(spark, scratch_dir("m2c_shprobe_") + "/index")
+    sh.add_batch(spread(d))
+    census0 = sorted(sh._data_files(sh.sigs_path)) + sorted(
+        sh._data_files(sh.blocks_path)
+    )
+    got = sh.probe(spread(mut)).select(
+        F.col("match_id").alias("id_a"), F.col("probe_id").alias("id_b"), "hamming"
+    )
+    full = simhash_near_dups(
+        with_simhash(_docs_with_mutants(spark, sf_dir), "text", attach=False),
+        "doc_id",
+    )
+    cross = full.filter(
+        (F.col("id_a") < MUT_OFFSET) & (F.col("id_b") >= MUT_OFFSET)
+    )
+    sh_equal = sh.pairs_equal(cross, got)
+    sh_untouched = census0 == sorted(sh._data_files(sh.sigs_path)) + sorted(
+        sh._data_files(sh.blocks_path)
+    )
+    rows.append(("simhash", n_probed, bool(sh_equal), bool(sh_untouched)))
+
+    return spark.createDataFrame(
+        rows,
+        "store string, n_probed bigint, matches_equal_oneshot boolean,"
+        " store_untouched boolean",
+    )
+
+
 # --- oracle-checkable recall twins ----------------------------------------
 # The hash-family operators (minhash / simhash / LSH-ANN / IVF-ANN) use
 # Spark-native hash functions (murmur3 / xxhash64) DuckDB cannot
@@ -1734,6 +1807,7 @@ QUERIES = {
     "dedup_minhash_index_deletes": dedup_minhash_index_deletes,
     "dedup_simhash_incremental": dedup_simhash_incremental,
     "dedup_simhash_index_deletes": dedup_simhash_index_deletes,
+    "dedup_index_probe": dedup_index_probe,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_locality": dedup_simhash_locality,
@@ -2173,6 +2247,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_deleted,
        CAST(TRUE AS BOOLEAN) AS physical_store_ok,
        CAST(TRUE AS BOOLEAN) AS reingest_ok
 FROM documents WHERE doc_id % 5 = 2
+""",
+    "dedup_index_probe": """
+SELECT 'minhash' AS store, CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(TRUE AS BOOLEAN) AS matches_equal_oneshot,
+       CAST(TRUE AS BOOLEAN) AS store_untouched
+FROM documents
+UNION ALL
+SELECT 'simhash' AS store, CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(TRUE AS BOOLEAN) AS matches_equal_oneshot,
+       CAST(TRUE AS BOOLEAN) AS store_untouched
+FROM documents
 """,
     "dedup_simhash_incremental": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,

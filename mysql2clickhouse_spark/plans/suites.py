@@ -102,6 +102,7 @@ from .extensions import (
     ann_lsh_recall,
     ann_pq_recall,
     dedup_incremental,
+    dedup_index_probe,
     dedup_minhash_lsh_recall,
     dedup_simhash_incremental,
     dedup_simhash_index_deletes,
@@ -162,9 +163,12 @@ def dedup_cert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     three lifecycle certs: ``simhash_incr`` (batch accumulation
     bag-equals the one-shot AND replay is a no-op), ``simhash_incr_del``
     (logical/physical/re-ingest delete phases), and ``simhash_stream``
-    (foreachBatch ingest == one-shot). The (method, n, ok) shape is the
-    long format the r9 verdict asked new folds to use — n is the
-    DuckDB-recomputable count, ok folds the member's boolean certs."""
+    (foreachBatch ingest == one-shot), and ``minhash_probe`` /
+    ``simhash_probe`` — the READ-ONLY decontam lookup against each
+    store (probe == one-shot cross pairs AND the store's file set is
+    byte-identical after). The (method, n, ok) shape is the long format
+    the r9 verdict asked new folds to use — n is the DuckDB-recomputable
+    count, ok folds the member's boolean certs."""
     from .streaming_queries import stream_simhash_ingest
 
     rows = [
@@ -206,6 +210,11 @@ def dedup_cert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("simhash_stream").alias("method"),
             F.col("n_docs").cast("bigint").alias("n"),
             F.col("stream_equals_oneshot").alias("ok"),
+        ),
+        dedup_index_probe(spark, sf_dir).select(
+            F.concat(F.col("store"), F.lit("_probe")).alias("method"),
+            F.col("n_probed").cast("bigint").alias("n"),
+            (F.col("matches_equal_oneshot") & F.col("store_untouched")).alias("ok"),
         ),
     ]
     out = rows[0]
@@ -742,6 +751,10 @@ UNION ALL
 SELECT 'simhash_stream' AS method, CAST(n_docs AS BIGINT) AS n,
        stream_equals_oneshot AS ok
 FROM ({streaming_queries.ORACLE["stream_simhash_ingest"]}) __shs
+UNION ALL
+SELECT store || '_probe' AS method, CAST(n_probed AS BIGINT) AS n,
+       (matches_equal_oneshot AND store_untouched) AS ok
+FROM ({extensions.ORACLE["dedup_index_probe"]}) __shp
 """,
     "ann_recall_suite": f"""
 SELECT 'lsh' AS method, CAST(qid AS BIGINT) AS n, recall_ok AS ok

@@ -519,6 +519,17 @@ def test_cli_simhashindex_lifecycle(spark, tmp_path, capsys):
     assert lines[2]["job"] == "simhashindex-stats"
     assert lines[2]["n_docs"] == 20 and lines[2]["n_tombstoned"] == 0
 
+    # read-only probe: matches reported, store untouched
+    spark.createDataFrame([(5000, f"{base} 3 variant alpha beta")],
+                          "doc_id bigint, text string").write.mode(
+        "overwrite").parquet(str(tmp_path / "probe"))
+    rc = main(["simhashindex", "--index-dir", str(tmp_path / "idx"),
+               "--probe-dir", str(tmp_path / "probe"), "--stats"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert lines[0]["job"] == "simhashindex-probe" and lines[0]["n_matches"] >= 1
+    assert lines[1]["n_docs"] == 20  # probe ingested nothing
+
     # geometry contradiction fails fast
     rc = main(["simhashindex", "--index-dir", str(tmp_path / "idx"),
                "--n-blocks", "2", "--max-hamming", "1", "--stats"])

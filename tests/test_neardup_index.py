@@ -467,3 +467,42 @@ def test_hot_bucket_quarantine_total_occupancy(spark, tmp_path):
     p3 = idx3.add_batch(batch(range(6, 12), []))
     # every new hot doc pairs with all 6 stored + 5 in-batch peers
     assert p3.count() == 6 * 6 + 15
+
+
+def test_probe_is_read_only_and_equals_one_shot_cross_pairs(spark, tmp_path):
+    """probe() answers the decontam question from the store — exactly
+    the one-shot's cross (original×mutant) pair set, orientation
+    preserved, with zero store mutation (file sets byte-identical) —
+    and tombstoned docs never match."""
+    d = _base(spark).cache()
+    mut = _mutants(d)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)
+    idx.add_batch(d)
+
+    def _census():
+        return (
+            sorted(idx._data_files(idx.sigs_path))
+            + sorted(idx._data_files(idx.bands_path))
+            + sorted(idx._data_files(idx.ids_path))
+        )
+
+    before = _census()
+    pm = idx.probe(mut)
+    assert pm.filter(F.col("probe_id") < MUT).count() == 0  # orientation
+    assert _census() == before, "probe must not touch the store"
+    assert idx.stats()["n_docs"] == d.count()
+
+    full = verified_near_dups(d.unionByName(mut), "doc_id", threshold=0.7)
+    cross = full.filter((F.col("id_a") < MUT) & (F.col("id_b") >= MUT))
+    mapped = pm.select(
+        F.col("match_id").alias("id_a"), F.col("probe_id").alias("id_b"), "jaccard"
+    )
+    assert mapped.exceptAll(cross).isEmpty() and cross.exceptAll(mapped).isEmpty()
+
+    # tombstoned docs stop matching immediately (logical delete)
+    doomed = d.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    idx.remove_batch(doomed)
+    pm2 = idx.probe(mut)
+    assert pm2.join(doomed.withColumnRenamed("doc_id", "match_id"),
+                    "match_id", "left_semi").count() == 0
+    d.unpersist()

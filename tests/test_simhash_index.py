@@ -225,3 +225,37 @@ def test_census_routes_through_fs_seam(spark, tmp_path):
     st = idx.stats()
     assert st["block_files"] > 0
     assert any(p.startswith(idx.blocks_path) for p in rec.listed)
+
+
+def test_probe_is_read_only_and_equals_one_shot_cross_pairs(spark, tmp_path):
+    """Same probe contract as the MinHash store: one-shot cross pairs,
+    zero mutation, tombstone-aware."""
+    d = _corpus(spark).filter(F.col("doc_id") < 1000).cache()
+    mut = _corpus(spark).filter(F.col("doc_id") >= 1000)
+    idx = SimHashIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(d)
+
+    files0 = sorted(idx._data_files(idx.sigs_path)) + sorted(
+        idx._data_files(idx.blocks_path)
+    )
+    pm = idx.probe(mut)
+    assert sorted(idx._data_files(idx.sigs_path)) + sorted(
+        idx._data_files(idx.blocks_path)
+    ) == files0
+
+    full = _one_shot(spark, d.unionByName(mut))
+    cross = full.filter((F.col("id_a") < 1000) & (F.col("id_b") >= 1000))
+    mapped = pm.select(
+        F.col("match_id").alias("id_a"),
+        F.col("probe_id").alias("id_b"),
+        "hamming",
+    )
+    assert idx.pairs_equal(cross, mapped)
+
+    # tombstoned docs stop matching
+    doomed = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    idx.remove_batch(doomed)
+    pm2 = idx.probe(mut)
+    assert pm2.join(doomed.withColumnRenamed("doc_id", "match_id"),
+                    "match_id", "left_semi").count() == 0
+    d.unpersist()
