@@ -226,6 +226,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="apply tombstones + one-file-per-bucket rewrite")
     si.add_argument("--report-out", default=None,
                     help="write the batch's removal report here (parquet)")
+    si.add_argument("--probe-dir", default=None,
+                    help="READ-ONLY judgment: parquet (doc_id, text) judged "
+                         "against the store (decontam; nothing written)")
 
     sh = sub.add_parser(
         "simhashindex",
@@ -521,6 +524,14 @@ def main(argv: list[str] | None = None) -> int:
             _emit({"error": str(e)})
             return 2
         acted = _store_maintenance(spark, args, idx, "substrindex")
+        if args.probe_dir:
+            rep = idx.probe(spark.read.parquet(args.probe_dir))
+            out = {"job": "substrindex-probe", "n_docs": rep.count()}
+            if args.report_out and not args.add_dir:
+                rep.write.mode("overwrite").parquet(args.report_out)
+                out["report_out"] = args.report_out
+            _emit(out)
+            acted = True
         if args.add_dir:
             report = idx.add_batch(spark.read.parquet(args.add_dir))
             out = {"job": "substrindex-add", "n_docs": report.count(),
@@ -532,8 +543,8 @@ def main(argv: list[str] | None = None) -> int:
             acted = True
         acted |= _store_stats(args, idx, "substrindex")
         if not acted:
-            _emit({"error": "substrindex needs --add-dir, --remove-dir, "
-                            "--stats and/or --compact"})
+            _emit({"error": "substrindex needs --add-dir, --probe-dir, "
+                            "--remove-dir, --stats and/or --compact"})
             return 2
         return 0
 

@@ -247,6 +247,52 @@ class SubstringIndex:
             self._tombstones(),
         )
 
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """READ-ONLY ExactSubstr judgment: the removal report
+        ``add_batch`` would produce for this batch — duplicated spans
+        judged against the store's live membership view AND earlier
+        occurrences within the batch — with NOTHING committed (no
+        ledger check, no staging; the store's bytes and file census are
+        untouched). The decontamination shape for the substring family:
+        \"which spans of this candidate doc already exist in the
+        corpus?\" answered from the maintained store instead of a full
+        re-gram. Unlike ingest, already-ledgered ids are NOT dropped —
+        probing a stored doc legitimately reports it fully duplicated
+        (its own grams are in the store). Tombstoned docs' grams are
+        logically absent, as in ingest."""
+        self.recover()
+        batch = batch.dropDuplicates([self.id_col])
+        release_cache("substring_index.probe")  # BEFORE persist
+        toks = tokenized_docs(batch, self.id_col, self.text_col).persist()
+        if toks.count() == 0:
+            rotate_cache("substring_index.probe", toks)
+            return removal_report(
+                toks,
+                toks.select(self.id_col).limit(0).withColumn("s", F.lit(1)),
+                self.k,
+                self.id_col,
+            )
+        rotate_cache("substring_index.probe", toks)
+        grams = gram_rows(toks, self.k, self.id_col)
+        batch_first = grams.groupBy("gram").agg(
+            F.min(F.struct(self.id_col, "s")).alias("first_occ")
+        )
+        if self._has_files(self.firsts_path):
+            stored = self._stored_grams()
+        else:
+            stored = batch_first.select("gram").withColumn(
+                "__stored", F.lit(1)
+            ).limit(0)
+        occ = grams.join(batch_first, "gram").join(stored, "gram", "left")
+        dup_starts = occ.filter(
+            F.col("__stored").isNotNull()
+            | (F.col(self.id_col) != F.col(f"first_occ.{self.id_col}"))
+            | (F.col("s") != F.col("first_occ.s"))
+        ).select(self.id_col, "s")
+        # no localCheckpoint: nothing mutates, so the report's lineage
+        # over the store paths stays valid for the caller to consume
+        return removal_report(toks, dup_starts, self.k, self.id_col)
+
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its per-doc removal report
         (id, n_tokens, n_removed, kept_hash) — duplicated spans judged

@@ -405,6 +405,11 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly what a full recompute finds, from the store alone;
     - ``store_untouched`` — the store's data-file set is byte-identical
       before and after the probe (read-only verified, not assumed).
+
+    The substring store's row certifies the same two properties with
+    the family's own semantics: ``SubstringIndex.probe`` must return
+    exactly the removal report the subsequent ``add_batch`` of the
+    same batch produces on the same (probe-untouched) store.
     """
     from ..operators.neardup_index import MinHashIndex
     from ..operators.simhash_index import SimHashIndex
@@ -457,6 +462,27 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh._data_files(sh.blocks_path)
     )
     rows.append(("simhash", n_probed, bool(sh_equal), bool(sh_untouched)))
+
+    # substring store: probe FIRST, then ingest the same batch on the
+    # SAME store — probe is read-only (the census check proves it), so
+    # add_batch sees the identical pre-state and the two reports must
+    # be bag-equal. One store, no twin rebuild.
+    from ..operators.substring_index import SubstringIndex
+
+    def _ss_census(idx):
+        return sorted(idx.fs.listdir(idx.firsts_path))
+
+    ss = SubstringIndex(spark, scratch_dir("m2c_ssprobe_") + "/index", k=10)
+    ss.add_batch(spread(d))
+    census0 = _ss_census(ss)
+    probed = ss.probe(spread(mut)).localCheckpoint()
+    ss_untouched = _ss_census(ss) == census0 and ss.stats()["n_docs"] == d.count()
+    ingested = ss.add_batch(spread(mut))
+    ss_equal = (
+        probed.exceptAll(ingested).isEmpty()
+        and ingested.exceptAll(probed).isEmpty()
+    )
+    rows.append(("substring", n_probed, bool(ss_equal), bool(ss_untouched)))
 
     return spark.createDataFrame(
         rows,
@@ -2255,6 +2281,11 @@ SELECT 'minhash' AS store, CAST(count(*) AS BIGINT) AS n_probed,
 FROM documents
 UNION ALL
 SELECT 'simhash' AS store, CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(TRUE AS BOOLEAN) AS matches_equal_oneshot,
+       CAST(TRUE AS BOOLEAN) AS store_untouched
+FROM documents
+UNION ALL
+SELECT 'substring' AS store, CAST(count(*) AS BIGINT) AS n_probed,
        CAST(TRUE AS BOOLEAN) AS matches_equal_oneshot,
        CAST(TRUE AS BOOLEAN) AS store_untouched
 FROM documents

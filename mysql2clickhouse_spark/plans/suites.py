@@ -164,8 +164,10 @@ def dedup_cert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-equals the one-shot AND replay is a no-op), ``simhash_incr_del``
     (logical/physical/re-ingest delete phases), and ``simhash_stream``
     (foreachBatch ingest == one-shot), and ``minhash_probe`` /
-    ``simhash_probe`` — the READ-ONLY decontam lookup against each
-    store (probe == one-shot cross pairs AND the store's file set is
+    ``simhash_probe`` / ``substring_probe`` — the READ-ONLY decontam
+    judgment against each store (probe == the mutating path's answer —
+    one-shot cross pairs for the hash stores, the subsequent ingest's
+    removal report for the gram store — AND the store's file set is
     byte-identical after). The (method, n, ok) shape is the long format
     the r9 verdict asked new folds to use — n is the DuckDB-recomputable
     count, ok folds the member's boolean certs."""

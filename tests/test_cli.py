@@ -332,6 +332,26 @@ def test_cli_substrindex_lifecycle(spark, tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert lines[0] == {"job": "substrindex-remove", "n_tombstoned": 1}
     assert lines[1]["job"] == "substrindex-compact"
+    # READ-ONLY probe: judged against the store, nothing ingested
+    spark.createDataFrame(
+        [(9, "x1 x2 x3 x4"), (10, "w1 w2 w3 w4 w5")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "q"))
+    rc = main(["substrindex", "--index-dir", idx_dir,
+               "--probe-dir", str(tmp_path / "q"),
+               "--report-out", str(tmp_path / "prep"), "--stats"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[0]["job"] == "substrindex-probe" and lines[0]["n_docs"] == 2
+    assert lines[1]["n_docs"] == 2  # ledger unchanged by the probe
+    prep = {r.doc_id: r for r in
+            spark.read.parquet(str(tmp_path / "prep")).collect()}
+    # doc 2's text still lives in the store -> fully duplicated;
+    # doc 1's grams were tombstoned + compacted away AND its full-dup
+    # copy (doc 5) never wrote firsts of its own — FORGET semantics,
+    # the w-grams are unknowable, so the probe judges them fresh
+    assert prep[9].n_removed == prep[9].n_tokens == 4
+    assert prep[10].n_removed == 0
 
 
 def test_cli_neardup_and_annindex_remove(spark, tmp_path, capsys):

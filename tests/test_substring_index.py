@@ -291,3 +291,52 @@ def test_arrival_precedence_under_non_ascending_order(spark, tmp_path):
     assert r1[1][2] == 4
     # doc 3 (exact copy of doc 1, same batch) is fully duplicated
     assert r1[3][2] == 6
+
+
+def test_probe_is_read_only_and_matches_ingest_report(spark, tmp_path):
+    """probe() returns exactly the report add_batch would produce for
+    the same batch against the same store state, with zero mutation —
+    and probing an already-stored doc reports it fully duplicated."""
+    import os
+
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    b1 = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "x1 x2 x3 x4 x5")],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(5, "x1 x2 x3 x4 x5"), (7, "z1 z2 z3 z4 z5"), (8, "x1 x2 x3 x4 q9")],
+        "doc_id bigint, text string",
+    )
+    # twin stores with identical state: probe on one, ingest on the other
+    a = SubstringIndex(spark, str(tmp_path / "a"), k=4, n_buckets=8)
+    b = SubstringIndex(spark, str(tmp_path / "b"), k=4, n_buckets=8)
+    a.add_batch(b1)
+    b.add_batch(b1)
+
+    def _census(idx):
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(idx.path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _census(a)
+    probed = a.probe(b2)
+    ingested = b.add_batch(b2)
+    got = sorted(tuple(r) for r in probed.collect())
+    want = sorted(tuple(r) for r in ingested.collect())
+    assert got == want
+    assert _census(a) == before, "probe must not touch the store"
+    assert a.stats()["n_docs"] == 2  # nothing ledgered
+
+    # a stored doc probes as fully duplicated (its grams are its own)
+    rep = a.probe(b1.filter("doc_id = 2")).collect()[0]
+    assert rep.n_removed == rep.n_tokens
+
+    # tombstoned docs' grams are forgotten by the probe too
+    a.remove_batch(spark.createDataFrame([(2,)], "doc_id bigint"))
+    rep2 = a.probe(b1.filter("doc_id = 2")).collect()[0]
+    assert rep2.n_removed == 0
