@@ -56,14 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--compact-months", type=int, nargs="*", default=None,
                    help="yyyymm partitions for end-of-run dedup compaction")
     r.add_argument("--maintain-store", action="append", default=None,
-                   metavar="KIND=PATH[:MAX_FILES]",
+                   metavar="KIND=PATH[@MAX_FILES]",
                    help="maintained-store upkeep spec (repeatable): kind is "
                         "minhash|simhash|substring|bm25|ivf; the store is "
-                        "recovered "
-                        "every session and compacted when its file census "
-                        "exceeds MAX_FILES (default 64) — runs inside the "
-                        "same budget-gated maintenance block as "
-                        "--compact-months (sessions <= 10 min skip both)")
+                        "recovered every session and compacted when its "
+                        "file census exceeds MAX_FILES (default 64) — runs "
+                        "inside the same budget-gated maintenance block as "
+                        "--compact-months (sessions <= 10 min skip both). "
+                        "'@' separates the threshold because store paths "
+                        "legitimately contain ':' (hdfs://host:9000/...)")
 
     b = sub.add_parser("bootstrap", help="initial load from a source snapshot")
     b.add_argument("--table", required=True)
@@ -272,6 +273,25 @@ def _emit(obj) -> None:
     print(json.dumps(obj, default=str), flush=True)
 
 
+def _require_existing_store(args, name: str, ingest_attr: str) -> bool:
+    """Guard for the store commands' READ-ONLY invocations (--probe-dir
+    / --stats / --remove-dir / --compact without an ingest flag): the
+    store constructors write their meta eagerly so a path-only reopen
+    works before the first ingest, which means a mistyped --index-dir
+    would otherwise silently CREATE a fresh empty store — and a
+    decontam probe against it would report 0 matches, a false negative
+    born from a typo. Emits the error and returns False when the dir
+    does not exist and no ingest was requested."""
+    if getattr(args, ingest_attr, None):
+        return True  # an ingest legitimately creates the store
+    if os.path.isdir(args.index_dir) or "://" in args.index_dir:
+        return True  # remote roots are checked by the store's own fs
+    _emit({"error": f"no store at {args.index_dir!r} — a read-only "
+                    f"{name} invocation will not create one (pass an "
+                    "ingest batch to create it)"})
+    return False
+
+
 def _store_maintenance(spark, args, idx, name: str) -> bool:
     """The remove/compact prologue every maintained-store subcommand
     shares (neardup, annindex, bm25index, substrindex, simhashindex) — one
@@ -314,12 +334,17 @@ def main(argv: list[str] | None = None) -> int:
                 "minhash", "simhash", "substring", "bm25", "ivf"
             ):
                 _emit({"error": f"bad --maintain-store spec: {raw!r}",
-                       "expect": "KIND=PATH[:MAX_FILES]"})
+                       "expect": "KIND=PATH[@MAX_FILES]"})
                 return 2
-            path, _, max_files = rest.rpartition(":")
-            if path and max_files.isdigit():
+            path, sep, max_files = rest.rpartition("@")
+            if sep and max_files.isdigit() and path:
                 specs.append({"kind": kind, "path": path,
                               "max_files": int(max_files)})
+            elif sep:
+                _emit({"error": f"bad --maintain-store spec: {raw!r}",
+                       "expect": "KIND=PATH[@MAX_FILES] with numeric "
+                                 "MAX_FILES"})
+                return 2
             else:
                 specs.append({"kind": kind, "path": rest})
         cfg = RunConfig(
@@ -433,6 +458,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "neardup":
         from .operators.neardup_index import MinHashIndex
 
+        if not _require_existing_store(args, "neardup", "batch_dir"):
+            return 2
         idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
         acted = _store_maintenance(spark, args, idx, "neardup")
         if args.probe_dir:
@@ -516,6 +543,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "substrindex":
         from .operators.substring_index import SubstringIndex
 
+        if not _require_existing_store(args, "substrindex", "add_dir"):
+            return 2
         try:
             idx = SubstringIndex(
                 spark, args.index_dir, k=args.gram_k, n_buckets=args.n_buckets
@@ -524,10 +553,17 @@ def main(argv: list[str] | None = None) -> int:
             _emit({"error": str(e)})
             return 2
         acted = _store_maintenance(spark, args, idx, "substrindex")
+        if args.probe_dir and args.add_dir and args.report_out:
+            # one --report-out cannot hold two different reports; the
+            # old behavior silently wrote only the ingest's
+            _emit({"error": "--report-out is ambiguous with BOTH "
+                            "--probe-dir and --add-dir — run them as "
+                            "separate invocations"})
+            return 2
         if args.probe_dir:
             rep = idx.probe(spark.read.parquet(args.probe_dir))
             out = {"job": "substrindex-probe", "n_docs": rep.count()}
-            if args.report_out and not args.add_dir:
+            if args.report_out:
                 rep.write.mode("overwrite").parquet(args.report_out)
                 out["report_out"] = args.report_out
             _emit(out)
@@ -551,6 +587,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "simhashindex":
         from .operators.simhash_index import SimHashIndex
 
+        if not _require_existing_store(args, "simhashindex", "batch_dir"):
+            return 2
         try:
             idx = SimHashIndex(spark, args.index_dir, n_blocks=args.n_blocks,
                                max_hamming=args.max_hamming)

@@ -111,6 +111,7 @@ from ..functions.minhash import (
     with_hset,
 )
 from ..session import release_cache, rotate_cache
+from .store_common import data_files, has_files, live_bucket_sizes
 
 #: legacy (pre-round-10) per-store swap marker — kept so ``recover``
 #: converges stores crashed under the old protocol
@@ -217,12 +218,7 @@ class MinHashIndex:
         return os.path.join(self.path, "tombstones")
 
     def _has_files(self, d: str) -> bool:
-        # every store read guards on actual parquet FILES, not the dir:
-        # a delete-all compact legitimately leaves an empty dir, which
-        # must read as an empty store, never a schema-inference error
-        return self.fs.is_dir(d) and any(
-            n.endswith(".parquet") for n in self.fs.listdir(d)
-        )
+        return has_files(self.fs, d)
 
     def _tombstones(self) -> DataFrame | None:
         if not self._has_files(self.tombstones_path):
@@ -278,9 +274,13 @@ class MinHashIndex:
         if self.max_bucket_size is not None:
             base_sizes = None
             if self._bands.has_files():
-                base_sizes = self._bands.read().groupBy(
-                    "band_idx", "band_hash"
-                ).agg(F.count(F.lit(1)).alias("__bn_base"))
+                # LIVE occupancy: tombstoned docs' rows excluded, so a
+                # deleted-out bucket stops quarantining fresh arrivals
+                # (shared arm — see store_common.live_bucket_sizes)
+                base_sizes = live_bucket_sizes(
+                    self._bands.read(), self._tombstones(),
+                    ["band_idx", "band_hash"], self.id_col,
+                )
             new_bands = _quarantine_hot_buckets(
                 new_bands,
                 ["band_idx", "band_hash"],
@@ -512,8 +512,9 @@ class MinHashIndex:
             new.filter(F.col("minhash").isNotNull()).select(self.id_col, "minhash")
         )
         if self.max_bucket_size is not None:
-            base_sizes = self._bands.read().groupBy("band_idx", "band_hash").agg(
-                F.count(F.lit(1)).alias("__bn_base")
+            base_sizes = live_bucket_sizes(
+                self._bands.read(), self._tombstones(),
+                ["band_idx", "band_hash"], self.id_col,
             )
             new_bands = _quarantine_hot_buckets(
                 new_bands,
@@ -749,21 +750,6 @@ class MinHashIndex:
         }
 
     def _data_files(self, store: str):
-        """Parquet file census through the ``fs`` seam, so the count —
-        and the compaction trigger reading it — is truthful on
-        ``hdfs://``/``s3a://`` index roots too (the round-9 ``os.walk``
-        form silently reported 0 there). The listing is bounded: the
-        bucketed dirs are flat; recursion only ever descends legacy
-        partition subdirs."""
-        fs = self.fs
-        if not fs.is_dir(store):
-            return
-        stack = [store]
-        while stack:
-            d = stack.pop()
-            for name in fs.listdir(d):
-                full = os.path.join(d, name)
-                if fs.is_dir(full):
-                    stack.append(full)
-                elif name.endswith(".parquet"):
-                    yield full
+        """Parquet file census through the ``fs`` seam (truthful on
+        remote index roots — see ``store_common.data_files``)."""
+        yield from data_files(self.fs, store)

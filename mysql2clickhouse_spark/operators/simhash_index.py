@@ -65,6 +65,7 @@ from ..functions.minhash import (
 from ..session import release_cache, rotate_cache
 from .bucketed import BucketedStore
 from .journal import StagedCommit
+from .store_common import data_files, has_files, live_bucket_sizes
 
 _META = "_STORE_META"
 
@@ -108,6 +109,16 @@ class SimHashIndex:
         n_buckets: int = 32,
         max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     ):
+        if n_blocks not in (2, 4, 8, 16):
+            # hex_per_block = 16 // n_blocks must cover the WHOLE
+            # 16-hex-char fingerprint: a non-divisor silently drops the
+            # trailing bits from both the pigeonhole blocks and the
+            # hamming verify (false pairs), and n_blocks=1 overflows
+            # conv()'s bigint to NULL (missed exact duplicates)
+            raise ValueError(
+                f"n_blocks must be one of 2/4/8/16 (got {n_blocks}): the"
+                " blocks must tile the 64-bit fingerprint exactly"
+            )
         if max_hamming > n_blocks - 1:
             raise ValueError(
                 "pigeonhole banding is exact only for max_hamming <= "
@@ -169,9 +180,7 @@ class SimHashIndex:
         return os.path.join(self.path, "__maint_staging")
 
     def _has_files(self, d: str) -> bool:
-        return self.fs.is_dir(d) and any(
-            n.endswith(".parquet") for n in self.fs.listdir(d)
-        )
+        return has_files(self.fs, d)
 
     def _tombstones(self) -> DataFrame | None:
         if not self._has_files(self.tombstones_path):
@@ -215,8 +224,10 @@ class SimHashIndex:
         if self.max_bucket_size is not None:
             base_sizes = None
             if self._blocks.has_files():
-                base_sizes = self._blocks.read().groupBy("b_idx", "b_val").agg(
-                    F.count(F.lit(1)).alias("__bn_base")
+                # LIVE occupancy — tombstoned rows excluded (shared arm)
+                base_sizes = live_bucket_sizes(
+                    self._blocks.read(), self._tombstones(),
+                    ["b_idx", "b_val"], self.id_col,
                 )
             new_blocks = _quarantine_hot_buckets(
                 new_blocks,
@@ -401,8 +412,9 @@ class SimHashIndex:
         rotate_cache("simhash_index.probe", new)
         new_blocks = self._block_rows(new)
         if self.max_bucket_size is not None:
-            base_sizes = self._blocks.read().groupBy("b_idx", "b_val").agg(
-                F.count(F.lit(1)).alias("__bn_base")
+            base_sizes = live_bucket_sizes(
+                self._blocks.read(), self._tombstones(),
+                ["b_idx", "b_val"], self.id_col,
             )
             new_blocks = _quarantine_hot_buckets(
                 new_blocks,
@@ -530,15 +542,4 @@ class SimHashIndex:
         }
 
     def _data_files(self, store: str):
-        fs = self.fs
-        if not fs.is_dir(store):
-            return
-        stack = [store]
-        while stack:
-            d = stack.pop()
-            for name in fs.listdir(d):
-                full = os.path.join(d, name)
-                if fs.is_dir(full):
-                    stack.append(full)
-                elif name.endswith(".parquet"):
-                    yield full
+        yield from data_files(self.fs, store)

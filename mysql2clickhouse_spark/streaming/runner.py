@@ -965,19 +965,26 @@ class ReplicationRunner:
             kind, path = spec["kind"], spec["path"]
             census_key = self.STORE_CENSUS_KEYS[kind]
             max_files = int(spec.get("max_files", 64))
-            idx = self._open_store(kind, path, dict(spec.get("args", ())))
-            st = idx.stats()  # converges interrupted commits first
             rep = {
                 "kind": kind,
                 "path": path,
-                "census": st[census_key],
                 "threshold": max_files,
                 "compacted": False,
             }
-            if st[census_key] > max_files:
-                idx.compact()
-                rep["compacted"] = True
-                rep["census_after"] = idx.stats()[census_key]
+            # a broken spec (wrong path, geometry mismatch, store not
+            # yet built) must not crash the session AFTER replication
+            # committed — the reports the operator is owed would be
+            # lost. Upkeep errors are per-store, reported, isolated.
+            try:
+                idx = self._open_store(kind, path, dict(spec.get("args", ())))
+                st = idx.stats()  # converges interrupted commits first
+                rep["census"] = st[census_key]
+                if st[census_key] > max_files:
+                    idx.compact()
+                    rep["compacted"] = True
+                    rep["census_after"] = idx.stats()[census_key]
+            except Exception as e:  # noqa: BLE001 — per-store isolation
+                rep["error"] = str(e)
             out.append(rep)
         return out
 

@@ -487,7 +487,7 @@ def test_cli_run_maintain_store(spark, tmp_path, capsys):
     # short session: gate holds, report absent, store untouched
     rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
                "--max-minutes", "1",
-               "--maintain-store", f"minhash={store}:4"])
+               "--maintain-store", f"minhash={store}@4"])
     assert rc == 0
     lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
     assert not [x for x in lines if x.get("job") == "store-maintain"]
@@ -496,7 +496,7 @@ def test_cli_run_maintain_store(spark, tmp_path, capsys):
     # long session: gate opens, journaled compact runs, report emitted
     rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
                "--max-minutes", "50",
-               "--maintain-store", f"minhash={store}:4"])
+               "--maintain-store", f"minhash={store}@4"])
     assert rc == 0
     lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
     srep = [x for x in lines if x.get("job") == "store-maintain"]
@@ -554,3 +554,11 @@ def test_cli_simhashindex_lifecycle(spark, tmp_path, capsys):
     rc = main(["simhashindex", "--index-dir", str(tmp_path / "idx"),
                "--n-blocks", "2", "--max-hamming", "1", "--stats"])
     assert rc == 2
+    capsys.readouterr()
+
+    # a READ-ONLY invocation against a mistyped dir must NOT create a
+    # fresh store and answer 0 matches (decontam false negative)
+    rc = main(["simhashindex", "--index-dir", str(tmp_path / "typo"),
+               "--probe-dir", str(tmp_path / "probe")])
+    assert rc == 2
+    assert not os.path.exists(str(tmp_path / "typo"))

@@ -459,6 +459,19 @@ def test_hot_bucket_quarantine_total_occupancy(spark, tmp_path):
     )
     assert p.filter(F.col("id_b") == F.col("id_a") + 1000).count() >= 9
 
+    # LIVE occupancy: tombstone the whole hot bucket, then fresh
+    # arrivals mine again (dead rows must not keep quarantining)
+    idx.remove_batch(
+        spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    )
+    p3 = idx.add_batch(
+        spark.createDataFrame(
+            [(200 + i, hot_text) for i in range(3)],
+            "doc_id bigint, text string",
+        )
+    )
+    assert p3.count() == 3  # live occupancy 3 <= 8: mined
+
     # guard off (None): the same hot corpus mines everything
     idx3 = MinHashIndex(
         spark, str(tmp_path / "idx3"), threshold=0.7, max_bucket_size=None

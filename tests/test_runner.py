@@ -1228,6 +1228,9 @@ def test_run_session_maintains_stores_past_census_threshold(spark, tmp_path):
         target_dir=str(tmp_path / "wh"),
         store_maintenance=(
             {"kind": "minhash", "path": store, "max_files": 4},
+            # a broken spec (store never built) must not crash the
+            # session after replication committed — reported, isolated
+            {"kind": "substring", "path": str(tmp_path / "nonexistent")},
         ),
     )
     runner = ReplicationRunner(spark, cfg)
@@ -1246,6 +1249,7 @@ def test_run_session_maintains_stores_past_census_threshold(spark, tmp_path):
     # upkeep reports but never rewrites
     rep = runner.maintain_stores(cfg.store_maintenance)
     assert rep[0]["census"] == census1 and rep[0]["compacted"] is False
+    assert "needs k" in rep[1]["error"] and rep[1]["compacted"] is False
     # pair contract survives scheduled compaction: a mutant batch still
     # pairs against the compacted store
     mut = spark.createDataFrame(

@@ -72,6 +72,12 @@ def test_geometry_is_store_identity(spark, tmp_path):
         SimHashIndex(spark, str(tmp_path / "idx"), n_blocks=2, max_hamming=1)
     with pytest.raises(ValueError, match="pigeonhole"):
         SimHashIndex(spark, str(tmp_path / "x"), n_blocks=4, max_hamming=4)
+    # blocks must tile the 64-bit fingerprint exactly: a non-divisor
+    # silently drops trailing bits (false pairs); n_blocks=1 overflows
+    with pytest.raises(ValueError, match="tile"):
+        SimHashIndex(spark, str(tmp_path / "x"), n_blocks=5, max_hamming=3)
+    with pytest.raises(ValueError, match="tile"):
+        SimHashIndex(spark, str(tmp_path / "x"), n_blocks=1, max_hamming=0)
 
 
 def test_crash_before_commit_marker_replays_cleanly(spark, tmp_path):
@@ -190,6 +196,19 @@ def test_hot_bucket_quarantine_total_occupancy(spark, tmp_path):
     )
     assert p2.count() == 0  # occupancy 12 > 8: quarantined
     assert idx.stats()["n_docs"] == 12  # ingest unaffected
+
+    # LIVE occupancy: tombstone the whole hot bucket, then fresh
+    # arrivals mine again (dead rows must not keep quarantining — the
+    # one-shot over the live corpus finds these pairs)
+    idx.remove_batch(
+        spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    )
+    p3 = idx.add_batch(
+        spark.createDataFrame(
+            [(100 + i, hot) for i in range(3)], "doc_id bigint, text string"
+        )
+    )
+    assert p3.count() == 3  # live occupancy 3 <= 8: mined
 
     # guard off: the same second batch mines everything
     idxN = SimHashIndex(
