@@ -41,6 +41,9 @@ from mysql2clickhouse_spark.operators.bm25_index import BM25Index  # noqa: E402
 from mysql2clickhouse_spark.operators.neardup_index import (  # noqa: E402
     MinHashIndex,
 )
+from mysql2clickhouse_spark.operators.simhash_index import (  # noqa: E402
+    SimHashIndex,
+)
 from mysql2clickhouse_spark.operators.substring_index import (  # noqa: E402
     SubstringIndex,
 )
@@ -93,6 +96,11 @@ def main() -> None:
     nd = MinHashIndex(spark, os.path.join(base, "nd"), threshold=0.7)
     out["minhash"] = _lifecycle(
         nd, dbatch, doomed, lambda idx, b: drain(idx.add_batch(b))
+    )
+
+    sh = SimHashIndex(spark, os.path.join(base, "sh"))
+    out["simhash"] = _lifecycle(
+        sh, dbatch, doomed, lambda idx, b: drain(idx.add_batch(b))
     )
 
     ss = SubstringIndex(spark, os.path.join(base, "ss"), k=10)
