@@ -273,7 +273,7 @@ def _emit(obj) -> None:
     print(json.dumps(obj, default=str), flush=True)
 
 
-def _require_existing_store(args, name: str, ingest_attr: str) -> bool:
+def _require_existing_store(spark, args, name: str, ingest_attr: str) -> bool:
     """Guard for the store commands' READ-ONLY invocations (--probe-dir
     / --stats / --remove-dir / --compact without an ingest flag): the
     store constructors write their meta eagerly so a path-only reopen
@@ -284,8 +284,17 @@ def _require_existing_store(args, name: str, ingest_attr: str) -> bool:
     does not exist and no ingest was requested."""
     if getattr(args, ingest_attr, None):
         return True  # an ingest legitimately creates the store
-    if os.path.isdir(args.index_dir) or "://" in args.index_dir:
-        return True  # remote roots are checked by the store's own fs
+    if "://" in args.index_dir:
+        # remote roots get the SAME typo guard through the fs seam —
+        # the store constructors eagerly create remote stores exactly
+        # like local ones, so skipping the check here would reopen the
+        # silent-creation hazard on hdfs:///s3a:// paths
+        from .fs import fs_for
+
+        if fs_for(spark, args.index_dir).exists(args.index_dir):
+            return True
+    elif os.path.isdir(args.index_dir):
+        return True
     _emit({"error": f"no store at {args.index_dir!r} — a read-only "
                     f"{name} invocation will not create one (pass an "
                     "ingest batch to create it)"})
@@ -340,12 +349,10 @@ def main(argv: list[str] | None = None) -> int:
             if sep and max_files.isdigit() and path:
                 specs.append({"kind": kind, "path": path,
                               "max_files": int(max_files)})
-            elif sep:
-                _emit({"error": f"bad --maintain-store spec: {raw!r}",
-                       "expect": "KIND=PATH[@MAX_FILES] with numeric "
-                                 "MAX_FILES"})
-                return 2
             else:
+                # a non-numeric suffix after '@' is part of the path
+                # (s3a://user@host/store), not a malformed threshold —
+                # only an all-digits tail is a MAX_FILES spec
                 specs.append({"kind": kind, "path": rest})
         cfg = RunConfig(
             target_dir=args.target_dir,
@@ -458,7 +465,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "neardup":
         from .operators.neardup_index import MinHashIndex
 
-        if not _require_existing_store(args, "neardup", "batch_dir"):
+        if not _require_existing_store(spark, args, "neardup", "batch_dir"):
             return 2
         idx = MinHashIndex(spark, args.index_dir, threshold=args.threshold)
         acted = _store_maintenance(spark, args, idx, "neardup")
@@ -484,6 +491,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "annindex":
         from .operators.ann_index import IVFIndex
 
+        if not _require_existing_store(spark, args, "annindex", "add_dir"):
+            return 2
         idx = IVFIndex(spark, args.index_dir, dim=args.dim,
                        n_list=args.n_list, pq_m=args.pq_m,
                        pq_ksub=args.pq_ksub)
@@ -518,6 +527,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "bm25index":
         from .operators.bm25_index import BM25Index
 
+        if not _require_existing_store(spark, args, "bm25index", "add_dir"):
+            return 2
         idx = BM25Index(spark, args.index_dir, n_buckets=args.n_buckets)
         acted = _store_maintenance(spark, args, idx, "bm25index")
         if args.add_dir:
@@ -543,7 +554,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "substrindex":
         from .operators.substring_index import SubstringIndex
 
-        if not _require_existing_store(args, "substrindex", "add_dir"):
+        if not _require_existing_store(spark, args, "substrindex", "add_dir"):
             return 2
         try:
             idx = SubstringIndex(
@@ -587,7 +598,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "simhashindex":
         from .operators.simhash_index import SimHashIndex
 
-        if not _require_existing_store(args, "simhashindex", "batch_dir"):
+        if not _require_existing_store(spark, args, "simhashindex", "batch_dir"):
             return 2
         try:
             idx = SimHashIndex(spark, args.index_dir, n_blocks=args.n_blocks,

@@ -47,6 +47,20 @@ class LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
+    def du(self, path: str) -> int:
+        """Total bytes under ``path`` (0 if absent) — the store-size
+        signal gating probe pushdown (store_common.probe_pruned)."""
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass  # racing delete: a vanished file counts 0
+        return total
+
     def rmtree(self, path: str) -> None:
         if os.path.isfile(path):
             os.remove(path)
@@ -128,6 +142,13 @@ class HadoopFS:
             raise OSError(f"hadoop rename failed: {src} -> {dst}: {e}") from e
         if not ok:
             raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def du(self, path: str) -> int:
+        """Total bytes under ``path`` (0 if absent) — one
+        getContentSummary RPC."""
+        if not self.exists(path):
+            return 0
+        return int(self._fs.getContentSummary(self._p(path)).getLength())
 
     def rmtree(self, path: str) -> None:
         # Hadoop delete() signals failure by RETURN VALUE (false) on some

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..fs import fs_for
+from .store_common import single_writer
 from ..functions.similarity import (
     _adc_score_col,
     _dot,
@@ -148,6 +149,7 @@ class IVFIndex:
         return self.fs.is_dir(self.centroids_path)
 
     # --- centroids (frozen quantizer) -----------------------------------
+    @single_writer
     def build(self, corpus: DataFrame) -> int:
         """Train the coarse quantizer on a BOUNDED sample of ``corpus``
         (same trainer as every IVF plan — the collect is capped
@@ -274,6 +276,7 @@ class IVFIndex:
         unconditional read fails schema inference."""
         return self._n_data_files() > 0
 
+    @single_writer
     def add_batch(self, batch: DataFrame) -> int:
         """Assign the batch against the FROZEN centroids (one Arrow
         GEMM, nprobe=1) and append to the partitioned lists store.
@@ -355,6 +358,7 @@ class IVFIndex:
         self._ingest_journal().commit()
         return n
 
+    @single_writer
     def remove_batch(self, ids: DataFrame) -> int:
         """Mark vectors DELETED (tombstone append through the ingest
         journal — one committed table, crash-converged at every entry);
@@ -559,6 +563,57 @@ class IVFIndex:
             self.fs.rmtree(stale)
         return rolled
 
+    @single_writer
+    def compact_lists(self, max_files_per_list: int = 1) -> dict:
+        """Per-list small-files compaction — the IVF analog of the
+        bucketed stores' ``compact_buckets``: list partitions are
+        independent ``list_id=N/`` file sets, so ONLY lists holding
+        more than ``max_files_per_list`` files are read (partition
+        pruning — the filter on ``list_id`` never touches cold dirs)
+        and rewritten, with the old files removed and the fresh ones
+        renamed in under ONE ingest-journal marker carrying the delete
+        list. Defrag only: tombstones are neither applied nor cleared
+        (whole-store ``compact``'s job — clearing requires rewriting
+        every list that may hold a deleted vector)."""
+        from .store_common import PARTITION_DIR_RE
+
+        self.recover()
+        report = {"files_before": self._n_data_files(), "lists_compacted": 0}
+        hot: dict[int, list[str]] = {}
+        if self.fs.is_dir(self.lists_path):
+            for name in self.fs.listdir(self.lists_path):
+                m = PARTITION_DIR_RE.match(name)
+                full = os.path.join(self.lists_path, name)
+                if not m or not self.fs.is_dir(full):
+                    continue
+                files = [
+                    os.path.join(name, f)
+                    for f in self.fs.listdir(full)
+                    if f.endswith(".parquet")
+                ]
+                if len(files) > max_files_per_list:
+                    hot[int(m.group(1))] = files
+        if not hot:
+            report["files_after"] = report["files_before"]
+            return report
+        rows = self.spark.read.parquet(self.lists_path).filter(
+            F.col("list_id").isin(list(hot))
+        )
+        staging = self.ingest_staging_path
+        (
+            rows.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(staging, "lists"))
+        )
+        self._ingest_journal().commit(
+            delete={"lists": [f for fl in hot.values() for f in fl]}
+        )
+        report["lists_compacted"] = len(hot)
+        report["files_after"] = self._n_data_files()
+        return report
+
+    @single_writer
     def compact(self, rows_per_file: int = 2_000_000) -> dict:
         """Journaled small-files rewrite of the lists store: every
         ``add_batch`` appends one file set per touched list, so after N

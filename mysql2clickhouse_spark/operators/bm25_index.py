@@ -51,6 +51,7 @@ from ..fs import fs_for
 from ..functions.text import tokens_col
 from .bucketed import BucketedStore
 from .journal import StagedCommit
+from .store_common import single_writer
 
 _META = "_STORE_META"
 
@@ -133,6 +134,7 @@ class BM25Index:
     def recover(self) -> int:
         return self._journal().recover()
 
+    @single_writer
     def add_batch(self, batch: DataFrame) -> int:
         """Index one batch; returns the number of documents indexed
         (replayed ids excluded). Idempotent under at-least-once
@@ -173,6 +175,7 @@ class BM25Index:
         self._journal().commit()
         return n_docs
 
+    @single_writer
     def remove_batch(self, ids: DataFrame) -> int:
         """Mark documents DELETED (tombstone append through the same
         journal — one committed table, crash-converged like ingest);
@@ -200,6 +203,27 @@ class BM25Index:
             return None
         return self.spark.read.parquet(self.tombstones_path)
 
+    @single_writer
+    def compact_buckets(self, max_files_per_bucket: int = 1) -> dict:
+        """Per-bucket small-files compaction of the postings store —
+        the O(hot buckets) defrag unit; tombstones untouched and the
+        slim doclens ledger left as-is (see
+        ``store_common.compact_hot_buckets``)."""
+        from .store_common import compact_hot_buckets
+
+        self.recover()
+        if not self._has_files(self.postings_path):
+            return {}
+        return compact_hot_buckets(
+            self.spark,
+            self.fs,
+            self._journal(),
+            self.staging_path,
+            (("postings", self._store),),
+            max_files_per_bucket,
+        )
+
+    @single_writer
     def compact(self) -> dict:
         """Apply tombstones PHYSICALLY: rewrite postings (bucketed, one
         file per bucket — also fixing per-ingest small-file decay) and

@@ -101,21 +101,37 @@ class StagedCommit:
             except ValueError:
                 self.fs.rmtree(self.staging)  # torn ⇒ pre-commit debris
                 return 0
-            self._roll_forward(replace=bool(meta.get("replace")))
+            self._roll_forward(
+                replace=bool(meta.get("replace")),
+                delete=meta.get("delete"),
+            )
             return 1
         self.fs.rmtree(self.staging)
         return 0
 
-    def commit(self, replace: bool = False) -> None:
+    def commit(
+        self, replace: bool = False, delete: dict[str, list[str]] | None = None
+    ) -> None:
         """COMMIT POINT: everything staged before this call is
         reconstructible debris; everything after is pure idempotent
-        promotion."""
+        promotion. ``delete`` (per-bucket compaction): route sub ->
+        relative parquet paths to REMOVE from the live dir before the
+        staged files rename in — the replaced unit is a file subset,
+        not the whole dir. The list rides inside the marker so a crash
+        mid-promotion resumes with the same delete set."""
         self.fs.write_text_atomic(
-            self.marker_path, json.dumps({"committed": True, "replace": replace})
+            self.marker_path,
+            json.dumps(
+                {"committed": True, "replace": replace, "delete": delete}
+            ),
         )
-        self._roll_forward(replace=replace)
+        self._roll_forward(replace=replace, delete=delete)
 
-    def _roll_forward(self, replace: bool = False) -> None:
+    def _roll_forward(
+        self,
+        replace: bool = False,
+        delete: dict[str, list[str]] | None = None,
+    ) -> None:
         """Promote a COMMITTED staging dir into the live store, then
         clear staging. No Spark job runs here, so a crash at any step
         resumes exactly where it stopped.
@@ -126,7 +142,12 @@ class StagedCommit:
           idempotent, a re-run moves whatever remains;
         - replace mode (compaction): whole-DIR delete+rename swap — a
           re-run after a crash between the delete and the rename just
-          swaps again."""
+          swaps again;
+        - delete-list mode (per-bucket compaction): the marker's listed
+          live files are removed first (idempotent — already-removed
+          paths skip), then the staged files rename in as in append
+          mode. Staged file names are fresh uuids, so a crash between
+          the deletes and the renames re-runs both safely."""
         for sub, dst in self.routes:
             src = os.path.join(self.staging, sub)
             if not self.fs.is_dir(src):
@@ -136,6 +157,10 @@ class StagedCommit:
                     self.fs.rmtree(dst)
                 self.fs.rename(src, dst)
                 continue
+            for rel in (delete or {}).get(sub, ()):
+                old = os.path.join(dst, rel)
+                if self.fs.exists(old):
+                    self.fs.rmtree(old)  # single file — both fs impls
             for rel in self._walk_parquet(src):
                 target = os.path.join(dst, rel)
                 parent = os.path.dirname(target)

@@ -111,7 +111,14 @@ from ..functions.minhash import (
     with_hset,
 )
 from ..session import release_cache, rotate_cache
-from .store_common import data_files, has_files, live_bucket_sizes
+from .store_common import (
+    compact_hot_buckets,
+    single_writer,
+    data_files,
+    has_files,
+    live_bucket_sizes,
+    probe_pruned,
+)
 
 #: legacy (pre-round-10) per-store swap marker — kept so ``recover``
 #: converges stores crashed under the old protocol
@@ -380,13 +387,20 @@ class MinHashIndex:
         )
 
     def _verified_pairs(
-        self, cands: DataFrame, new: DataFrame, batch_first_sides: tuple = ()
+        self,
+        cands: DataFrame,
+        new: DataFrame,
+        batch_first_sides: tuple = (),
+        store_rows: DataFrame | None = None,
     ) -> DataFrame:
         """Signature estimate-filter, then exact verify — sides resolve
         from store ∪ batch (store rows only ever joined, never
-        re-derived, and never exchanged)."""
+        re-derived, and never exchanged). ``store_rows`` overrides the
+        sigs-store frame (the probe passes its candidate-pruned read);
+        default is the full bucketed scan — the ingest contract."""
         batch_rows = new.select(self.id_col, "hset", "minhash")
-        store_rows = self._sigs.read() if self._sigs.has_files() else None
+        if store_rows is None:
+            store_rows = self._sigs.read() if self._sigs.has_files() else None
         resolved = cands
         for side in ("id_a", "id_b"):
             resolved = self._attach_sigs(
@@ -406,6 +420,7 @@ class MinHashIndex:
 
     # --- ingest ----------------------------------------------------------
 
+    @single_writer
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its near-dup pairs (id_a, id_b,
         jaccard) — new×old (one id in store) and new×new (both in
@@ -511,9 +526,20 @@ class MinHashIndex:
         new_bands = self._band_rows(
             new.filter(F.col("minhash").isNotNull()).select(self.id_col, "minhash")
         )
+        # push the probe's band-hash set into EVERY store read of this
+        # lookup (candidate join AND occupancy pass): the store files
+        # are sorted by (band_idx, band_hash), so row-group stats skip
+        # everything outside the probe's keys — a point lookup against
+        # a grown store stays O(probe), not O(store). Occupancy stays
+        # exact for the probe's buckets: all store rows sharing a probe
+        # band_hash are retained, whatever their band_idx.
+        stored_bands = probe_pruned(
+            self._bands.read(), "band_hash", new_bands,
+            fs=self.fs, store_dir=self.bands_path,
+        )
         if self.max_bucket_size is not None:
             base_sizes = live_bucket_sizes(
-                self._bands.read(), self._tombstones(),
+                stored_bands, self._tombstones(),
                 ["band_idx", "band_hash"], self.id_col,
             )
             new_bands = _quarantine_hot_buckets(
@@ -526,7 +552,7 @@ class MinHashIndex:
         cands = (
             new_bands.alias("n")
             .join(
-                self._bands.read().alias("o"),
+                stored_bands.alias("o"),
                 (F.col("n.band_idx") == F.col("o.band_idx"))
                 & (F.col("n.band_hash") == F.col("o.band_hash")),
             )
@@ -541,8 +567,27 @@ class MinHashIndex:
         if tombs is not None:
             dead = tombs.select(F.col(self.id_col).alias("id_b"))
             cands = cands.join(F.broadcast(dead), "id_b", "left_anti")
+        # the verify side's sigs scan prunes by the candidate MATCH ids
+        # (the probe side resolves batch-locally): candidates are
+        # batch-bounded, so materialize once and push their id set —
+        # the whole lookup is then O(probe), never O(store). The same
+        # size gate as the band side: below it the extra checkpoint +
+        # key-collect jobs cost more than the whole sigs join.
+        from . import store_common as _sc
+
+        stored_sigs = None
+        if (
+            self._sigs.has_files()
+            and self.fs.du(self.sigs_path) >= _sc.PROBE_PUSHDOWN_MIN_STORE_BYTES
+        ):
+            cands = cands.localCheckpoint(eager=True)
+            stored_sigs = probe_pruned(
+                self._sigs.read(),
+                self.id_col,
+                cands.select(F.col("id_b").alias(self.id_col)),
+            )
         return self._verified_pairs(
-            cands, new, batch_first_sides=("id_a",)
+            cands, new, batch_first_sides=("id_a",), store_rows=stored_sigs
         ).select(
             F.col("id_a").alias("probe_id"),
             F.col("id_b").alias("match_id"),
@@ -639,6 +684,7 @@ class MinHashIndex:
         self._legacy_pending = False
         return 1
 
+    @single_writer
     def remove_batch(self, ids: DataFrame) -> int:
         """Mark documents DELETED; returns the number newly tombstoned.
         Idempotent: ids never ingested, or already tombstoned, are
@@ -669,6 +715,29 @@ class MinHashIndex:
             self._tombstones(),
         )
 
+    @single_writer
+    def compact_buckets(self, max_files_per_bucket: int = 1) -> dict:
+        """Per-bucket small-files compaction: rewrite ONLY buckets
+        holding more than ``max_files_per_bucket`` files (sigs and
+        bands judged independently), untouched buckets' files kept by
+        identity — the O(hot buckets) maintenance unit for a store
+        whose whole-store ``compact`` would be O(store) at 100 TB.
+        Defrag only: tombstones are neither applied nor cleared (see
+        ``store_common.compact_hot_buckets``); the delete lifecycle's
+        physical phase remains ``compact``'s job."""
+        self.recover()
+        if not self._sigs.has_files():
+            return {}
+        return compact_hot_buckets(
+            self.spark,
+            self.fs,
+            self._journal(),
+            self.staging_path,
+            (("sigs", self._sigs), ("bands", self._bands)),
+            max_files_per_bucket,
+        )
+
+    @single_writer
     def compact(self) -> dict:
         """Rewrite both store tables to one file per bucket — every
         ``add_batch`` appends one file set, so after N batches each

@@ -65,7 +65,14 @@ from ..functions.minhash import (
 from ..session import release_cache, rotate_cache
 from .bucketed import BucketedStore
 from .journal import StagedCommit
-from .store_common import data_files, has_files, live_bucket_sizes
+from .store_common import (
+    compact_hot_buckets,
+    single_writer,
+    data_files,
+    has_files,
+    live_bucket_sizes,
+    probe_pruned,
+)
 
 _META = "_STORE_META"
 
@@ -315,10 +322,15 @@ class SimHashIndex:
         )
 
     def _verified_pairs(
-        self, cands: DataFrame, new: DataFrame, batch_first_sides: tuple = ()
+        self,
+        cands: DataFrame,
+        new: DataFrame,
+        batch_first_sides: tuple = (),
+        store_rows: DataFrame | None = None,
     ) -> DataFrame:
         batch_rows = new.select(self.id_col, "simhash")
-        store_rows = self._sigs.read() if self._sigs.has_files() else None
+        if store_rows is None:
+            store_rows = self._sigs.read() if self._sigs.has_files() else None
         resolved = cands
         for side in ("id_a", "id_b"):
             resolved = self._attach_blocks(
@@ -334,6 +346,7 @@ class SimHashIndex:
             .select("id_a", "id_b", "hamming")
         )
 
+    @single_writer
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its near-dup pairs (id_a, id_b,
         hamming ≤ max_hamming) — new×old and new×new. Pairs materialize
@@ -411,9 +424,18 @@ class SimHashIndex:
         new.count()
         rotate_cache("simhash_index.probe", new)
         new_blocks = self._block_rows(new)
+        # push the probe's block-value set into every store read of
+        # this lookup (see store_common.probe_pruned): files are sorted
+        # by (b_idx, b_val), so row-group stats skip everything outside
+        # the probe's keys — the decontam lookup reads O(probe keys)
+        # row groups off a grown store, not O(store)
+        stored_blocks = probe_pruned(
+            self._blocks.read(), "b_val", new_blocks,
+            fs=self.fs, store_dir=self.blocks_path,
+        )
         if self.max_bucket_size is not None:
             base_sizes = live_bucket_sizes(
-                self._blocks.read(), self._tombstones(),
+                stored_blocks, self._tombstones(),
                 ["b_idx", "b_val"], self.id_col,
             )
             new_blocks = _quarantine_hot_buckets(
@@ -426,7 +448,7 @@ class SimHashIndex:
         cands = (
             new_blocks.alias("n")
             .join(
-                self._blocks.read().alias("o"),
+                stored_blocks.alias("o"),
                 (F.col("n.b_idx") == F.col("o.b_idx"))
                 & (F.col("n.b_val") == F.col("o.b_val")),
             )
@@ -441,8 +463,23 @@ class SimHashIndex:
         if tombs is not None:
             dead = tombs.select(F.col(self.id_col).alias("id_b"))
             cands = cands.join(F.broadcast(dead), "id_b", "left_anti")
+        # verify-side sigs pruning by candidate match ids — same size
+        # gate and rationale as the MinHash sibling's probe
+        from . import store_common as _sc
+
+        stored_sigs = None
+        if (
+            self._sigs.has_files()
+            and self.fs.du(self.sigs_path) >= _sc.PROBE_PUSHDOWN_MIN_STORE_BYTES
+        ):
+            cands = cands.localCheckpoint(eager=True)
+            stored_sigs = probe_pruned(
+                self._sigs.read(),
+                self.id_col,
+                cands.select(F.col("id_b").alias(self.id_col)),
+            )
         return self._verified_pairs(
-            cands, new, batch_first_sides=("id_a",)
+            cands, new, batch_first_sides=("id_a",), store_rows=stored_sigs
         ).select(
             F.col("id_a").alias("probe_id"),
             F.col("id_b").alias("match_id"),
@@ -459,6 +496,7 @@ class SimHashIndex:
 
     # --- maintenance -------------------------------------------------------
 
+    @single_writer
     def remove_batch(self, ids: DataFrame) -> int:
         """Tombstone documents (shared journaled body — idempotent,
         crash-converged); deleted docs answer as never ingested until
@@ -477,6 +515,24 @@ class SimHashIndex:
             self._tombstones(),
         )
 
+    @single_writer
+    def compact_buckets(self, max_files_per_bucket: int = 1) -> dict:
+        """Per-bucket small-files compaction (sigs + blocks) — the
+        O(hot buckets) defrag unit; tombstones untouched (see
+        ``store_common.compact_hot_buckets`` and the MinHash sibling)."""
+        self.recover()
+        if not self._sigs.has_files():
+            return {}
+        return compact_hot_buckets(
+            self.spark,
+            self.fs,
+            self._journal(),
+            self.staging_path,
+            (("sigs", self._sigs), ("blocks", self._blocks)),
+            max_files_per_bucket,
+        )
+
+    @single_writer
     def compact(self) -> dict:
         """One-file-per-bucket rewrite of both store tables; tombstones
         apply physically and the cleared set swaps in under the SAME

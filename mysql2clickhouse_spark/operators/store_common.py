@@ -10,10 +10,22 @@ fragments live here now so the next fix lands once.
 
 from __future__ import annotations
 
+import functools
+import json
 import os
+import re
+import time
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: bucket id embedded in a bucketed table's file name:
+#: ``part-00003-<uuid>_00007.c000.snappy.parquet`` -> 7
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+\.")
+
+#: a ``partitionBy("list_id")`` partition dir name: ``list_id=42`` -> 42
+PARTITION_DIR_RE = re.compile(r"list_id=(\d+)$")
 
 
 def has_files(fs, d: str) -> bool:
@@ -38,6 +50,270 @@ def data_files(fs, store: str):
                 stack.append(full)
             elif name.endswith(".parquet"):
                 yield full
+
+
+#: advisory single-writer lock file at the store root — the engine's
+#: analog of the reference's single-instance rule (B5): a timestamped
+#: lock file refused while fresh, taken over once stale
+#: (matomo2clickhouse.py:851-868 — stale after 2× the run budget).
+WRITER_LOCK = "_WRITER_LOCK"
+
+#: lock staleness horizon: the reference treats a lock older than 2×
+#: replication_max_minutes (default 50) as a crashed holder's leftover
+LOCK_TTL_MINUTES = 100.0
+
+
+class StoreLockedError(RuntimeError):
+    """Another writer holds the store's advisory lock and it is not
+    yet stale — the caller must not mutate."""
+
+
+class writer_lock:
+    """Advisory single-writer lock at a store root: acquire = stamp a
+    lock file (refuse if a FRESH foreign one exists, take over a stale
+    one), release = remove it iff still ours. Reentrant per owner id —
+    a locked method calling another locked method on the same index
+    neither refuses itself nor drops the outer hold on inner exit.
+    Advisory only, like the reference's: the check-then-write has a
+    race window two simultaneous first-acquirers can slip through —
+    the lock makes the single-writer DISCIPLINE mechanical, it is not
+    a distributed mutex (object stores have no portable one). Readers
+    (``probe``/``stats``/``search``) never touch it."""
+
+    def __init__(self, fs, root: str, owner: str,
+                 ttl_minutes: float = LOCK_TTL_MINUTES):
+        self.fs, self.root, self.owner = fs, root, owner
+        self.ttl_minutes = ttl_minutes
+        self.path = os.path.join(root, WRITER_LOCK)
+        self._reentered = False
+
+    def __enter__(self):
+        now = time.time()
+        if self.fs.exists(self.path):
+            try:
+                meta = json.loads(self.fs.read_text(self.path))
+            except ValueError:
+                meta = {}  # torn lock file: treat as stale debris
+            if meta.get("owner") == self.owner:
+                self._reentered = True
+                return self
+            if now < float(meta.get("expires_at", 0)):
+                raise StoreLockedError(
+                    f"store {self.root!r} is locked by writer "
+                    f"{meta.get('owner')!r} until "
+                    f"{meta.get('expires_at')} — refusing to mutate "
+                    "(remove the _WRITER_LOCK file only if that "
+                    "writer is known dead)"
+                )
+            # stale: the holder crashed past the TTL — take over
+        self.fs.write_text_atomic(
+            self.path,
+            json.dumps({
+                "owner": self.owner,
+                "acquired_at": now,
+                "expires_at": now + self.ttl_minutes * 60.0,
+            }),
+        )
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self._reentered:
+            return False  # the outer hold owns the release
+        try:
+            meta = json.loads(self.fs.read_text(self.path))
+        except Exception:
+            return False
+        if meta.get("owner") == self.owner:
+            self.fs.rmtree(self.path)
+        return False
+
+
+def single_writer(method):
+    """Decorator for a maintained store's MUTATING entry points
+    (``add_batch`` / ``remove_batch`` / ``compact`` /
+    ``compact_buckets`` / ``build``): holds the store's advisory
+    writer lock for the duration of the call. The owner id is
+    per-index-instance, so two instances — two CLIs, or a CLI racing
+    scheduled ``maintain_stores`` upkeep — refuse each other while
+    fresh, and sequential calls on one instance re-stamp freely."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        if not hasattr(self, "_writer_id"):
+            self._writer_id = uuid.uuid4().hex
+        with writer_lock(self.fs, self.path, self._writer_id):
+            return method(self, *args, **kwargs)
+
+    return wrapper
+
+
+def bucket_census(fs, store: str) -> dict[int, list[str]]:
+    """Per-bucket file lists of a bucketed store dir, parsed from the
+    bucket ids Spark bakes into the file NAMES — the unit of per-bucket
+    compaction (buckets are independent file sets). Through the ``fs``
+    seam; flat layout only (bucketed stores never nest)."""
+    out: dict[int, list[str]] = {}
+    if not fs.is_dir(store):
+        return out
+    for name in fs.listdir(store):
+        m = _BUCKET_ID_RE.search(name)
+        if m and name.endswith(".parquet"):
+            out.setdefault(int(m.group(1)), []).append(name)
+    return out
+
+
+def compact_hot_buckets(
+    spark,
+    fs,
+    journal,
+    staging_path: str,
+    tables,
+    max_files_per_bucket: int = 1,
+) -> dict:
+    """Per-bucket small-files compaction — the O(hot buckets) unit the
+    r10 adjudication asked for in place of the whole-store rewrite:
+    ONLY buckets holding more than ``max_files_per_bucket`` files are
+    read and rewritten (one fresh file per hot bucket via the store's
+    own ``stage_bucketed``, so rows re-hash into exactly the bucket
+    they came from); untouched buckets' files are never listed in the
+    commit and keep their byte identity. The hot buckets' old files
+    are removed and the fresh ones renamed in under ONE journal marker
+    carrying the delete list (``StagedCommit.commit(delete=...)``), so
+    a crash anywhere converges at the next entry with no row lost or
+    doubled.
+
+    This is DEFRAG ONLY: tombstones are not applied and not cleared —
+    rows move between files unchanged, so the logical store content is
+    byte-identical and the tombstone lifecycle stays whole-store
+    ``compact()``'s job (clearing the set requires rewriting EVERY
+    bucket that may hold a tombstoned row).
+
+    ``tables``: iterable of ``(route_sub, BucketedStore)`` — route_sub
+    must match the journal's staging route for that table's live dir.
+    Returns a per-table report with before/after file counts."""
+    report: dict = {}
+    delete: dict[str, list[str]] = {}
+    for sub, store in tables:
+        census = bucket_census(fs, store.location)
+        hot = {
+            b: fl for b, fl in census.items() if len(fl) > max_files_per_bucket
+        }
+        report[sub] = {
+            "files_before": sum(len(fl) for fl in census.values()),
+            "buckets_total": len(census),
+            "buckets_compacted": len(hot),
+        }
+        if not hot:
+            continue
+        paths = [
+            os.path.join(store.location, name)
+            for fl in hot.values()
+            for name in fl
+        ]
+        rows = spark.read.parquet(*paths)
+        store.stage_bucketed(rows, os.path.join(staging_path, sub))
+        delete[sub] = [name for fl in hot.values() for name in fl]
+    if delete:
+        journal.commit(delete=delete)
+    for sub, store in tables:
+        report[sub]["files_after"] = sum(
+            len(fl) for fl in bucket_census(fs, store.location).values()
+        )
+    return report
+
+
+#: probe-batch distinct-key cap for the pushed store filter: below it,
+#: the key set collects to the driver and prunes the store scan; above
+#: it the probe falls back to the full store scan (the ingest contract).
+#: bands × batch-rows bounds the set, so a decontam-shaped probe (a
+#: handful of eval docs) is always far below the cap.
+PROBE_PUSHDOWN_MAX_KEYS = 8192
+
+#: smallest store (bytes) worth pruning: the pushed filter costs one
+#: extra driver-side Spark job (collecting the batch's distinct keys,
+#: ~0.1-0.5 s fixed), and what it buys is NOT reading/joining the rest
+#: of the store — below this size the whole store joins in less than
+#: the fixed cost (measured at sf0.01: fullscan_over_pruned 0.95-1.0,
+#: substring 0.53 on the fallback path — pure overhead), above it the
+#: avoided O(store) join/occupancy work dominates. 64 MB keeps every
+#: test/bench fixture on the old full-scan plan while any real corpus
+#: crosses it in its first batches.
+PROBE_PUSHDOWN_MIN_STORE_BYTES = 64 * 1024 * 1024
+
+#: largest key set pushed to parquet as a literal In predicate: the
+#: parquet-mr record filter evaluates a pushed In as a LEFT-DEEP
+#: or-chain, and chains past ~1-2k values overflow the task thread's
+#: stack (StackOverflowError reproduced at 2000 values on Spark 4.1.2,
+#: 1000 fine; 512 leaves 2-4× headroom for deeper record shapes).
+#: Between this and PROBE_PUSHDOWN_MAX_KEYS the probe still filters —
+#: Spark pushes the min/max RANGE to parquet and evaluates the exact
+#: INSET JVM-side above the scan — it just prunes fewer row groups.
+PARQUET_IN_PUSHDOWN_SAFE = 512
+
+
+def probe_pruned(
+    store_rows: DataFrame,
+    hash_col: str,
+    batch_keys: DataFrame,
+    cap: int = PROBE_PUSHDOWN_MAX_KEYS,
+    fs=None,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Prune a READ-ONLY probe's store scan by the probe batch's own
+    key set: the store files are SORTED BY the bucket key
+    (``bucketed.py stage_bucketed``), so an ``In(hash_col, ...)``
+    predicate pushed into the parquet scan skips every row group whose
+    min/max excludes all probe keys — a decontam lookup against a
+    grown store reads O(probe keys) row groups, not O(store). Ingest
+    keeps the full-scan contract (it must mine the whole store's
+    candidates anyway via the batch side, and its key set is large);
+    the probe is the advertised point-lookup shape, so it must not pay
+    a full store scan per batch.
+
+    Correctness: the retained rows are a SUPERSET of every row the
+    candidate equi-join on ``hash_col`` (plus any other key columns)
+    can match — rows dropped have a hash no probe row carries — so the
+    join result is identical; above the cap the unfiltered store is
+    returned (full-scan fallback, same plan as before).
+
+    ``fs`` + ``store_dir`` (pass both or neither): gate on the store's
+    on-disk size — a store below PROBE_PUSHDOWN_MIN_STORE_BYTES skips
+    pruning entirely, because the extra key-collect job costs more
+    than the whole scan-and-join it would avoid (measured; see the
+    constant's note).
+    """
+    if (
+        fs is not None
+        and store_dir is not None
+        and fs.du(store_dir) < PROBE_PUSHDOWN_MIN_STORE_BYTES
+    ):
+        return store_rows
+    vals = [
+        r[0]
+        for r in batch_keys.select(hash_col)
+        .filter(F.col(hash_col).isNotNull())
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    ]
+    if not vals or len(vals) > cap:
+        return store_rows
+    spark = store_rows.sparkSession
+    # perf-only runtime conf, raised once and never lowered: above the
+    # default threshold (10) Spark rewrites the pushed In to a
+    # min/max RANGE predicate, which for uniformly-hashed probe keys
+    # spans the whole store and prunes nothing (measured 2× slower
+    # than the literal parquet In on a sorted 40M-row store). Raised
+    # only to the stack-safe bound, NOT to the collect cap — see
+    # PARQUET_IN_PUSHDOWN_SAFE.
+    thr_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    try:
+        thr = int(spark.conf.get(thr_key))
+    except Exception:
+        thr = 10
+    if thr < PARQUET_IN_PUSHDOWN_SAFE:
+        spark.conf.set(thr_key, str(PARQUET_IN_PUSHDOWN_SAFE))
+    return store_rows.filter(F.col(hash_col).isin(vals))
 
 
 def live_bucket_sizes(

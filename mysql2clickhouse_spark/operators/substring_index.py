@@ -82,6 +82,7 @@ from ..functions.text import gram_rows, removal_report, tokenized_docs
 from ..session import release_cache, rotate_cache
 from .bucketed import BucketedStore
 from .journal import StagedCommit
+from .store_common import compact_hot_buckets, probe_pruned, single_writer
 
 #: store geometry, written once per store: the bucket count is part of
 #: the on-disk layout (bucket ids are baked into file names), so a
@@ -196,10 +197,15 @@ class SubstringIndex:
             return None
         return self.spark.read.parquet(self.tombstones_path)
 
-    def _stored_grams(self) -> DataFrame:
+    def _stored_grams(self, pruned_by: DataFrame | None = None) -> DataFrame:
         """The store's gram column THROUGH the bucketed table, so joins
         on ``gram`` inherit HashPartitioning(gram, n_buckets) from the
         scan itself — no Exchange ever sits above the store side.
+        ``pruned_by`` (read-only probe path only): a frame whose
+        ``gram`` column bounds the store read — the probe's own gram
+        set is pushed into the scan so row-group stats skip everything
+        else (``store_common.probe_pruned``); ingest always passes
+        None and keeps the full-scan contract.
         Grams whose first-occurrence OWNER is tombstoned are logically
         absent (the minority tombstone set broadcasts into an anti-join
         above the scan — broadcast joins preserve the store's
@@ -207,11 +213,17 @@ class SubstringIndex:
         never shows two live rows per gram: a re-claimed gram's old row
         stays tombstone-filtered until compact physically drops it."""
         rows = self._store.read()
+        if pruned_by is not None:
+            rows = probe_pruned(
+                rows, "gram", pruned_by,
+                fs=self.fs, store_dir=self.firsts_path,
+            )
         tombs = self._tombstones()
         if tombs is not None:
             rows = rows.join(F.broadcast(tombs), self.id_col, "left_anti")
         return rows.select("gram").withColumn("__stored", F.lit(1))
 
+    @single_writer
     def remove_batch(self, ids: DataFrame) -> int:
         """Mark documents DELETED (tombstone append through the same
         journal — one committed table, crash-converged like ingest);
@@ -278,7 +290,7 @@ class SubstringIndex:
             F.min(F.struct(self.id_col, "s")).alias("first_occ")
         )
         if self._has_files(self.firsts_path):
-            stored = self._stored_grams()
+            stored = self._stored_grams(pruned_by=batch_first)
         else:
             stored = batch_first.select("gram").withColumn(
                 "__stored", F.lit(1)
@@ -293,6 +305,7 @@ class SubstringIndex:
         # over the store paths stays valid for the caller to consume
         return removal_report(toks, dup_starts, self.k, self.id_col)
 
+    @single_writer
     def add_batch(self, batch: DataFrame) -> DataFrame:
         """Ingest one batch; return its per-doc removal report
         (id, n_tokens, n_removed, kept_hash) — duplicated spans judged
@@ -378,6 +391,24 @@ class SubstringIndex:
         self._journal().commit()
         return report
 
+    @single_writer
+    def compact_buckets(self, max_files_per_bucket: int = 1) -> dict:
+        """Per-bucket small-files compaction of the firsts store — the
+        O(hot buckets) defrag unit; tombstones untouched (see
+        ``store_common.compact_hot_buckets``)."""
+        self.recover()
+        if not self._has_files(self.firsts_path):
+            return {}
+        return compact_hot_buckets(
+            self.spark,
+            self.fs,
+            self._journal(),
+            self.staging_path,
+            (("firsts", self._store),),
+            max_files_per_bucket,
+        )
+
+    @single_writer
     def compact(self) -> dict:
         """Rewrite the firsts store to ONE file per bucket — every
         ``add_batch`` appends up to ``n_buckets`` files, so after N

@@ -90,6 +90,27 @@ def _cc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(d.unionByName(m1).unionByName(m2))
 
 
+def _cc_edges(sh: DataFrame) -> DataFrame:
+    """The deterministic generation-offset edge miner both cluster
+    queries share (equi-joins on the mutation offsets — no all-pairs
+    stage; exact Jaccard keeps the graph oracle-checkable)."""
+    edges = None
+    for off in (CC_OFF_1, CC_OFF_2 - CC_OFF_1, CC_OFF_2):
+        a, b = sh.alias("a"), sh.alias("b")
+        e = (
+            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + off)
+            .withColumn(
+                "j", jaccard_col(F.col("a.shingles"), F.col("b.shingles"))
+            )
+            .filter(F.col("j") >= CC_EDGE_THRESHOLD)
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: deterministic edge mining (exact
     5-gram Jaccard ≥ 0.7 on the generation pairs) → connected
@@ -118,20 +139,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.count()  # eager: 3 edge joins + the singleton pass consume it
     rotate_cache("curation.cc_shingles", sh)
 
-    edges = None
-    for off in (CC_OFF_1, CC_OFF_2 - CC_OFF_1, CC_OFF_2):
-        a, b = sh.alias("a"), sh.alias("b")
-        e = (
-            a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + off)
-            .withColumn(
-                "j", jaccard_col(F.col("a.shingles"), F.col("b.shingles"))
-            )
-            .filter(F.col("j") >= CC_EDGE_THRESHOLD)
-            .select(
-                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-            )
-        )
-        edges = e if edges is None else edges.unionByName(e)
+    edges = _cc_edges(sh)
 
     comp = connected_components(edges, "id_a", "id_b")
     clusters = cluster_summary(comp)
@@ -145,6 +153,66 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("rep_id"), F.lit(1).cast("bigint").alias("n_members"))
     )
     return clusters.unionByName(singles)
+
+
+def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance certified against the one-shot
+    closure (r10 verdict task 4 — pairs → clusters → canonical as an
+    incremental pipeline): the SAME deterministic edge set as
+    ``dedup_cluster_cc``, partitioned into 3 batches by edge hash (so
+    every chain's edges scatter across folds and components only
+    emerge from CROSS-BATCH closure), folded sequentially into a fresh
+    ``ClusterIndex`` (operators/cluster_index.py). Certified facts, one
+    row:
+
+    - n_edges / n_nodes / n_components of the maintained assignment;
+    - incremental_equals_oneshot — the folded table bag-equals
+      ``connected_components`` over the full edge set (same canonical
+      min-id labels, union-find closure is order-independent);
+    - replay_noop — redelivering batch 0 after everything folded
+      touches nothing (idempotent BY ALGEBRA: every replayed edge
+      resolves to equal endpoint labels).
+
+    The oracle recomputes the closure scalars with the recursive-CTE
+    min-label walk (the ``dedup_cluster_cc`` oracle's graph); the two
+    booleans are Spark-side certifications with fixed expected
+    outcomes — the twin pattern every incremental store here uses."""
+    from ..operators.cluster_index import ClusterIndex
+    from ..session import release_cache, rotate_cache, scratch_dir
+
+    release_cache("curation.cc_incr_shingles")  # BEFORE persist
+    sh = with_shingles(_cc_corpus(spark, sf_dir), "text", k=5).select(
+        "doc_id", "shingles"
+    ).persist()
+    sh.count()
+    rotate_cache("curation.cc_incr_shingles", sh)
+    edges = _cc_edges(sh).withColumn(
+        "b", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3))
+    ).localCheckpoint(eager=True)
+
+    idx = ClusterIndex(
+        spark, os.path.join(scratch_dir("m2c_ccinc_"), "cc"), n_buckets=8
+    )
+    for b in range(3):
+        idx.add_pairs(edges.filter(F.col("b") == b))
+    mine = idx.assignments()
+    want = connected_components(edges, "id_a", "id_b")
+    diff = (
+        mine.exceptAll(want).unionByName(want.exceptAll(mine)).count()
+    )
+    rep = idx.add_pairs(edges.filter(F.col("b") == 0))  # redelivery
+    replay_noop = rep["n_new_nodes"] == 0 and rep["n_merges"] == 0
+    return spark.createDataFrame(
+        [(
+            edges.count(),
+            mine.count(),
+            mine.select("component").distinct().count(),
+            diff == 0,
+            replay_noop,
+        )],
+        "n_edges bigint, n_nodes bigint, n_components bigint, "
+        "incremental_equals_oneshot boolean, replay_noop boolean",
+    )
 
 
 # --- curation pipeline with near-dup canonicalization ----------------------
@@ -1044,6 +1112,7 @@ def corpus_export_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_cluster_incremental": dedup_cluster_incremental,
     "corpus_curation_neardup": corpus_curation_neardup,
     "corpus_export_shards": corpus_export_shards,
     "corpus_export_jsonl": corpus_export_jsonl,
@@ -1242,6 +1311,41 @@ singles AS (
 SELECT rep_id, n_members FROM clusters
 UNION ALL
 SELECT rep_id, n_members FROM singles
+""",
+    # the same min-label closure, reduced to the maintained-assignment
+    # scalars; the two certification booleans are fixed expected
+    # outcomes (the incremental==one-shot twin pattern)
+    "dedup_cluster_incremental": f"""
+WITH RECURSIVE corpus AS ({_CC_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(length(lower(text)) - 4, 1) + 1),
+             i -> substring(lower(text), i, 5))) AS shingles
+  FROM corpus
+),
+cand AS (
+{_cc_cand_sql("sh")}
+),
+edges AS (SELECT id_a, id_b FROM cand WHERE j >= {CC_EDGE_THRESHOLD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+       CAST(TRUE AS BOOLEAN) AS incremental_equals_oneshot,
+       CAST(TRUE AS BOOLEAN) AS replay_noop
+FROM comp
 """,
     "corpus_decontaminate": f"""
 WITH tok AS (

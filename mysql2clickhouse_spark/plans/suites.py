@@ -592,7 +592,11 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       flag, kept_hash=reingest flag ('true'/'false');
     - ``substr_stream`` (round-9 fold) — the gram store's foreachBatch
       streaming-ingest twin packed as doc_id=n_docs,
-      n_tokens=n_mismatch, n_removed=meta_adopted.
+      n_tokens=n_mismatch, n_removed=meta_adopted;
+    - ``cluster_incr`` (round-11 fold, landing round) — the maintained
+      cluster table's incremental==one-shot closure cert packed as
+      doc_id=n_nodes, n_tokens=n_components, n_removed=equality flag,
+      kept_hash=replay_noop ('true'/'false').
     """
     mh = dedup_incremental(spark, sf_dir).select(
         F.lit("minhash_incr").alias("step"),
@@ -644,12 +648,25 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta_adopted").cast("bigint").alias("n_removed"),
         F.lit("").alias("kept_hash"),
     )
+    from .curation import dedup_cluster_incremental
+
+    cci = dedup_cluster_incremental(spark, sf_dir).select(
+        F.lit("cluster_incr").alias("step"),
+        F.col("n_nodes").cast("bigint").alias("doc_id"),
+        F.col("n_components").cast("bigint").alias("n_tokens"),
+        F.when(F.col("incremental_equals_oneshot"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_removed"),
+        F.col("replay_noop").cast("string").alias("kept_hash"),
+    )
     return (
         mh.unionByName(one)
         .unionByName(inc)
         .unionByName(mhd)
         .unionByName(ssd)
         .unionByName(sst)
+        .unionByName(cci)
     )
 
 
@@ -714,6 +731,13 @@ SELECT 'substr_stream' AS step, CAST(n_docs AS BIGINT) AS doc_id,
        CAST(meta_adopted AS BIGINT) AS n_removed,
        '' AS kept_hash
 FROM ({streaming_queries.ORACLE["stream_substring_ingest"]}) __ss
+UNION ALL
+SELECT 'cluster_incr' AS step, CAST(n_nodes AS BIGINT) AS doc_id,
+       CAST(n_components AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN incremental_equals_oneshot THEN 1 ELSE 0 END AS BIGINT)
+         AS n_removed,
+       CAST(replay_noop AS VARCHAR) AS kept_hash
+FROM ({curation.ORACLE["dedup_cluster_incremental"]}) __ci
 """,
     "cdc_apply_suite": f"""
 SELECT 'append' AS mode, key, seq, file_seq, ts, value, event_type

@@ -859,6 +859,10 @@ class ReplicationRunner:
         """
         import time as _time
 
+        # the upkeep report belongs to THIS session: a run whose budget
+        # gates the maintenance block off must not carry a previous
+        # session's reports to library callers of a reused runner
+        self.last_store_maintenance = []
         deadline = _time.monotonic() + 60.0 * max(0.0, max_minutes - grace_minutes)
         reports: list[RunReport] = []
         while True:
@@ -928,8 +932,11 @@ class ReplicationRunner:
             from ..operators.substring_index import SubstringIndex
 
             # k=None adopts the gram width from the store meta — the
-            # path-only reopen shape
-            return SubstringIndex(self.spark, path, k=None, **args)
+            # path-only reopen shape; setdefault so a spec that pins an
+            # explicit k via args wins instead of raising duplicate-kwarg
+            args = dict(args)
+            args.setdefault("k", None)
+            return SubstringIndex(self.spark, path, **args)
         if kind == "bm25":
             from ..operators.bm25_index import BM25Index
 
@@ -943,7 +950,7 @@ class ReplicationRunner:
 
     def maintain_stores(self, specs) -> list[dict]:
         """Scheduled upkeep for the engine's maintained stores (MinHash
-        / substring / BM25 / IVF) — the reference runs its dedup and
+        / SimHash / substring / BM25 / IVF) — the reference runs its dedup and
         retention maintenance at end-of-run from the SAME entry point
         as replication (matomo2clickhouse.py:756-766, entry point C);
         the incremental stores deserve the same scheduled, budget-gated
@@ -954,12 +961,16 @@ class ReplicationRunner:
         extra constructor kwargs for non-default store geometry}``.
         Per store: converge any interrupted commit (``recover`` — runs
         inside ``stats()``), read the file census from ``stats()``,
-        and run the journaled ``compact`` only when the census exceeds
-        the threshold — compaction rewrites the whole store, so it
-        must be triggered by measured small-files decay, not every
-        session. Single-writer discipline applies: the caller must not
-        schedule this concurrently with the store's ingest job (the
-        reference's single-instance rule, B5)."""
+        and when the census exceeds the threshold run the journaled
+        PER-BUCKET defrag (``compact_buckets`` / IVF ``compact_lists``
+        — O(hot buckets), untouched buckets' files kept by identity),
+        triggered by measured small-files decay, not every session.
+        Scheduled upkeep never applies tombstones physically: that
+        rewrite is O(store) by necessity and stays the explicit
+        whole-store ``compact`` operation. Single-writer discipline
+        applies: the caller must not schedule this concurrently with
+        the store's ingest job (the reference's single-instance rule,
+        B5)."""
         out: list[dict] = []
         for spec in specs:
             kind, path = spec["kind"], spec["path"]
@@ -980,7 +991,10 @@ class ReplicationRunner:
                 st = idx.stats()  # converges interrupted commits first
                 rep["census"] = st[census_key]
                 if st[census_key] > max_files:
-                    idx.compact()
+                    defrag = getattr(idx, "compact_buckets", None) or getattr(
+                        idx, "compact_lists"
+                    )
+                    defrag()
                     rep["compacted"] = True
                     rep["census_after"] = idx.stats()[census_key]
             except Exception as e:  # noqa: BLE001 — per-store isolation

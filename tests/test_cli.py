@@ -562,3 +562,44 @@ def test_cli_simhashindex_lifecycle(spark, tmp_path, capsys):
                "--probe-dir", str(tmp_path / "probe")])
     assert rc == 2
     assert not os.path.exists(str(tmp_path / "typo"))
+
+
+def test_cli_store_guard_covers_bm25_and_annindex(spark, tmp_path, capsys):
+    """A mistyped --index-dir on a read-only bm25index/annindex command
+    must refuse, not silently create a fresh empty store and answer
+    zero results (ADVICE r10: the guard covered only the three text
+    stores)."""
+    rc = main(["bm25index", "--index-dir", str(tmp_path / "typo"),
+               "--search", "fox"])
+    assert rc == 2
+    assert "no store at" in capsys.readouterr().out
+    assert not os.path.exists(str(tmp_path / "typo"))
+    rc = main(["annindex", "--index-dir", str(tmp_path / "typo"),
+               "--stats"])
+    assert rc == 2
+    assert "no store at" in capsys.readouterr().out
+    assert not os.path.exists(str(tmp_path / "typo"))
+
+
+def test_cli_maintain_store_path_with_at_sign(spark, tmp_path, capsys):
+    """A store path that itself contains '@' (s3a://user@host/store) is
+    expressible: only an all-digits tail after the last '@' is a
+    MAX_FILES threshold (ADVICE r10: rpartition misparsed it into a
+    non-numeric threshold and exited 2)."""
+    cl = str(tmp_path / "cl")
+    wh = str(tmp_path / "wh")
+    _stage_changelog(spark, cl)
+    weird = str(tmp_path / "we@ird" / "store")
+    # short session: the maintenance gate holds, so the spec is parsed
+    # but never opened — rc 0 proves the '@' path survived parsing
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "1",
+               "--maintain-store", f"minhash={weird}"])
+    assert rc == 0
+    capsys.readouterr()
+    # the numeric-tail form still parses as a threshold
+    rc = main(["run", "--changelog-dir", cl, "--target-dir", wh,
+               "--max-minutes", "1",
+               "--maintain-store", f"minhash={weird}@8"])
+    assert rc == 0
+    capsys.readouterr()

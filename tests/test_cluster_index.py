@@ -1,0 +1,122 @@
+"""Incremental cluster maintenance (r10 verdict task 4): folding pair
+batches into the maintained assignment equals one-shot connected
+components over the union — any edge partitioning, any order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2clickhouse_spark.functions.graph import connected_components
+from mysql2clickhouse_spark.operators.cluster_index import ClusterIndex
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+
+def _assign(idx):
+    return sorted(tuple(r) for r in idx.assignments().collect())
+
+
+def _one_shot(spark, rows):
+    cc = connected_components(_edges(spark, rows), "id_a", "id_b")
+    return sorted(tuple(r) for r in cc.collect())
+
+
+def test_fold_equals_one_shot_over_any_partitioning(spark, tmp_path):
+    """Edges of interleaved chains split across 3 batches — components
+    only fully emerge from cross-batch transitive closure."""
+    rows = []
+    # 10 chains of 6 nodes each, ids interleaved so min-labels move
+    for c in range(10):
+        ids = [c + 10 * k for k in range(6)]
+        rows += [(ids[i], ids[i + 1]) for i in range(5)]
+    # split by edge hash — scatters each chain across batches
+    batches = [[], [], []]
+    for i, e in enumerate(rows):
+        batches[(e[0] * 31 + e[1]) % 3].append(e)
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    for b in batches:
+        idx.add_pairs(_edges(spark, b))
+    assert _assign(idx) == _one_shot(spark, rows)
+    # one live row per node
+    a = idx.assignments()
+    assert a.count() == a.select("node").distinct().count()
+
+
+def test_cross_batch_merge_relabels_existing_component(spark, tmp_path):
+    """Batch 2 connects two EXISTING components through a smaller id:
+    every member of both must move under the new min label."""
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    idx.add_pairs(_edges(spark, [(100, 101), (101, 102)]))  # comp 100
+    idx.add_pairs(_edges(spark, [(200, 201)]))              # comp 200
+    rep = idx.add_pairs(_edges(spark, [(5, 102), (5, 201)]))  # merges all
+    assert rep["n_merges"] >= 2 and rep["n_moved"] == 5
+    want = [(5, 5), (100, 5), (101, 5), (102, 5), (200, 5), (201, 5)]
+    assert _assign(idx) == want
+    # the losing labels are dead, and stats sees through them
+    st = idx.stats()
+    assert st["n_nodes"] == 6 and st["n_components"] == 1
+    assert st["n_dead_components"] >= 2
+
+
+def test_replayed_batch_is_a_noop(spark, tmp_path):
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    b = [(1, 2), (2, 3), (10, 11)]
+    idx.add_pairs(_edges(spark, b))
+    files = sorted(os.listdir(idx.by_comp_path))
+    rep = idx.add_pairs(_edges(spark, b))  # at-least-once redelivery
+    assert rep["n_new_nodes"] == 0 and rep["n_merges"] == 0
+    assert sorted(os.listdir(idx.by_comp_path)) == files  # untouched
+    assert _assign(idx) == _one_shot(spark, b)
+
+
+def test_compact_drops_stale_rows_and_clears_dead(spark, tmp_path):
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    idx.add_pairs(_edges(spark, [(100, 101)]))
+    idx.add_pairs(_edges(spark, [(50, 100)]))   # relabel 100 -> 50
+    idx.add_pairs(_edges(spark, [(7, 101)]))    # relabel 50 -> 7
+    before = _assign(idx)
+    rep = idx.compact()
+    assert rep["by_comp"]["files_after"] <= rep["by_comp"]["files_before"]
+    assert _assign(idx) == before
+    assert idx.stats()["n_dead_components"] == 0
+    # physically: exactly one row per node remains
+    rows = spark.read.parquet(idx.by_comp_path)
+    assert rows.count() == rows.select("node").distinct().count()
+    # and folding continues cleanly after the rewrite
+    idx.add_pairs(_edges(spark, [(3, 7)]))
+    assert (3, 3) in _assign(idx) and (101, 3) in _assign(idx)
+
+
+def test_fold_crash_before_marker_leaves_assignment_intact(spark, tmp_path):
+    from mysql2clickhouse_spark.fs import LocalFS
+
+    class _FailMarker(LocalFS):
+        def write_text_atomic(self, path: str, text: str) -> None:
+            if path.endswith("_INGEST_COMMIT"):
+                raise OSError("injected crash before marker")
+            super().write_text_atomic(path, text)
+
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    idx.add_pairs(_edges(spark, [(1, 2)]))
+    before = _assign(idx)
+    idx.fs = _FailMarker()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.add_pairs(_edges(spark, [(2, 3), (0, 1)]))
+    idx2 = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    assert _assign(idx2) == before  # debris cleared, store untouched
+    # the redelivered fold then lands exactly once
+    idx2.add_pairs(_edges(spark, [(2, 3), (0, 1)]))
+    assert _assign(idx2) == _one_shot(spark, [(1, 2), (2, 3), (0, 1)])
+
+
+def test_singleton_free_contract_and_empty_store(spark, tmp_path):
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    assert _assign(idx) == []
+    rep = idx.add_pairs(_edges(spark, [(4, 4)]))  # self-pair only
+    assert rep["n_pairs"] == 0 and _assign(idx) == []

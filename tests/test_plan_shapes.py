@@ -696,3 +696,112 @@ def test_simhash_blocks_join_never_exchanges_the_store(spark, tmp_path):
     assert "SelectedBucketsCount: 8 out of 8" in plan
     assert plan.count("Exchange") == 2
     assert "hashpartitioning(b_idx" in plan
+
+
+def test_probe_pushes_batch_keys_into_minhash_store_scan(spark, tmp_path, monkeypatch):
+    """r10 verdict finding #1: the READ-ONLY probe is the advertised
+    decontam point lookup, so its store reads must PRUNE — the probe
+    batch's band-hash set is pushed into the bucketed store scan
+    (files are sorted by the bucket key, so row-group min/max stats
+    skip everything else). Pinned: the In predicate reaches the
+    parquet scan; ingest keeps the full-scan contract."""
+    from mysql2clickhouse_spark.operators import store_common
+
+    # the size gate keeps test-scale stores on the full-scan plan —
+    # zero it so the pin exercises the at-scale pruned plan
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+    idx = _nd_index(spark, tmp_path)
+    probe = spark.createDataFrame(
+        [(9001, "the quick brown fox jumps over the lazy dog wearing "
+                "suit 3 variant")],
+        "doc_id bigint, text string",
+    )
+    # END-TO-END: the returned probe plan resolves stored signatures
+    # through a candidate-pruned sigs scan (the bands scan ran inside
+    # the probe's candidate checkpoint, so it is pinned on the
+    # fragment below instead)
+    plan = plan_of(spark, idx.probe(probe))
+    assert "In(doc_id, [" in plan
+    # FRAGMENT: the candidate join's band-store read carries the
+    # probe's key set into the scan (the no-Exchange-above-store pins
+    # for the join itself live in the tests above)
+    from mysql2clickhouse_spark.operators.store_common import probe_pruned
+
+    keys = spark.createDataFrame([(123,), (456,)], "band_hash bigint")
+    frag = probe_pruned(idx._bands.read(), "band_hash", keys)
+    assert "In(band_hash, [" in plan_of(spark, frag)
+
+
+def test_probe_pushes_batch_keys_into_simhash_store_scan(spark, tmp_path, monkeypatch):
+    from mysql2clickhouse_spark.operators import store_common
+    from mysql2clickhouse_spark.operators.simhash_index import SimHashIndex
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+
+    idx = SimHashIndex(spark, str(tmp_path / "shidx_p"), n_buckets=8)
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    idx.add_batch(
+        spark.createDataFrame(
+            [(i, f"{base} {i} variant") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+    )
+    probe = spark.createDataFrame(
+        [(9001, f"{base} 3 variant")], "doc_id bigint, text string"
+    )
+    plan = plan_of(spark, idx.probe(probe))
+    assert "In(doc_id, [" in plan  # pruned sigs resolution (see above)
+    from mysql2clickhouse_spark.operators.store_common import probe_pruned
+
+    keys = spark.createDataFrame([(0, 7), (1, 9)], "b_idx int, b_val bigint")
+    fplan = plan_of(spark, probe_pruned(idx._blocks.read(), "b_val", keys))
+    assert "In(b_val, [" in fplan
+
+
+def test_probe_pushes_batch_keys_into_substring_store_scan(spark, tmp_path, monkeypatch):
+    from mysql2clickhouse_spark.operators import store_common
+    from mysql2clickhouse_spark.operators.substring_index import SubstringIndex
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+
+    idx = SubstringIndex(spark, str(tmp_path / "subidx_p"), k=4, n_buckets=8)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx.add_batch(
+        spark.createDataFrame(
+            [(i, f"{base} doc {i} tail") for i in range(10)],
+            "doc_id bigint, text string",
+        )
+    )
+    probe = spark.createDataFrame(
+        [(9001, f"{base} probe tail")], "doc_id bigint, text string"
+    )
+    plan = plan_of(spark, idx.probe(probe))
+    assert "In(gram, [" in plan
+    # ingest (add_batch) keeps the full-scan contract: no In(gram on
+    # the store side of a fresh ingest plan
+    report = idx.add_batch(
+        spark.createDataFrame(
+            [(9100, f"{base} fresh ingest")], "doc_id bigint, text string"
+        )
+    )
+    assert "In(gram, [" not in plan_of(spark, report)
+
+
+def test_probe_pruned_falls_back_above_cap(spark):
+    """Above the driver-bound cap the probe keeps the full-scan
+    contract — probe_pruned returns the UNFILTERED store frame — and
+    the retained rows are always a superset of the join's matches."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.operators.store_common import probe_pruned
+
+    store = spark.range(100).select(F.col("id").alias("h"), F.col("id"))
+    keys = spark.range(0, 20).select(F.col("id").alias("h"))
+    pruned = probe_pruned(store, "h", keys, cap=8)
+    assert pruned is store  # 20 distinct keys > cap 8: unfiltered
+    pruned = probe_pruned(store, "h", keys, cap=64)
+    assert pruned is not store and pruned.count() == 20
+    # empty key set: nothing to prune by — full scan (result is empty
+    # anyway once joined)
+    empty = keys.limit(0)
+    assert probe_pruned(store, "h", empty, cap=64) is store

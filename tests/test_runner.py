@@ -1258,3 +1258,43 @@ def test_run_session_maintains_stores_past_census_threshold(spark, tmp_path):
     )
     pairs = idx.add_batch(mut)
     assert pairs.count() > 0
+
+
+def test_run_session_resets_stale_maintenance_report(spark, tmp_path):
+    """A session whose budget gates the maintenance block OFF must not
+    carry the previous session's upkeep reports on a reused runner
+    (ADVICE r10: last_store_maintenance was never reset)."""
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    store = str(tmp_path / "nd")
+    idx = MinHashIndex(spark, store, n_buckets=4)
+    for b in range(2):
+        idx.add_batch(
+            spark.createDataFrame(
+                [(b * 100 + i, f"{base} {i} v{b}") for i in range(10)],
+                "doc_id bigint, text string",
+            )
+        )
+    cfg = RunConfig(
+        target_dir=str(tmp_path / "wh"),
+        store_maintenance=({"kind": "minhash", "path": store},),
+    )
+    runner = ReplicationRunner(spark, cfg)
+    cl = mk_changelog(spark, n=40, files=2)
+    runner.run_session(cl, max_minutes=50)
+    assert runner.last_store_maintenance  # long session: upkeep reported
+    runner.run_session(cl, max_minutes=5)
+    assert runner.last_store_maintenance == []  # gate held: fresh report
+
+
+def test_maintain_stores_substring_spec_with_explicit_k(spark, tmp_path):
+    """A substring spec may pin the gram width via args={'k': ...} as
+    the docstring invites — it must open the store, not raise a
+    duplicate-keyword TypeError (ADVICE r10)."""
+    cfg = RunConfig(target_dir=str(tmp_path / "wh"))
+    runner = ReplicationRunner(spark, cfg)
+    spec = {"kind": "substring", "path": str(tmp_path / "sub"),
+            "args": {"k": 8}}
+    rep = runner.maintain_stores([spec])
+    assert "error" not in rep[0] and rep[0]["compacted"] is False
