@@ -218,6 +218,90 @@ def indexed_dedup_bench(spark, sf_dir: str, repeats: int) -> dict:
     }
 
 
+#: store-ops fixture geometry — FIXED across scale factors (the row is
+#: a regression ratio, not a scale measurement)
+STORE_OPS_BUILD_DOCS = 12_000
+STORE_OPS_INGEST_DOCS = 2_000
+
+
+def store_ops_bench(spark, sf_dir: str, repeats: int,
+                    index_cls=None) -> dict:
+    """Maintained-store hot-path row (round 11 — r10 verdict task 2:
+    store ingest/probe regressions previously surfaced only in
+    manually-run probe scripts, never as a bench ratio). Protocol:
+
+    - build a MinHash store GROWN over 3 FIXED-SIZE batches (12k docs,
+      fresh ids per batch), once per session — size-capped so the row
+      costs seconds, not minutes, at every sf: this is the REGRESSION
+      instrument for the store hot paths, the scale instrument stays
+      the dedicated probe scripts (scale_check_r1*_*.py);
+    - ``probe``  = min-of-n wall of the READ-ONLY decontam lookup for
+      a fixed 20-doc mutant batch against the grown store;
+    - ``ingest`` = per-sample wall of one more fixed 2k-doc
+      ``add_batch`` (fresh ids each sample — ingest flatness is the
+      store's contract, so the slight growth across samples is part of
+      what the number certifies).
+
+    ``index_cls`` lets the A/B harness pass another tree's
+    MinHashIndex so both variants run their own store code."""
+    from mysql2clickhouse_spark.plans.extensions import _docs_with_mutants
+    from mysql2clickhouse_spark.session import scratch_dir
+
+    if index_cls is None:
+        from mysql2clickhouse_spark.operators.neardup_index import (
+            MinHashIndex,
+        )
+
+        index_cls = MinHashIndex
+    OFF = 50_000_000
+    spark.catalog.clearCache()
+    corpus = (
+        _docs_with_mutants(spark, sf_dir)
+        .select("doc_id", "text")
+        .limit(STORE_OPS_BUILD_DOCS)
+        .localCheckpoint(eager=True)
+    )
+    sample = corpus.limit(STORE_OPS_INGEST_DOCS).localCheckpoint(eager=True)
+    idx = index_cls(spark, os.path.join(scratch_dir("m2c_bench_store_"), "nd"))
+    t0 = time.perf_counter()
+    for b in range(3):
+        idx.add_batch(
+            corpus.select(
+                (F.col("doc_id") + b * OFF).alias("doc_id"), "text"
+            )
+        ).write.mode("overwrite").format("noop").save()
+    build = round(time.perf_counter() - t0, 3)
+    probe_batch = (
+        corpus.limit(20)
+        .select(
+            (F.col("doc_id") + 900 * OFF).alias("doc_id"),
+            F.concat("text", F.lit(" probe-suffix")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probe_samples, ingest_samples = [], []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        idx.probe(probe_batch).write.mode("overwrite").format("noop").save()
+        probe_samples.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        idx.add_batch(
+            sample.select(
+                (F.col("doc_id") + (10 + i) * OFF).alias("doc_id"), "text"
+            )
+        ).write.mode("overwrite").format("noop").save()
+        ingest_samples.append(round(time.perf_counter() - t0, 3))
+    return {
+        "build3": build,
+        "probe": min(probe_samples),
+        "ingest": min(ingest_samples),
+        "probe_samples": probe_samples,
+        "ingest_samples": ingest_samples,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -288,6 +372,7 @@ def main() -> None:
     indexed["warm_over_scratch"] = round(
         indexed["warm"] / times["dedup_minhash_lsh"], 3
     )
+    store_ops = store_ops_bench(spark, sf_dir, repeats)
 
     total = round(sum(times.values()), 3)
     print(
@@ -302,6 +387,7 @@ def main() -> None:
                 "samples": samples,
                 "minhash_stages": stages,
                 "dedup_minhash_indexed": indexed,
+                "store_ops": store_ops,
             }
         )
     )

@@ -256,6 +256,22 @@ def build_parser() -> argparse.ArgumentParser:
     sh.add_argument("--compact", action="store_true",
                     help="apply tombstones + one-file-per-bucket rewrite")
 
+    ci = sub.add_parser(
+        "clusterindex",
+        help="incremental near-dup cluster assignment: fold pair batches",
+    )
+    ci.add_argument("--index-dir", required=True, help="cluster store root")
+    ci.add_argument("--pairs-dir", default=None,
+                    help="parquet pair batch (id_a, id_b) to fold")
+    ci.add_argument("--assignments-out", default=None,
+                    help="write the CURRENT (node, component) table here")
+    ci.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (nodes/components/files)")
+    ci.add_argument("--compact", action="store_true",
+                    help="journaled rewrite to the live view (stale "
+                         "merged-away rows dropped, dead set cleared)")
+    ci.add_argument("--n-buckets", type=int, default=32)
+
     ex = sub.add_parser("export", help="curate and write training shards + manifest")
     ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
     ex.add_argument("--out-dir", required=True)
@@ -328,6 +344,21 @@ def _store_stats(args, idx, name: str) -> bool:
 
 
 def main(argv: list[str] | None = None) -> int:
+    try:
+        return _main(argv)
+    except Exception as e:
+        # a refused store mutation (another writer's fresh advisory
+        # lock) is an OPERATIONAL answer, not a crash — report it the
+        # way every other CLI outcome is reported
+        from .operators.store_common import StoreLockedError
+
+        if isinstance(e, StoreLockedError):
+            _emit({"error": str(e)})
+            return 3
+        raise
+
+
+def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from .session import get_spark
 
@@ -340,7 +371,7 @@ def main(argv: list[str] | None = None) -> int:
         for raw in args.maintain_store or ():
             kind, _, rest = raw.partition("=")
             if not rest or kind not in (
-                "minhash", "simhash", "substring", "bm25", "ivf"
+                "minhash", "simhash", "substring", "bm25", "ivf", "cluster"
             ):
                 _emit({"error": f"bad --maintain-store spec: {raw!r}",
                        "expect": "KIND=PATH[@MAX_FILES]"})
@@ -623,6 +654,35 @@ def main(argv: list[str] | None = None) -> int:
         if not acted:
             _emit({"error": "simhashindex needs --batch-dir, --probe-dir, "
                             "--remove-dir, --stats and/or --compact"})
+            return 2
+        return 0
+
+    if args.cmd == "clusterindex":
+        from .operators.cluster_index import ClusterIndex
+
+        if not _require_existing_store(spark, args, "clusterindex", "pairs_dir"):
+            return 2
+        idx = ClusterIndex(spark, args.index_dir, n_buckets=args.n_buckets)
+        acted = False
+        if args.pairs_dir:
+            rep = idx.add_pairs(spark.read.parquet(args.pairs_dir))
+            _emit({"job": "clusterindex-fold", **rep})
+            acted = True
+        if args.compact:
+            _emit({"job": "clusterindex-compact", **idx.compact()})
+            acted = True
+        if args.assignments_out:
+            idx.assignments().write.mode("overwrite").parquet(
+                args.assignments_out
+            )
+            _emit({"job": "clusterindex-assignments",
+                   "rows": spark.read.parquet(args.assignments_out).count(),
+                   "output": args.assignments_out})
+            acted = True
+        acted |= _store_stats(args, idx, "clusterindex")
+        if not acted:
+            _emit({"error": "clusterindex needs --pairs-dir, "
+                            "--assignments-out, --stats and/or --compact"})
             return 2
         return 0
 

@@ -183,7 +183,10 @@ class ClusterIndex:
         #    (labels only decrease, so min IS the current assignment)
         if self._by_node.has_files():
             cur = (
-                probe_pruned(self._by_node.read(), "node", nodes)
+                probe_pruned(
+                    self._by_node.read(), "node", nodes,
+                    fs=self.fs, store_dir=self.by_node_path,
+                )
                 .groupBy("node")
                 .agg(F.min("component").alias("cur"))
             )
@@ -256,6 +259,8 @@ class ClusterIndex:
                 self._by_comp.read(),
                 "component",
                 relabel.select(F.col("old").alias("component")),
+                fs=self.fs,
+                store_dir=self.by_comp_path,
             )
             dead = self._dead()
             if dead is not None:

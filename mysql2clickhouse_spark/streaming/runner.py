@@ -917,6 +917,7 @@ class ReplicationRunner:
         "substring": "firsts_files",
         "bm25": "postings_files",
         "ivf": "lists_files",
+        "cluster": "comp_files",
     }
 
     def _open_store(self, kind: str, path: str, args: dict):
@@ -946,6 +947,10 @@ class ReplicationRunner:
 
             # geometry adopts from the store manifest
             return IVFIndex(self.spark, path, **args)
+        if kind == "cluster":
+            from ..operators.cluster_index import ClusterIndex
+
+            return ClusterIndex(self.spark, path, **args)
         raise ValueError(f"unknown maintained-store kind: {kind!r}")
 
     def maintain_stores(self, specs) -> list[dict]:

@@ -41,12 +41,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: the pinned floor: re-pin to the best-measured tree when the current
-#: tree beats the old floor (r10 note — the r9 A/B closed at total
-#: 1.019 vs r8 with one deliberate recall-for-cost trade, so per the
-#: r9 verdict task 4 the floor advances to the last r9 code commit;
-#: rounds 6-8 used r5 79d3d22, round 9 used r8 a228d70)
-REF_COMMIT = "f31be1b"
-REF_TAG = "r9"
+#: tree beats the old floor (r11 note — the r10 A/B closed at total
+#: 0.995 vs the r9 floor, so per the r10 verdict task 6 the floor
+#: advances to the r10 tree, 48cec92 — package-identical to the last
+#: r10 code commit 5b1383d; rounds 6-8 used r5 79d3d22, round 9 the
+#: r8 a228d70, round 10 the r9 f31be1b with the r9 worktree dropped
+#: once re-pinned)
+REF_COMMIT = "48cec92"
+REF_TAG = "r10"
 REF_PKG = f"m2c_{REF_TAG}ref"
 
 
@@ -158,6 +160,95 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+
+    # maintained-store hot-path rows (r10 verdict task 2): each
+    # variant builds its OWN grown store with its own code (layouts
+    # may differ between pins), then probe and ingest samples run
+    # STRICTLY INTERLEAVED cur,ref,cur,ref like every headline query.
+    # Refs older than r10 have no probe(); skip the rows there.
+    ref_idx_cls = importlib.import_module(
+        f"{REF_PKG}.operators.neardup_index"
+    ).MinHashIndex
+    if hasattr(ref_idx_cls, "probe"):
+        from mysql2clickhouse_spark.operators.neardup_index import (
+            MinHashIndex as cur_idx_cls,
+        )
+        from mysql2clickhouse_spark.plans.extensions import (
+            _docs_with_mutants,
+        )
+        from mysql2clickhouse_spark.session import scratch_dir
+
+        from bench import STORE_OPS_BUILD_DOCS, STORE_OPS_INGEST_DOCS
+
+        OFF = 50_000_000
+        corpus = (
+            _docs_with_mutants(spark, sf_dir)
+            .select("doc_id", "text")
+            .limit(STORE_OPS_BUILD_DOCS)
+            .localCheckpoint(eager=True)
+        )
+        sample = corpus.limit(STORE_OPS_INGEST_DOCS).localCheckpoint(
+            eager=True
+        )
+        probe_batch = (
+            corpus.limit(20)
+            .select(
+                (F.col("doc_id") + 900 * OFF).alias("doc_id"),
+                F.concat("text", F.lit(" probe-suffix")).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        variants = {}
+        for tag, cls in (("cur", cur_idx_cls), ("ref", ref_idx_cls)):
+            idx = cls(
+                spark,
+                os.path.join(scratch_dir(f"m2c_ab_store_{tag}_"), "nd"),
+            )
+            for b in range(3):  # the grown fixture, built once
+                idx.add_batch(
+                    corpus.select(
+                        (F.col("doc_id") + b * OFF).alias("doc_id"), "text"
+                    )
+                ).write.mode("overwrite").format("noop").save()
+            variants[tag] = idx
+        rows = {op: {"cur": [], "ref": []} for op in ("probe", "ingest")}
+        for i in range(repeats):
+            for tag in ("cur", "ref"):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                variants[tag].probe(probe_batch).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                rows["probe"][tag].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+            for tag in ("cur", "ref"):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                variants[tag].add_batch(
+                    sample.select(
+                        (F.col("doc_id") + (10 + i) * OFF).alias("doc_id"),
+                        "text",
+                    )
+                ).write.mode("overwrite").format("noop").save()
+                rows["ingest"][tag].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+        for op, r2 in rows.items():
+            c, r = min(r2["cur"]), min(r2["ref"])
+            out[f"store_{op}"] = {
+                "cur": c,
+                "ref": r,
+                "ratio": round(c / r, 3) if r > 0 else None,
+                "cur_samples": r2["cur"],
+                "ref_samples": r2["ref"],
+            }
+            print(
+                f"  store_{op:20s} cur={c:7.3f} ref={r:7.3f} "
+                f"ratio={out[f'store_{op}']['ratio']}",
+                file=sys.stderr,
+                flush=True,
+            )
 
     total_cur = round(sum(v["cur"] for v in out.values()), 3)
     total_ref = round(sum(v["ref"] for v in out.values()), 3)

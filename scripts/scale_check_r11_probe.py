@@ -102,9 +102,16 @@ def main() -> None:
     }
     for tag, (mod, idx) in stores.items():
         walls = []
+        ingest_walls = []
         for i in range(n_batches):
-            consume(idx.add_batch(batch(i)))
+            ingest_walls.append(wall(lambda: consume(idx.add_batch(batch(i)))))
             walls.append(wall(lambda: consume(idx.probe(probe))))
+        # ingest flatness at this sf rides the same run (r10 verdict
+        # task 7: one scale up from the r10 record)
+        out[f"{tag}_ingest_walls"] = ingest_walls
+        out[f"{tag}_ingest_last_over_first"] = round(
+            ingest_walls[-1] / ingest_walls[0], 2
+        )
         out[f"{tag}_probe_walls"] = walls
         out[f"{tag}_probe_last_over_first"] = round(walls[-1] / walls[0], 2)
         # final-size A/B: pruned vs full-scan on the SAME grown store —
@@ -114,7 +121,7 @@ def main() -> None:
             lambda: consume(idx.probe(probe)), repeat=3
         )
         orig = mod.probe_pruned
-        mod.probe_pruned = lambda store, col, keys, cap=None: store
+        mod.probe_pruned = lambda store, *a, **k: store
         try:
             out[f"{tag}_fullscan_wall"] = wall(
                 lambda: consume(idx.probe(probe)), repeat=3

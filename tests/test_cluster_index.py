@@ -120,3 +120,58 @@ def test_singleton_free_contract_and_empty_store(spark, tmp_path):
     assert _assign(idx) == []
     rep = idx.add_pairs(_edges(spark, [(4, 4)]))  # self-pair only
     assert rep["n_pairs"] == 0 and _assign(idx) == []
+
+
+def test_cli_clusterindex_lifecycle(spark, tmp_path, capsys):
+    """The sixth store's ops surface: fold -> assignments -> stats ->
+    compact via the CLI, typo-guarded like its siblings."""
+    import json
+
+    from mysql2clickhouse_spark.cli import main
+
+    _edges(spark, [(1, 2), (2, 3)]).write.parquet(str(tmp_path / "p1"))
+    _edges(spark, [(0, 3)]).write.parquet(str(tmp_path / "p2"))
+    store = str(tmp_path / "cc")
+    rc = main(["clusterindex", "--index-dir", store,
+               "--pairs-dir", str(tmp_path / "p1")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["n_new_nodes"] == 3
+    rc = main(["clusterindex", "--index-dir", store,
+               "--pairs-dir", str(tmp_path / "p2"),
+               "--assignments-out", str(tmp_path / "out"), "--stats"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["n_components"] == 1  # 0 joined everything
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 0)]
+    rc = main(["clusterindex", "--index-dir", store, "--compact"])
+    assert rc == 0
+    capsys.readouterr()
+    # read-only invocation against a mistyped dir refuses
+    rc = main(["clusterindex", "--index-dir", str(tmp_path / "typo"),
+               "--stats"])
+    assert rc == 2
+    assert "no store at" in capsys.readouterr().out
+
+
+def test_maintain_stores_covers_the_cluster_store(spark, tmp_path):
+    from mysql2clickhouse_spark.streaming.runner import (
+        ReplicationRunner,
+        RunConfig,
+    )
+
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    for b in range(3):
+        idx.add_pairs(_edges(spark, [(b * 100, b * 100 + 1)]))
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"))
+    )
+    rep = runner.maintain_stores(
+        [{"kind": "cluster", "path": str(tmp_path / "cc"), "max_files": 2}]
+    )
+    assert rep[0]["compacted"] is True
+    assert rep[0]["census_after"] <= rep[0]["census"]
+    # the defrag preserved the assignment
+    assert idx.stats()["n_components"] == 3

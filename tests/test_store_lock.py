@@ -123,3 +123,17 @@ def test_maintain_stores_honors_the_lock(spark, tmp_path):
     )
     assert rep[0]["compacted"] is False
     assert "locked by writer" in rep[0]["error"]
+
+
+def test_cli_reports_locked_store_as_json_error(spark, tmp_path, capsys):
+    """A CLI mutation against a fresh foreign lock exits 3 with a JSON
+    error line — never a traceback."""
+    from mysql2clickhouse_spark.cli import main
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    store = str(tmp_path / "nd")
+    MinHashIndex(spark, store, n_buckets=4).add_batch(_batch(spark))
+    _foreign_lock(store, fresh=True)
+    rc = main(["neardup", "--index-dir", store, "--compact"])
+    assert rc == 3
+    assert "locked by writer" in capsys.readouterr().out
