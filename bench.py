@@ -279,6 +279,15 @@ def store_ops_bench(spark, sf_dir: str, repeats: int,
         )
         .localCheckpoint(eager=True)
     )
+    # warm-up, same rationale as the headline queries' per-query warm
+    # pass: the first probe/ingest pays whole-stage codegen for the
+    # store plans — one unmeasured round moves that out of the samples
+    # (the warm ingest grows the fixture by one batch; ingest flatness
+    # is the store's contract, so the samples measure the same thing)
+    idx.probe(probe_batch).write.mode("overwrite").format("noop").save()
+    idx.add_batch(
+        sample.select((F.col("doc_id") + 9 * OFF).alias("doc_id"), "text")
+    ).write.mode("overwrite").format("noop").save()
     probe_samples, ingest_samples = [], []
     for i in range(repeats):
         spark.catalog.clearCache()

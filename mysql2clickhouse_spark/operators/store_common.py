@@ -231,14 +231,15 @@ PROBE_PUSHDOWN_MAX_KEYS = 8192
 
 #: smallest store (bytes) worth pruning: the pushed filter costs one
 #: extra driver-side Spark job (collecting the batch's distinct keys,
-#: ~0.1-0.5 s fixed), and what it buys is NOT reading/joining the rest
-#: of the store — below this size the whole store joins in less than
-#: the fixed cost (measured at sf0.01: fullscan_over_pruned 0.95-1.0,
-#: substring 0.53 on the fallback path — pure overhead), above it the
-#: avoided O(store) join/occupancy work dominates. 64 MB keeps every
-#: test/bench fixture on the old full-scan plan while any real corpus
-#: crosses it in its first batches.
-PROBE_PUSHDOWN_MIN_STORE_BYTES = 64 * 1024 * 1024
+#: ~0.1-0.5 s fixed, plus a candidate checkpoint on the verify side),
+#: and what it buys is NOT reading/joining the rest of the store —
+#: below this size the whole store joins in less than the fixed cost.
+#: Measured (BENCH_NOTES_r11 §1): sf0.01 stores (≤30 MB)
+#: fullscan_over_pruned 0.95-1.0 (pruning loses outright); 100 MB of
+#: sf0.1 bands won only 1.07× — inside box noise; 1.2 GB won 1.54×
+#: and 4.8 GB won 4.23×. 256 MB puts the break-even safely on the
+#: full-scan side — any real corpus crosses it in its first batches.
+PROBE_PUSHDOWN_MIN_STORE_BYTES = 256 * 1024 * 1024
 
 #: largest key set pushed to parquet as a literal In predicate: the
 #: parquet-mr record filter evaluates a pushed In as a LEFT-DEEP

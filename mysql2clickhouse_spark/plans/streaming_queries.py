@@ -563,6 +563,69 @@ def stream_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cluster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fold of the PERSISTED incremental cluster store
+    (``operators/cluster_index.py``) — the sixth member of the
+    streaming×store matrix: the deterministic near-dup edge set
+    (``plans/curation._cc_edges`` over the 3-generation mutant corpus)
+    lands as 3 parquet files hash-partitioned by edge (so every
+    chain's edges scatter across micro-batches), a file stream feeds
+    them one micro-batch each, and ``foreachBatch`` REOPENS the store
+    from its meta (path-only — the production shape) and runs
+    ``add_pairs`` — contracted-graph CC per batch, journaled one-marker
+    commit. ``foreachBatch`` is at-least-once; redelivered folds are
+    no-ops BY ALGEBRA (every replayed edge resolves to equal labels).
+
+    Certification row: (n_docs, stream_equals_oneshot) — the final
+    maintained assignment must BAG-EQUAL ``connected_components`` over
+    the whole edge set (same canonical min-id labels): components that
+    only exist through CROSS-micro-batch closure must still converge."""
+    from ..functions.graph import connected_components
+    from ..functions.minhash import with_shingles
+    from ..operators.cluster_index import ClusterIndex
+    from .curation import _cc_corpus, _cc_edges
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(_cc_corpus(spark, sf_dir), "text", k=5).select(
+        "doc_id", "shingles"
+    )
+    edges = _cc_edges(sh).localCheckpoint(eager=True)
+    base = scratch_dir("m2c_stream_cc_")
+    edges_dir = os.path.join(base, "edges")
+    edges.repartition(3, "id_a", "id_b").write.mode("overwrite").parquet(
+        edges_dir
+    )
+
+    store = os.path.join(base, "idx")
+    ClusterIndex(spark, store, n_buckets=8)  # geometry written once
+    stream = (
+        spark.readStream.schema("id_a bigint, id_b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(edges_dir)
+    )
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .foreachBatch(
+            # path-only reopen per micro-batch: n_buckets adopts from
+            # the store meta, like every sibling streaming twin
+            lambda batch, _id: ClusterIndex(spark, store).add_pairs(batch)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    mine = ClusterIndex(spark, store).assignments()
+    want = connected_components(edges, "id_a", "id_b")
+    diff = mine.exceptAll(want).unionByName(want.exceptAll(mine)).count()
+    return spark.createDataFrame(
+        [(d.count(), diff == 0)],
+        "n_docs bigint, stream_equals_oneshot boolean",
+    )
+
+
 def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest of the PERSISTED incremental IVF store
     (``operators/ann_index.py``) — the ANN×streaming composition of
@@ -794,6 +857,7 @@ QUERIES = {
     "stream_bm25_ingest": stream_bm25_ingest,
     "stream_neardup_index": stream_neardup_index,
     "stream_simhash_ingest": stream_simhash_ingest,
+    "stream_cluster_ingest": stream_cluster_ingest,
     "stream_substring_ingest": stream_substring_ingest,
     "stream_ivf_ingest": stream_ivf_ingest,
 }
@@ -838,6 +902,15 @@ FROM i JOIN u ON key = u_key
         FROM documents
     """,
     "stream_simhash_ingest": """
+        SELECT count(*) AS n_docs,
+               CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
+        FROM documents
+    """,
+    # foreachBatch fold of the cluster store over hash-scattered edge
+    # micro-batches == one-shot CC closure: fixed expected outcome (the
+    # Spark side asserts the bag equality; the closure scalars are
+    # independently certified by dedup_cluster_incremental's oracle)
+    "stream_cluster_ingest": """
         SELECT count(*) AS n_docs,
                CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
         FROM documents

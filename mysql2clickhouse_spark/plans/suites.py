@@ -596,7 +596,10 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``cluster_incr`` (round-11 fold, landing round) — the maintained
       cluster table's incremental==one-shot closure cert packed as
       doc_id=n_nodes, n_tokens=n_components, n_removed=equality flag,
-      kept_hash=replay_noop ('true'/'false').
+      kept_hash=replay_noop ('true'/'false');
+    - ``cluster_stream`` (round-11 fold, landing round) — the cluster
+      store's foreachBatch streaming twin packed as doc_id=n_docs,
+      n_removed=stream_equals_oneshot flag.
     """
     mh = dedup_incremental(spark, sf_dir).select(
         F.lit("minhash_incr").alias("step"),
@@ -649,7 +652,18 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("kept_hash"),
     )
     from .curation import dedup_cluster_incremental
+    from .streaming_queries import stream_cluster_ingest
 
+    ccs = stream_cluster_ingest(spark, sf_dir).select(
+        F.lit("cluster_stream").alias("step"),
+        F.col("n_docs").cast("bigint").alias("doc_id"),
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.when(F.col("stream_equals_oneshot"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_removed"),
+        F.lit("").alias("kept_hash"),
+    )
     cci = dedup_cluster_incremental(spark, sf_dir).select(
         F.lit("cluster_incr").alias("step"),
         F.col("n_nodes").cast("bigint").alias("doc_id"),
@@ -667,6 +681,7 @@ def dedup_incr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssd)
         .unionByName(sst)
         .unionByName(cci)
+        .unionByName(ccs)
     )
 
 
@@ -731,6 +746,13 @@ SELECT 'substr_stream' AS step, CAST(n_docs AS BIGINT) AS doc_id,
        CAST(meta_adopted AS BIGINT) AS n_removed,
        '' AS kept_hash
 FROM ({streaming_queries.ORACLE["stream_substring_ingest"]}) __ss
+UNION ALL
+SELECT 'cluster_stream' AS step, CAST(n_docs AS BIGINT) AS doc_id,
+       CAST(0 AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN stream_equals_oneshot THEN 1 ELSE 0 END AS BIGINT)
+         AS n_removed,
+       '' AS kept_hash
+FROM ({streaming_queries.ORACLE["stream_cluster_ingest"]}) __cs
 UNION ALL
 SELECT 'cluster_incr' AS step, CAST(n_nodes AS BIGINT) AS doc_id,
        CAST(n_components AS BIGINT) AS n_tokens,

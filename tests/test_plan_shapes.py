@@ -805,3 +805,47 @@ def test_probe_pruned_falls_back_above_cap(spark):
     # anyway once joined)
     empty = keys.limit(0)
     assert probe_pruned(store, "h", empty, cap=64) is store
+
+
+def test_cluster_fold_joins_never_exchange_the_store(spark, tmp_path):
+    """The ClusterIndex 100 TB contract, same shape as the five sibling
+    stores: (a) resolving a pair batch's labels aggregates the
+    node-bucketed store with NO Exchange above the store scan (the agg
+    key equals the bucket key); (b) the losing components' members
+    join batch-bounded broadcast frames above the component-bucketed
+    scan — zero Exchange on the store side. Broadcast is disabled for
+    (a) to pin the scan-satisfied distribution."""
+    from pyspark.sql import functions as F
+
+    from mysql2clickhouse_spark.operators.cluster_index import ClusterIndex
+
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=8)
+    idx.add_pairs(
+        spark.createDataFrame(
+            [(i, i + 1000) for i in range(40)], "id_a bigint, id_b bigint"
+        )
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # (a) the min-per-node resolve: aggregation keyed on the bucket
+        # column — the partial/final agg runs on the scan's own
+        # distribution, no Exchange anywhere (×2 tree+detail)
+        resolve = idx._by_node.read().groupBy("node").agg(
+            F.min("component").alias("cur")
+        )
+        plan = plan_of(spark, resolve)
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # (b) members-of-losing-components: broadcast relabel map above the
+    # component-bucketed scan — store side never exchanged
+    relabel = spark.createDataFrame(
+        [(1000, 0), (1001, 1)], "old bigint, new bigint"
+    )
+    members = idx._by_comp.read().join(
+        F.broadcast(relabel),
+        idx._by_comp.read()["component"] == relabel["old"],
+    )
+    plan = plan_of(spark, members)
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
