@@ -263,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     ci.add_argument("--index-dir", required=True, help="cluster store root")
     ci.add_argument("--pairs-dir", default=None,
                     help="parquet pair batch (id_a, id_b) to fold")
+    ci.add_argument("--probe-dir", default=None,
+                    help="READ-ONLY lookup: parquet ids (node or doc_id "
+                         "column) resolved to their current component "
+                         "without mutating the store")
     ci.add_argument("--assignments-out", default=None,
                     help="write the CURRENT (node, component) table here")
     ci.add_argument("--stats", action="store_true",
@@ -664,6 +668,14 @@ def _main(argv: list[str] | None = None) -> int:
             return 2
         idx = ClusterIndex(spark, args.index_dir, n_buckets=args.n_buckets)
         acted = False
+        if args.probe_dir:
+            hits = idx.probe(spark.read.parquet(args.probe_dir))
+            _emit({
+                "job": "clusterindex-probe",
+                "n_assigned": hits.count(),
+                "n_duplicates": hits.filter("NOT is_canonical").count(),
+            })
+            acted = True
         if args.pairs_dir:
             rep = idx.add_pairs(spark.read.parquet(args.pairs_dir))
             _emit({"job": "clusterindex-fold", **rep})
@@ -681,7 +693,7 @@ def _main(argv: list[str] | None = None) -> int:
             acted = True
         acted |= _store_stats(args, idx, "clusterindex")
         if not acted:
-            _emit({"error": "clusterindex needs --pairs-dir, "
+            _emit({"error": "clusterindex needs --pairs-dir, --probe-dir, "
                             "--assignments-out, --stats and/or --compact"})
             return 2
         return 0

@@ -322,6 +322,73 @@ class ClusterIndex:
             rows = rows.join(F.broadcast(dead), "component", "left_anti")
         return rows.select("node", "component")
 
+    def probe(self, ids: DataFrame, id_col: str | None = None) -> DataFrame:
+        """READ-ONLY membership lookup — the cluster store's decontam
+        shape, completing the ``probe()`` standard across all six
+        maintained stores: for every probed id CURRENTLY assigned,
+        ``(node, component, is_canonical)``; ids the store has never
+        seen are absent from the result (the caller's "not a known
+        near-dup of anything" signal). ``is_canonical`` answers the
+        dedup-plan question directly: the canonical member of a
+        component is its minimum node id, which IS the component id,
+        so a probed doc with ``is_canonical = false`` is a duplicate
+        the keep-min plan drops.
+
+        Nothing is written; the store's file census is untouched
+        (certified by ``dedup_index_probe``'s cluster row). The
+        ``by_node`` read prunes by the probe's own id set
+        (``store_common.probe_pruned`` — pushed In, row-group skip), so
+        the lookup is O(probe ids), never O(store); the min-per-node
+        resolve aggregates on the bucket column, satisfied by the
+        scan's own distribution (no Exchange — pinned in
+        ``test_plan_shapes``)."""
+        self.recover()
+        if id_col is None:
+            id_col = (
+                "node"
+                if "node" in ids.columns
+                else ("doc_id" if "doc_id" in ids.columns else ids.columns[0])
+            )
+        nodes = (
+            ids.select(F.col(id_col).cast("long").alias("node"))
+            .filter(F.col("node").isNotNull())
+            .distinct()
+        )
+        if not self._by_node.has_files():
+            return self.spark.createDataFrame(
+                [], "node bigint, component bigint, is_canonical boolean"
+            )
+        store = self._by_node.read()
+        rows = probe_pruned(
+            store, "node", nodes,
+            fs=self.fs, store_dir=self.by_node_path,
+        )
+        if rows is store:
+            # fallback (gate/cap): restrict via the broadcast join the
+            # pushed filter would otherwise have made redundant
+            rows = rows.join(F.broadcast(nodes), "node")
+        return (
+            rows.groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .withColumn("is_canonical", F.col("node") == F.col("component"))
+        )
+
+    def canonical(self) -> DataFrame:
+        """The KEPT set of the keep-min dedup plan: one row per live
+        component — its canonical (minimum-id) member. By the labeling
+        algebra the canonical member IS the component id, and its
+        ``(node, node)`` self-row is guaranteed live: a node only ever
+        becomes a component id by self-labeling while minimum, and the
+        self-row moves with every merge it wins."""
+        return self.assignments().filter(F.col("node") == F.col("component"))
+
+    def duplicates(self) -> DataFrame:
+        """The DROP set of the keep-min dedup plan: every live node
+        that is NOT its component's canonical member, with the
+        component (= the doc it duplicates) alongside — the exact
+        removal list ``dedup_exact``-style compaction consumes."""
+        return self.assignments().filter(F.col("node") != F.col("component"))
+
     # --- maintenance ----------------------------------------------------------
 
     @single_writer

@@ -484,6 +484,54 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows.append(("substring", n_probed, bool(ss_equal), bool(ss_untouched)))
 
+    # cluster store (round 11): the probe is a MEMBERSHIP lookup, so
+    # its one-shot twin is connected components over the full edge set.
+    # Deterministic hub edges (doc_id -> doc_id % 23) folded as two
+    # batches split even/odd — every component's closure spans both
+    # folds, so the probed labels exercise the merge path, not just
+    # fresh inserts. Probed ids = every 7th doc PLUS the same set
+    # shifted past the corpus (never stored): the cert's bag equality
+    # proves known ids resolve to EXACTLY the one-shot CC labels (with
+    # is_canonical = node==component) and unknown ids are absent.
+    from ..functions.graph import connected_components
+    from ..operators.cluster_index import ClusterIndex
+    from ..operators.store_common import data_files as _df_census
+
+    cc = ClusterIndex(spark, scratch_dir("m2c_ccprobe_") + "/index")
+    edges = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") % F.lit(23)).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    cc.add_pairs(edges.filter(F.col("id_a") % 2 == 0))
+    cc.add_pairs(edges.filter(F.col("id_a") % 2 == 1))
+
+    def _cc_census(idx):
+        return sorted(
+            list(_df_census(idx.fs, idx.by_node_path))
+            + list(_df_census(idx.fs, idx.by_comp_path))
+            + list(_df_census(idx.fs, idx.dead_path))
+        )
+
+    census0 = _cc_census(cc)
+    probe_ids = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    probed = cc.probe(
+        probe_ids.unionByName(
+            probe_ids.select((F.col("doc_id") + 5_000_000).alias("doc_id"))
+        )
+    )
+    want = (
+        connected_components(edges, "id_a", "id_b")
+        .join(probe_ids.withColumnRenamed("doc_id", "node"), "node")
+        .withColumn("is_canonical", F.col("node") == F.col("component"))
+    )
+    cc_equal = (
+        probed.exceptAll(want).isEmpty() and want.exceptAll(probed).isEmpty()
+    )
+    cc_untouched = _cc_census(cc) == census0
+    rows.append(
+        ("cluster", 2 * probe_ids.count(), bool(cc_equal), bool(cc_untouched))
+    )
+
     return spark.createDataFrame(
         rows,
         "store string, n_probed bigint, matches_equal_oneshot boolean,"
@@ -2289,6 +2337,11 @@ SELECT 'substring' AS store, CAST(count(*) AS BIGINT) AS n_probed,
        CAST(TRUE AS BOOLEAN) AS matches_equal_oneshot,
        CAST(TRUE AS BOOLEAN) AS store_untouched
 FROM documents
+UNION ALL
+SELECT 'cluster' AS store, CAST(2 * count(*) AS BIGINT) AS n_probed,
+       CAST(TRUE AS BOOLEAN) AS matches_equal_oneshot,
+       CAST(TRUE AS BOOLEAN) AS store_untouched
+FROM documents WHERE doc_id % 7 = 0
 """,
     "dedup_simhash_incremental": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -164,11 +164,12 @@ def dedup_cert_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-equals the one-shot AND replay is a no-op), ``simhash_incr_del``
     (logical/physical/re-ingest delete phases), and ``simhash_stream``
     (foreachBatch ingest == one-shot), and ``minhash_probe`` /
-    ``simhash_probe`` / ``substring_probe`` — the READ-ONLY decontam
+    ``simhash_probe`` / ``substring_probe`` / ``cluster_probe`` (the
+    last a round-11 fold, landing round) — the READ-ONLY decontam
     judgment against each store (probe == the mutating path's answer —
     one-shot cross pairs for the hash stores, the subsequent ingest's
-    removal report for the gram store — AND the store's file set is
-    byte-identical after). The (method, n, ok) shape is the long format
+    removal report for the gram store, the one-shot CC labels for the
+    cluster store — AND the store's file set is byte-identical after). The (method, n, ok) shape is the long format
     the r9 verdict asked new folds to use — n is the DuckDB-recomputable
     count, ok folds the member's boolean certs."""
     from .streaming_queries import stream_simhash_ingest

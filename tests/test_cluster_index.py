@@ -156,6 +156,67 @@ def test_cli_clusterindex_lifecycle(spark, tmp_path, capsys):
     assert "no store at" in capsys.readouterr().out
 
 
+def test_probe_resolves_without_mutating(spark, tmp_path):
+    """The read-only membership lookup (round 11 — the sixth store's
+    ``probe()``): known ids resolve to their CURRENT post-merge labels,
+    unknown ids are absent, and the store's file census is
+    byte-identical after."""
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    idx.add_pairs(_edges(spark, [(100, 101), (200, 201)]))
+    idx.add_pairs(_edges(spark, [(5, 101), (5, 200)]))  # merge under 5
+    census = sorted(os.listdir(idx.by_node_path)) + sorted(
+        os.listdir(idx.by_comp_path)
+    )
+    ids = spark.createDataFrame(
+        [(101,), (200,), (5,), (999,)], "doc_id bigint"
+    )
+    got = sorted(tuple(r) for r in idx.probe(ids).collect())
+    assert got == [(5, 5, True), (101, 5, False), (200, 5, False)]
+    assert census == sorted(os.listdir(idx.by_node_path)) + sorted(
+        os.listdir(idx.by_comp_path)
+    )
+    # empty store answers empty, same schema
+    fresh = ClusterIndex(spark, str(tmp_path / "cc2"), n_buckets=4)
+    assert fresh.probe(ids).count() == 0
+    assert fresh.probe(ids).columns == ["node", "component", "is_canonical"]
+
+
+def test_canonical_and_duplicates_partition_the_assignment(spark, tmp_path):
+    """``canonical()`` = one self-row per live component (the keep-min
+    survivor); ``duplicates()`` = everything else — together they tile
+    ``assignments()`` exactly, including after merges."""
+    idx = ClusterIndex(spark, str(tmp_path / "cc"), n_buckets=4)
+    idx.add_pairs(_edges(spark, [(10, 11), (20, 21)]))
+    idx.add_pairs(_edges(spark, [(3, 11)]))  # comp 10 -> 3
+    keep = sorted(tuple(r) for r in idx.canonical().collect())
+    drop = sorted(tuple(r) for r in idx.duplicates().collect())
+    assert keep == [(3, 3), (20, 20)]
+    assert drop == [(10, 3), (11, 3), (21, 20)]
+    assert sorted(keep + drop) == _assign(idx)
+
+
+def test_cli_clusterindex_probe(spark, tmp_path, capsys):
+    import json
+
+    from mysql2clickhouse_spark.cli import main
+
+    _edges(spark, [(1, 2), (2, 3)]).write.parquet(str(tmp_path / "p1"))
+    store = str(tmp_path / "cc")
+    assert main(["clusterindex", "--index-dir", store,
+                 "--pairs-dir", str(tmp_path / "p1")]) == 0
+    capsys.readouterr()
+    spark.createDataFrame([(2,), (3,), (50,)], "node bigint").write.parquet(
+        str(tmp_path / "ids")
+    )
+    assert main(["clusterindex", "--index-dir", store,
+                 "--probe-dir", str(tmp_path / "ids")]) == 0
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["n_assigned"] == 2 and rep["n_duplicates"] == 2
+    # probe alone against a mistyped dir refuses like every sibling
+    assert main(["clusterindex", "--index-dir", str(tmp_path / "typo"),
+                 "--probe-dir", str(tmp_path / "ids")]) == 2
+
+
 def test_maintain_stores_covers_the_cluster_store(spark, tmp_path):
     from mysql2clickhouse_spark.streaming.runner import (
         ReplicationRunner,

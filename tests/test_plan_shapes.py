@@ -849,3 +849,34 @@ def test_cluster_fold_joins_never_exchange_the_store(spark, tmp_path):
     )
     plan = plan_of(spark, members)
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_cluster_probe_prunes_and_never_exchanges_the_store(
+    spark, tmp_path, monkeypatch
+):
+    """The sixth store's read-only ``probe()`` carries the same two
+    at-scale properties as its siblings: the probe's id set is PUSHED
+    into the node-bucketed store scan (row-group skip — O(probe ids),
+    not O(store)), and the min-per-node resolve runs on the scan's own
+    distribution — the only Exchange anywhere is the broadcast of the
+    probe ids themselves."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mysql2clickhouse_spark.operators import store_common
+    from mysql2clickhouse_spark.operators.cluster_index import ClusterIndex
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+    idx = ClusterIndex(spark, str(tmp_path / "ccp"), n_buckets=8)
+    idx.add_pairs(
+        spark.createDataFrame(
+            [(i, i + 1000) for i in range(40)], "id_a bigint, id_b bigint"
+        )
+    )
+    ids = spark.createDataFrame([(3,), (1005,), (9999,)], "node bigint")
+    plan = plan_of(spark, idx.probe(ids))
+    assert "In(node, [" in plan
+    assert "SelectedBucketsCount: 3 out of 8" in plan
+    # the pushed filter makes the batch-side join redundant, so the
+    # pruned probe plan is scan -> agg with NO Exchange of any kind
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
