@@ -58,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--maintain-store", action="append", default=None,
                    metavar="KIND=PATH[@MAX_FILES]",
                    help="maintained-store upkeep spec (repeatable): kind is "
-                        "minhash|simhash|substring|bm25|ivf; the store is "
+                        "minhash|simhash|substring|bm25|ivf|cluster|"
+                        "manifest; the store is "
                         "recovered every session and compacted when its "
                         "file census exceeds MAX_FILES (default 64) — runs "
                         "inside the same budget-gated maintenance block as "
@@ -275,6 +276,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="journaled rewrite to the live view (stale "
                          "merged-away rows dropped, dead set cleared)")
     ci.add_argument("--n-buckets", type=int, default=32)
+
+    mf = sub.add_parser(
+        "manifest",
+        help="maintained corpus-statistics manifest: fold doc batches "
+             "into mergeable partials (sums + HLL + histograms)",
+    )
+    mf.add_argument("--index-dir", required=True, help="manifest store root")
+    mf.add_argument("--add-dir", default=None,
+                    help="parquet doc batch (doc_id, text) to fold")
+    mf.add_argument("--batch-id", type=int, default=None,
+                    help="explicit replay-ledger id for the fold "
+                         "(default: the batch's own 64-bit fingerprint)")
+    mf.add_argument("--snapshot", action="store_true",
+                    help="emit the CURRENT corpus statistics as JSON")
+    mf.add_argument("--stats", action="store_true",
+                    help="emit a JSON store snapshot (batches/docs/files)")
+    mf.add_argument("--compact", action="store_true",
+                    help="merge all partial rows into one (journaled "
+                         "replace commit; ledger kept whole)")
 
     ex = sub.add_parser("export", help="curate and write training shards + manifest")
     ex.add_argument("--docs-dir", required=True, help="parquet docs (doc_id, text)")
@@ -695,6 +715,34 @@ def _main(argv: list[str] | None = None) -> int:
         if not acted:
             _emit({"error": "clusterindex needs --pairs-dir, --probe-dir, "
                             "--assignments-out, --stats and/or --compact"})
+            return 2
+        return 0
+
+    if args.cmd == "manifest":
+        from .operators.manifest import CorpusManifest
+
+        if not _require_existing_store(spark, args, "manifest", "add_dir"):
+            return 2
+        idx = CorpusManifest(spark, args.index_dir)
+        acted = False
+        if args.add_dir:
+            rep = idx.add_batch(
+                spark.read.parquet(args.add_dir), batch_id=args.batch_id
+            )
+            _emit({"job": "manifest-fold", **rep})
+            acted = True
+        if args.compact:
+            _emit({"job": "manifest-compact", **idx.compact()})
+            acted = True
+        if args.snapshot:
+            snap = idx.snapshot().collect()
+            row = snap[0].asDict() if snap else {}
+            _emit({"job": "manifest-snapshot", **row})
+            acted = True
+        acted |= _store_stats(args, idx, "manifest")
+        if not acted:
+            _emit({"error": "manifest needs --add-dir, --snapshot, "
+                            "--stats and/or --compact"})
             return 2
         return 0
 

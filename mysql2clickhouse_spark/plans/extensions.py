@@ -1771,6 +1771,60 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.unionByName(overall)
 
 
+def corpus_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED corpus-statistics manifest (round 11 —
+    ``operators/manifest.py``, the seventh store): fold the documents
+    table in three batches (``doc_id % 3``), replay one batch, and
+    certify the running manifest against (a) a one-shot manifest
+    folded in a single batch — every exact-mergeable statistic
+    (doc/token/char sums, per-language counts, the 16-bin log2
+    token-length histogram) must be EQUAL, because sums are
+    associative over any batching — and (b) the exact distinct-doc
+    count, which the union-merged HLL(lgK=14) estimate must match
+    within the sketch family's tolerance. ``replay_noop`` certifies
+    the fingerprint ledger: redelivering a folded batch leaves the
+    partials table untouched (n_batches stays 3).
+
+    The sums are DuckDB-recomputable (the oracle recomputes
+    n_docs/n_tokens/n_chars with the shared token SQL); the equality
+    and tolerance flags have fixed expected outcomes."""
+    from ..operators.manifest import CorpusManifest
+    from ..session import scratch_dir
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    inc = CorpusManifest(spark, scratch_dir("m2c_manifest_") + "/inc")
+    for r in range(3):
+        inc.add_batch(d.filter(F.col("doc_id") % 3 == r))
+    rep = inc.add_batch(d.filter(F.col("doc_id") % 3 == 1))  # redelivery
+    one = CorpusManifest(spark, scratch_dir("m2c_manifest_") + "/one")
+    one.add_batch(d)
+
+    si = inc.snapshot().first().asDict()
+    so = one.snapshot().first().asDict()
+    exact_fields = [
+        "n_docs", "n_tokens", "n_chars",
+        "lang_en", "lang_de", "lang_es", "lang_unk", "tok_hist",
+    ]
+    inc_eq_one = all(si[f] == so[f] for f in exact_fields)
+    n_exact = d.select("doc_id").distinct().count()
+    bound = max(SKETCH_ABS_SLACK, SKETCH_REL_SLACK * n_exact)
+    est_ok = (
+        abs(si["distinct_docs_est"] - n_exact) <= bound
+        and abs(so["distinct_docs_est"] - n_exact) <= bound
+    )
+    replay_noop = bool(rep["replayed"]) and si["n_batches"] == 3
+    return spark.createDataFrame(
+        [(
+            int(si["n_docs"]), int(si["n_tokens"]), int(si["n_chars"]),
+            int(si["n_batches"]), bool(inc_eq_one), bool(est_ok),
+            bool(replay_noop),
+        )],
+        "n_docs bigint, n_tokens bigint, n_chars bigint,"
+        " n_batches bigint, incremental_equals_oneshot boolean,"
+        " distinct_est_ok boolean, replay_noop boolean",
+    )
+
+
 def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-mergeable VALUE-quantile estimates per event type —
     ``approx_percentile`` (Greenwald-Khanna, deterministic): p50/p90/p99
@@ -1921,6 +1975,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_export_tar": multimodal_export_tar,
     "events_hll_distinct": events_hll_distinct,
+    "corpus_manifest_incremental": corpus_manifest_incremental,
     "events_quantile_sketch": events_quantile_sketch,
     "text_topk_sketch": text_topk_sketch,
 }
@@ -2079,6 +2134,19 @@ LIMIT 10
     # exact distinct counts recomputed; the bounded-error flags are the
     # engine-side sketch certification (HLL lgK=14 is exact in sparse
     # mode at these cardinalities)
+    # the maintained manifest's exact sums recomputed with the shared
+    # token SQL; the equality/tolerance/replay flags are fixed expected
+    # outcomes (the Spark side asserts them against the one-shot twin)
+    "corpus_manifest_incremental": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum({_TOKENS_SQL}), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+       CAST(3 AS BIGINT) AS n_batches,
+       CAST(TRUE AS BOOLEAN) AS incremental_equals_oneshot,
+       CAST(TRUE AS BOOLEAN) AS distinct_est_ok,
+       CAST(TRUE AS BOOLEAN) AS replay_noop
+FROM documents
+""",
     "events_hll_distinct": """
 WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events)
 SELECT 'day:' || CAST(d AS VARCHAR) AS scope,

@@ -626,6 +626,69 @@ def stream_cluster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fold of the PERSISTED corpus-statistics manifest
+    (``operators/manifest.py``) — the seventh member of the
+    streaming×store matrix: the documents table lands as 3 parquet
+    files hash-partitioned on doc_id, a file stream feeds them one
+    micro-batch each, and ``foreachBatch`` REOPENS the manifest from
+    its meta (path-only) and folds the batch's mergeable partial.
+    ``foreachBatch`` is at-least-once; redelivery is absorbed by the
+    fingerprint ledger (``seen/``).
+
+    Certification row: (n_docs, stream_equals_oneshot) — after the
+    stream drains, every exact-mergeable statistic of the maintained
+    snapshot must EQUAL the one-shot manifest's (sums are associative
+    over any batching), and the union-merged HLL estimate must sit
+    within the sketch family's tolerance of the exact distinct
+    count."""
+    from .extensions import SKETCH_ABS_SLACK, SKETCH_REL_SLACK
+    from ..operators.manifest import CorpusManifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = scratch_dir("m2c_stream_mf_")
+    docs_dir = os.path.join(base, "docs")
+    d.repartition(3, "doc_id").write.mode("overwrite").parquet(docs_dir)
+
+    store = os.path.join(base, "idx")
+    CorpusManifest(spark, store)  # meta written once
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .foreachBatch(
+            lambda batch, _id: CorpusManifest(spark, store).add_batch(batch)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    one = CorpusManifest(spark, os.path.join(base, "one"))
+    one.add_batch(d)
+    ss = CorpusManifest(spark, store).snapshot().first().asDict()
+    so = one.snapshot().first().asDict()
+    exact_fields = [
+        "n_docs", "n_tokens", "n_chars",
+        "lang_en", "lang_de", "lang_es", "lang_unk", "tok_hist",
+    ]
+    n_exact = d.select("doc_id").distinct().count()
+    bound = max(SKETCH_ABS_SLACK, SKETCH_REL_SLACK * n_exact)
+    ok = (
+        all(ss[f] == so[f] for f in exact_fields)
+        and abs(ss["distinct_docs_est"] - n_exact) <= bound
+    )
+    return spark.createDataFrame(
+        [(int(ss["n_docs"]), bool(ok))],
+        "n_docs bigint, stream_equals_oneshot boolean",
+    )
+
+
 def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest of the PERSISTED incremental IVF store
     (``operators/ann_index.py``) — the ANN×streaming composition of
@@ -858,6 +921,7 @@ QUERIES = {
     "stream_neardup_index": stream_neardup_index,
     "stream_simhash_ingest": stream_simhash_ingest,
     "stream_cluster_ingest": stream_cluster_ingest,
+    "stream_manifest_ingest": stream_manifest_ingest,
     "stream_substring_ingest": stream_substring_ingest,
     "stream_ivf_ingest": stream_ivf_ingest,
 }
@@ -911,6 +975,16 @@ FROM i JOIN u ON key = u_key
     # Spark side asserts the bag equality; the closure scalars are
     # independently certified by dedup_cluster_incremental's oracle)
     "stream_cluster_ingest": """
+        SELECT count(*) AS n_docs,
+               CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
+        FROM documents
+    """,
+    # foreachBatch fold of the corpus manifest over hash-scattered doc
+    # micro-batches == one-shot fold: sums are associative over any
+    # batching (the Spark side asserts the exact-field equality and the
+    # HLL tolerance; the sums themselves are independently certified by
+    # corpus_manifest_incremental's oracle)
+    "stream_manifest_ingest": """
         SELECT count(*) AS n_docs,
                CAST(TRUE AS BOOLEAN) AS stream_equals_oneshot
         FROM documents

@@ -55,6 +55,11 @@ EXTENDED registry, run by scripts/check_parity.py and pytest):
                            verdict's rotation guidance)
 - ``sketch_suite``       = events_approx_profile + events_hll_distinct
                            + events_quantile_sketch + text_topk_sketch
+                           + corpus_manifest_incremental ×3
+                           + stream_manifest_ingest (round 11: the
+                           maintained corpus-statistics manifest store
+                           and its streaming twin, folded in their
+                           landing round)
   (rotation note, round 5: REPLACED the bare ``events_approx_profile``
   registry slot when the DataSketches-HLL, GK-quantile, and
   heavy-hitter ops landed)
@@ -314,7 +319,12 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile profile, per-day DataSketches HLL distincts with a
     union-merged overall count, and per-group GK quantile estimates —
     every row carries the EXACT value (DuckDB-reproducible) plus the
-    engine-side bounded-error flag."""
+    engine-side bounded-error flag. Round-11 folds (landing round):
+    ``manifest_incr`` ×3 — the MAINTAINED corpus-statistics manifest
+    store's incremental==one-shot cert (exact doc/token/char sums
+    recomputed by the oracle; ok = exact-field equality + HLL
+    tolerance + fingerprint-ledger replay no-op) — and
+    ``manifest_stream``, its foreachBatch streaming twin."""
     from .corpus import events_approx_profile
     from .extensions import (
         events_hll_distinct,
@@ -354,7 +364,55 @@ def sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("double").alias("exact_value"),
         F.col("sketch_ok").alias("ok"),
     )
-    return prof_rows.unionByName(hll).unionByName(q).unionByName(tk)
+    # round-11 fold (landing round): the MAINTAINED manifest store's
+    # incremental==one-shot cert (three exact sums, shared ok flag)
+    # plus its foreachBatch streaming twin
+    from .extensions import corpus_manifest_incremental
+    from .streaming_queries import stream_manifest_ingest
+
+    mfc = corpus_manifest_incremental(spark, sf_dir)
+    mf_ok = (
+        F.col("incremental_equals_oneshot")
+        & F.col("distinct_est_ok")
+        & F.col("replay_noop")
+    ).alias("ok")
+    mf = (
+        mfc.select(
+            F.lit("manifest_incr").alias("method"),
+            F.lit("n_docs").alias("k1"),
+            F.col("n_docs").cast("double").alias("exact_value"),
+            mf_ok,
+        )
+        .unionByName(
+            mfc.select(
+                F.lit("manifest_incr").alias("method"),
+                F.lit("n_tokens").alias("k1"),
+                F.col("n_tokens").cast("double").alias("exact_value"),
+                mf_ok,
+            )
+        )
+        .unionByName(
+            mfc.select(
+                F.lit("manifest_incr").alias("method"),
+                F.lit("n_chars").alias("k1"),
+                F.col("n_chars").cast("double").alias("exact_value"),
+                mf_ok,
+            )
+        )
+    )
+    ms = stream_manifest_ingest(spark, sf_dir).select(
+        F.lit("manifest_stream").alias("method"),
+        F.lit("all").alias("k1"),
+        F.col("n_docs").cast("double").alias("exact_value"),
+        F.col("stream_equals_oneshot").alias("ok"),
+    )
+    return (
+        prof_rows.unionByName(hll)
+        .unionByName(q)
+        .unionByName(tk)
+        .unionByName(mf)
+        .unionByName(ms)
+    )
 
 
 def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,6 +943,25 @@ UNION ALL
 SELECT 'topk' AS method, token AS k1,
        CAST(cnt AS DOUBLE) AS exact_value, sketch_ok AS ok
 FROM ({extensions.ORACLE["text_topk_sketch"]}) __t
+UNION ALL
+SELECT 'manifest_incr' AS method, 'n_docs' AS k1,
+       CAST(n_docs AS DOUBLE) AS exact_value,
+       (incremental_equals_oneshot AND distinct_est_ok AND replay_noop) AS ok
+FROM ({extensions.ORACLE["corpus_manifest_incremental"]}) __m1
+UNION ALL
+SELECT 'manifest_incr' AS method, 'n_tokens' AS k1,
+       CAST(n_tokens AS DOUBLE) AS exact_value,
+       (incremental_equals_oneshot AND distinct_est_ok AND replay_noop) AS ok
+FROM ({extensions.ORACLE["corpus_manifest_incremental"]}) __m2
+UNION ALL
+SELECT 'manifest_incr' AS method, 'n_chars' AS k1,
+       CAST(n_chars AS DOUBLE) AS exact_value,
+       (incremental_equals_oneshot AND distinct_est_ok AND replay_noop) AS ok
+FROM ({extensions.ORACLE["corpus_manifest_incremental"]}) __m3
+UNION ALL
+SELECT 'manifest_stream' AS method, 'all' AS k1,
+       CAST(n_docs AS DOUBLE) AS exact_value, stream_equals_oneshot AS ok
+FROM ({streaming_queries.ORACLE["stream_manifest_ingest"]}) __ms
 """,
     "corpus_export_suite": f"""
 SELECT 'parquet' AS fmt, n_kept, total_tokens, manifest_consistent

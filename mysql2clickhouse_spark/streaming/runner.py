@@ -918,6 +918,7 @@ class ReplicationRunner:
         "bm25": "postings_files",
         "ivf": "lists_files",
         "cluster": "comp_files",
+        "manifest": "part_files",
     }
 
     def _open_store(self, kind: str, path: str, args: dict):
@@ -951,11 +952,16 @@ class ReplicationRunner:
             from ..operators.cluster_index import ClusterIndex
 
             return ClusterIndex(self.spark, path, **args)
+        if kind == "manifest":
+            from ..operators.manifest import CorpusManifest
+
+            return CorpusManifest(self.spark, path, **args)
         raise ValueError(f"unknown maintained-store kind: {kind!r}")
 
     def maintain_stores(self, specs) -> list[dict]:
         """Scheduled upkeep for the engine's maintained stores (MinHash
-        / SimHash / substring / BM25 / IVF) — the reference runs its dedup and
+        / SimHash / substring / BM25 / IVF / cluster / manifest) — the
+        reference runs its dedup and
         retention maintenance at end-of-run from the SAME entry point
         as replication (matomo2clickhouse.py:756-766, entry point C);
         the incremental stores deserve the same scheduled, budget-gated
@@ -996,8 +1002,15 @@ class ReplicationRunner:
                 st = idx.stats()  # converges interrupted commits first
                 rep["census"] = st[census_key]
                 if st[census_key] > max_files:
-                    defrag = getattr(idx, "compact_buckets", None) or getattr(
-                        idx, "compact_lists"
+                    # per-bucket/per-list defrag where the store has
+                    # one; the manifest store's whole-store compact()
+                    # is its O(batches)-tiny defrag unit AND carries no
+                    # tombstones, so the never-apply-tombstones rule
+                    # holds vacuously there
+                    defrag = (
+                        getattr(idx, "compact_buckets", None)
+                        or getattr(idx, "compact_lists", None)
+                        or idx.compact
                     )
                     defrag()
                     rep["compacted"] = True
