@@ -24,8 +24,9 @@ O(batches) rows, not O(corpus)):
   ``(n_docs, n_tokens, n_chars, hll binary, lang_en/de/es/unk,
   tok_hist array<bigint>[16])``;
 - ``seen/``  — the slim replay ledger: ``(fp, n_docs)`` per batch,
-  where ``fp = bit_xor(xxhash64(doc_id))`` — a deterministic batch
-  fingerprint, so at-least-once redelivery of the SAME batch
+  where ``fp = bit_xor(xxhash64(doc_id, text))`` — a deterministic
+  content fingerprint (ids alone would skip a redelivered batch whose
+  texts changed), so at-least-once redelivery of the SAME batch
   short-circuits without caller cooperation (64-bit fingerprint:
   collisions are vanishing, and callers that need exactness can pass
   an explicit ``batch_id`` which takes precedence).
@@ -110,7 +111,10 @@ def _partial_row(docs: DataFrame) -> DataFrame:
                 for i in range(N_HIST_BINS)
             ]
         ).alias("tok_hist"),
-        F.bit_xor(F.xxhash64("doc_id")).alias("fp"),
+        # fingerprint over (doc_id, text), not doc_id alone: a
+        # redelivered batch with the SAME ids but changed texts (a
+        # re-crawl update) is a DIFFERENT batch and must fold
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("fp"),
     ]
     return docs.agg(*aggs)
 

@@ -65,6 +65,12 @@ def test_replay_short_circuits_via_fingerprint(spark, tmp_path):
     rep = m.add_batch(_docs(spark, _CORPUS[4:8]))
     assert rep["replayed"] is False
     assert _snap(m)["n_docs"] == 8
+    # the fingerprint is over CONTENT, not ids: the same ids with
+    # changed texts (a re-crawl update) is a different batch
+    recrawl = [(i, f"updated text {i}") for i, _ in _CORPUS[:4]]
+    rep = m.add_batch(_docs(spark, recrawl))
+    assert rep["replayed"] is False
+    assert _snap(m)["n_docs"] == 12
 
 
 def test_explicit_batch_id_takes_precedence(spark, tmp_path):
