@@ -513,13 +513,18 @@ def verified_near_dups(
     pre-hashed one (``hset`` column).
 
     ``base`` and ``sigs`` are persisted AND eagerly materialized
-    (count()) before the pair DAG is assembled: the candidate self-join
-    and the two verify joins consume each of them from 2-4 concurrent
-    stages, and a lazily-persisted frame gets recomputed by every branch
-    that starts before the first one finishes populating the cache
-    (measured 8.4 s → 2.9 s for the full pipeline at sf0.1). The two
-    counts are one cheap extra pass each; at cluster scale this is the
-    standard persist-then-materialize barrier for diamond-shaped DAGs."""
+    before the pair DAG is assembled: the candidate self-join and the
+    two verify joins consume each of them from 2-4 concurrent stages,
+    and a lazily-persisted frame gets recomputed by every branch that
+    starts before the first one finishes populating the cache
+    (measured 8.4 s → 2.9 s for the full pipeline at sf0.1). Round 11:
+    ONE ``sigs.count()`` job is the barrier for BOTH frames — the sigs
+    plan reads through base's InMemoryRelation, so materializing sigs
+    fills base's cache in the same linear pass (no concurrent branch
+    exists inside one count job); the former separate ``base.count()``
+    re-ran the scan+shingle+hash projection as its own job for nothing
+    but the barrier (guide §1.2: don't compute things you throw away —
+    measured 2.73 s → 2.43 s whole-query at sf0.1)."""
     if "hset" in shingled.columns:
         hashed = shingled
     elif "shingles" in shingled.columns:
@@ -528,9 +533,8 @@ def verified_near_dups(
         hashed = with_hset(shingled, text_col, k)
     release_cache("minhash.verified_near_dups")  # BEFORE persist — see session.py
     base = hashed.select(id_col, "hset").persist()
-    base.count()
     sigs = signed_partitioned(base, id_col, num_perm, seed).persist()
-    sigs.count()
+    sigs.count()  # one barrier job materializes BOTH caches (see above)
     rotate_cache("minhash.verified_near_dups", base, sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
 

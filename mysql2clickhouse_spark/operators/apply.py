@@ -102,8 +102,29 @@ def latest_by_key(
     struct and the reducer |partitions| structs. Requires a tie-free
     version column per key (INS-UPD's strictly-increasing dateid
     guarantees it; ties would be broken arbitrarily).
+
+    ``form='semi'`` (round 11) computes the join form's EXACT result —
+    all rows tied on max(version) survive — as a LEFT SEMI join of the
+    full table against the (key, max) aggregate. Why it exists: the
+    LeftOuter join form PRESERVES the aggregate side, and Spark can
+    only broadcast the non-preserved side of an outer join — so the
+    planner's sole broadcast option is the FULL TABLE (measured: the
+    sf0.1 plan broadcast all of lineitem, 600k×7 cols, to probe a
+    150k-row aggregate), and at real scale where nothing broadcasts it
+    degrades to a sort-merge that shuffles the wide fact rows twice
+    (once as join input, once inside the agg subtree). The semi form
+    lets the small (key, max) aggregate be the build side, so the fact
+    table streams once and is never broadcast. Equivalence requires
+    non-null keys and a non-null version column (an all-NULL group or
+    NULL key never matches its own max under ``=`` and would surface
+    only in the outer form as an orphan aggregate row) — both hold by
+    schema for every registered caller, and the q1 oracle rows pin
+    value identity.
     """
     keys = list(keys)
+    if form == "semi":
+        agg = df.groupBy(*keys).agg(F.max(version_col).alias(version_col))
+        return df.join(agg, on=keys + [version_col], how="left_semi")
     if form == "window":
         w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
         return (

@@ -79,8 +79,14 @@ def _ts(lit: str):
 def q1_latest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful port of ``view_matomo_log_visit``
     (script_create_clickhouse_table.sql:484-494): GROUP BY key →
-    max(dateid), LEFT JOIN back for the full row."""
-    return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="join").select(*VCOLS)
+    max(dateid), join back for the full row. Round 11: executed as the
+    value-identical SEMI form (``latest_by_key`` docstring proves the
+    equivalence under this fixture's non-null key/dateid) — the
+    LeftOuter original could only ever broadcast the FULL fact table
+    (the preserved agg side is not broadcastable), which the sf0.1
+    plan actually did; the semi form broadcasts the (key, max)
+    aggregate instead and the fact table streams once."""
+    return latest_by_key(_versioned(spark, sf_dir), ["key"], "dateid", form="semi").select(*VCOLS)
 
 
 def q1_latest_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,9 +118,10 @@ def q1_latest_coarse_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-DELETE job keys on ``idlink_va`` (_settings.py:240-255). So
     the view returns ONE row per visit (all rows tied on that visit's
     max dateid), not one per action. Here: key = l_partkey (coarse),
-    version = dateid; ties kept, exactly like the GROUP-BY+JOIN form."""
+    version = dateid; ties kept, exactly like the GROUP-BY+JOIN form
+    (round 11: semi execution — same result, see q1_latest_join)."""
     v = _versioned(spark, sf_dir)
-    return latest_by_key(v, ["l_partkey"], "dateid", form="join").select(*VCOLS)
+    return latest_by_key(v, ["l_partkey"], "dateid", form="semi").select(*VCOLS)
 
 
 # --- Q2/Q3: duplicate audit + windowed dedup ------------------------------

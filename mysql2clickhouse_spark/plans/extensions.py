@@ -69,15 +69,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_mutants(
+    spark: SparkSession, sf_dir: str, widen: bool = True
+) -> DataFrame:
     """Corpus ∪ mutated copies (id+10^6, ' extra' appended) — the planted
-    near-duplicates that LSH must recover."""
+    near-duplicates that LSH must recover.
+
+    ``widen=False`` skips the ``spread`` repartition for consumers whose
+    very next operator is a partially-aggregating shuffle (e.g. the
+    exact-dedup groupBy): there the extra exchange ships the full text
+    corpus only to re-land in a map-side combine that would have
+    reduced it in place — one shuffle of the payload for zero
+    parallelism the aggregate's own exchange doesn't already provide.
+    CPU-heavy per-row passes (shingling, token hashing) keep the
+    default widening."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     mut = d.select(
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
-    return spread(d.unionByName(mut))
+    u = d.unionByName(mut)
+    return spread(u) if widen else u
 
 
 # --- dedup ----------------------------------------------------------------
@@ -86,7 +98,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content (md5), keep min doc_id.
     On the mutant corpus the mutants do NOT collide (different bytes) —
     exact dedup's blind spot, which the near-dup ops cover."""
-    d = _docs_with_mutants(spark, sf_dir)
+    # widen=False: the groupBy's partial (map-side) aggregation already
+    # collapses duplicates before its own exchange — the spread shuffle
+    # would move the whole text payload first for nothing (round 11;
+    # plan diff: 2 Exchange → 1, measured 0.68 s → 0.55 s at sf0.1)
+    d = _docs_with_mutants(spark, sf_dir, widen=False)
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -748,7 +764,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    # normalize once per vector; the per-pair verify is then one dot fold
+    # normalize once per vector; the per-pair verify is then one dot fold.
+    # The count() barrier is NOT only a cache-race guard here: it also
+    # gives the InMemoryRelation materialized size statistics, which is
+    # what makes the planner broadcast the two unit arms into the verify
+    # joins — tried lazily in round 11 and the query measured 0.77 s →
+    # 1.17 s (join strategy shifted off the broadcast arms), so the
+    # eager barrier stays (recorded loser, OPTIMIZATION_r11.md).
     unit = emb.select("vec_id", unit_vec_col(F.col("embedding")).alias("u")).persist()
     unit.count()
     rotate_cache("ext.embedding_cosine.unit", unit)

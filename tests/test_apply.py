@@ -68,10 +68,26 @@ def test_latest_forms_agree_on_unique_versions(changelog):
     w = latest_by_key(versions, ["key"], "dateid", form="window")
     j = latest_by_key(versions, ["key"], "dateid", form="join")
     r = latest_by_key(versions, ["key"], "dateid", form="rank")
+    s = latest_by_key(versions, ["key"], "dateid", form="semi")
     cols = ["key", "dateid", "value"]
     assert sorted(map(tuple, w.select(cols).collect())) == sorted(
         map(tuple, j.select(cols).collect())
-    ) == sorted(map(tuple, r.select(cols).collect()))
+    ) == sorted(map(tuple, r.select(cols).collect())) == sorted(
+        map(tuple, s.select(cols).collect())
+    )
+
+
+def test_latest_semi_keeps_ties_like_join(spark):
+    """The r11 semi form must reproduce the join form's tie semantics:
+    every row tied at max(version) survives, as one row each."""
+    rows = [(1, 5, "a"), (1, 5, "b"), (1, 3, "c"), (2, 1, "d")]
+    df = spark.createDataFrame(rows, ["key", "dateid", "value"])
+    j = latest_by_key(df, ["key"], "dateid", form="join")
+    s = latest_by_key(df, ["key"], "dateid", form="semi")
+    cols = ["key", "dateid", "value"]
+    assert sorted(map(tuple, j.select(cols).collect())) == sorted(
+        map(tuple, s.select(cols).collect())
+    ) == [(1, 5, "a"), (1, 5, "b"), (2, 1, "d")]
 
 
 def test_apply_mutate_terminal_state(changelog):
