@@ -33,7 +33,7 @@ from ..operators.retention import (
     retention_count,
     retention_probe,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 # --- shared fixture: lineitem as the versioned fact ------------------------
 
@@ -215,7 +215,15 @@ def q10_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue summed as DECIMAL(18,4) then cast to DOUBLE => bit-identical
     across engines and summation orders.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: the driver's single-row-group parquet arrives as ONE scan
+    # task, so the 4 hash probes + the decimal partial aggregate over
+    # every lineitem row ran single-threaded (measured: the probe+agg
+    # tail alone cost ~2× the 3-column scan). The conditional widen
+    # moves that map-side work onto every core for one ~10 MB exchange;
+    # at real scale (splits ≫ cores) it is a no-op by construction
+    # (round 11; A/B ratio 0.787, plan unchanged above the added
+    # round-robin Exchange).
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
