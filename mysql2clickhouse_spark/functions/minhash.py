@@ -583,9 +583,13 @@ def with_simhash(
     keeps the exchange at one 16-value row per doc per partition, NOT
     corpus×tokens (each doc's tokens live in one partition).
 
-    Tokens are capped at 32768/doc so a lane can never overflow its
-    16-bit field (cap ≪ 65536; simhash over the first 32k tokens is
-    standard practice for long docs).
+    Tokens are capped at 32767/doc so no packed field can overflow:
+    each 16-bit lane field stays under 65536, AND the top lane's field
+    (bits 48-63 of the signed sum) stays under 2^63 — at 32768 a doc
+    whose every token sets a bit in lanes 48-63 sums to exactly 2^63,
+    an ANSI arithmetic overflow (latent until round 11's
+    adversarial-cap test constructed it; simhash over the first 32k
+    tokens is standard practice for long docs either way).
 
     Null/empty/whitespace-only text yields NO signature (no exploded
     rows), same policy as ``with_shingles``: a 100 TB corpus with
@@ -601,7 +605,7 @@ def with_simhash(
             lambda t: F.length(t) > 0,
         ),
         1,
-        32768,
+        32767,
     )
     ex = df.select(F.col(id_col), F.explode(tokens).alias("__tok")).withColumn(
         "__h", F.xxhash64("__tok")
@@ -639,6 +643,113 @@ def with_simhash(
         # columns back on when the caller just wants fingerprints
         return sig
     return df.join(sig, id_col, "left")
+
+
+def with_simhash_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-vectorized twin of ``with_simhash(attach=False)`` —
+    BIT-IDENTICAL fingerprints (pinned by
+    ``test_arrow_simhash_bit_identical_to_aggregate_form``), different
+    execution: per-partition, ZERO shuffle. The aggregate form explodes
+    corpus×tokens rows, runs 16 packed-lane vote sums through one
+    exchange, and re-packs lanes into the 64-bit extraction; here the
+    whole fingerprint — tokenize, XXH64, per-bit vote, pack — runs as
+    numpy array ops over the batch's concatenated token stream
+    (``xxh64_np.xxh64_batch`` is the bit-exact XXH64; votes are one
+    bit-unpack plus ``np.add.reduceat`` per doc segment). Same pattern
+    and rationale as ``minhash_signatures_arrow`` (the r6 signer win):
+    the JVM was only needed for the hash, and the hash vectorizes.
+
+    Equivalence details the test pins:
+    - tokenization: ``trim`` strips 0x20 only (Spark's default trim),
+      split on space runs, empties dropped, first 32767 tokens — the
+      exact aggregate-form pipeline;
+    - ``lower``: Python ``str.lower()`` — agrees with Spark's
+      Locale.ROOT lowercase on every tested string (ASCII + the
+      unicode adversarial set); both corpora are pinned;
+    - empty/whitespace-only docs emit NO row (the no-collapse policy).
+
+    Memory is bounded per Arrow batch: the token byte matrix is
+    (batch tokens × longest short token) uint8 with tokens over 64
+    bytes hashed in a separate narrow pass, so a single pathological
+    megabyte-token cannot inflate the matrix.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    assert bits == 64, "packed-lane simhash is specialized to 64 bits"
+    from .xxh64_np import xxh64_batch, xxh64_strings
+
+    LONG_TOKEN = 64
+
+    @pandas_udf("string")
+    def _sign(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        toks_per_doc: list[list[bytes]] = []
+        for t in texts.to_numpy():
+            if t is None:
+                toks_per_doc.append([])
+                continue
+            parts = t.lower().strip(" ").split(" ")
+            toks = [p.encode("utf-8") for p in parts if p][:32767]
+            toks_per_doc.append(toks)
+        counts = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
+        )
+        total = int(counts.sum())
+        out = np.full(n_docs, None, dtype=object)
+        if total:
+            flat = [tok for toks in toks_per_doc for tok in toks]
+            lens = np.fromiter(
+                (len(t) for t in flat), dtype=np.int64, count=total
+            )
+            h = np.empty(total, dtype=np.uint64)
+            short = lens <= LONG_TOKEN
+            if short.any():
+                si = np.nonzero(short)[0]
+                data = b"".join(flat[i] for i in si)
+                arr = np.frombuffer(data, dtype=np.uint8)
+                slens = lens[si]
+                width = int(slens.max()) + 8
+                mat = np.zeros((len(si), width), dtype=np.uint8)
+                row = np.repeat(np.arange(len(si)), slens)
+                starts = np.zeros(len(si), dtype=np.int64)
+                starts[1:] = np.cumsum(slens)[:-1]
+                col = np.arange(len(arr), dtype=np.int64) - np.repeat(
+                    starts, slens
+                )
+                mat[row, col] = arr
+                h[si] = xxh64_batch(mat, slens)
+            if (~short).any():
+                li = np.nonzero(~short)[0]
+                h[li] = xxh64_strings([flat[i] for i in li]).view(np.uint64)
+            # per-bit votes: unpack the 64 bits, segment-sum per doc
+            bits_mat = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            nonempty = counts > 0
+            starts_d = np.zeros(n_docs, dtype=np.int64)
+            starts_d[1:] = np.cumsum(counts)[:-1]
+            idx = starts_d[nonempty]
+            votes = np.add.reduceat(bits_mat, idx, axis=0)[
+                : int(nonempty.sum())
+            ]
+            maj = (votes * 2) > counts[nonempty, None]  # bit k set?
+            # pack: hi = bits 0..31 (bit 0 = MSB), lo = bits 32..63
+            w = (1 << (31 - np.arange(32, dtype=np.int64)))[None, :]
+            hi = (maj[:, :32] * w).sum(axis=1)
+            lo = (maj[:, 32:] * w).sum(axis=1)
+            out[nonempty] = [f"{a:08x}{b:08x}" for a, b in zip(hi, lo)]
+        return pd.Series(out)
+
+    return (
+        df.select(F.col(id_col), _sign(F.col(text_col)).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )
 
 
 def hamming_hex_col(h1: Column, h2: Column) -> Column:
