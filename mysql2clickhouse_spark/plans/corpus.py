@@ -220,9 +220,11 @@ def q10_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every lineitem row ran single-threaded (measured: the probe+agg
     # tail alone cost ~2× the 3-column scan). The conditional widen
     # moves that map-side work onto every core for one ~10 MB exchange;
-    # at real scale (splits ≫ cores) it is a no-op by construction
-    # (round 11; A/B ratio 0.787, plan unchanged above the added
-    # round-robin Exchange).
+    # at real scale (splits ≫ cores) it is a no-op by construction.
+    # Round 11 A/B: 0.787 under box load, 1.002 idle — the widen pays
+    # exactly when cores are contended and is a wash when the lone scan
+    # task runs unimpeded; kept as never-worse (both numbers recorded,
+    # OPTIMIZATION_r11.md).
     li = spread(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
