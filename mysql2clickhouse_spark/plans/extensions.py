@@ -101,7 +101,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen=False: the groupBy's partial (map-side) aggregation already
     # collapses duplicates before its own exchange — the spread shuffle
     # would move the whole text payload first for nothing (round 11;
-    # plan diff: 2 Exchange → 1, measured 0.68 s → 0.55 s at sf0.1)
+    # plan diff: 2 Exchange → 1, interleaved A/B ratio 0.353 at sf0.1)
     d = _docs_with_mutants(spark, sf_dir, widen=False)
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
