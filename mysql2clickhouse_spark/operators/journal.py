@@ -104,33 +104,50 @@ class StagedCommit:
             self._roll_forward(
                 replace=bool(meta.get("replace")),
                 delete=meta.get("delete"),
+                replace_subs=tuple(meta.get("replace_subs") or ()),
             )
             return 1
         self.fs.rmtree(self.staging)
         return 0
 
     def commit(
-        self, replace: bool = False, delete: dict[str, list[str]] | None = None
+        self,
+        replace: bool = False,
+        delete: dict[str, list[str]] | None = None,
+        replace_subs: tuple[str, ...] = (),
     ) -> None:
         """COMMIT POINT: everything staged before this call is
         reconstructible debris; everything after is pure idempotent
         promotion. ``delete`` (per-bucket compaction): route sub ->
         relative parquet paths to REMOVE from the live dir before the
         staged files rename in — the replaced unit is a file subset,
-        not the whole dir. The list rides inside the marker so a crash
-        mid-promotion resumes with the same delete set."""
+        not the whole dir. ``replace_subs`` (tombstone-applying
+        per-bucket compaction, r12): the NAMED routes promote in
+        whole-dir replace mode while the rest keep append/delete-list
+        mode — one commit can rewrite a file subset of the big tables
+        AND swap the slim ledger + cleared tombstone set atomically.
+        Both ride inside the marker so a crash mid-promotion resumes
+        with the same plan."""
         self.fs.write_text_atomic(
             self.marker_path,
             json.dumps(
-                {"committed": True, "replace": replace, "delete": delete}
+                {
+                    "committed": True,
+                    "replace": replace,
+                    "delete": delete,
+                    "replace_subs": list(replace_subs),
+                }
             ),
         )
-        self._roll_forward(replace=replace, delete=delete)
+        self._roll_forward(
+            replace=replace, delete=delete, replace_subs=replace_subs
+        )
 
     def _roll_forward(
         self,
         replace: bool = False,
         delete: dict[str, list[str]] | None = None,
+        replace_subs: tuple[str, ...] = (),
     ) -> None:
         """Promote a COMMITTED staging dir into the live store, then
         clear staging. No Spark job runs here, so a crash at any step
@@ -142,7 +159,8 @@ class StagedCommit:
           idempotent, a re-run moves whatever remains;
         - replace mode (compaction): whole-DIR delete+rename swap — a
           re-run after a crash between the delete and the rename just
-          swaps again;
+          swaps again (``replace_subs`` applies the same swap to only
+          the named routes);
         - delete-list mode (per-bucket compaction): the marker's listed
           live files are removed first (idempotent — already-removed
           paths skip), then the staged files rename in as in append
@@ -152,7 +170,7 @@ class StagedCommit:
             src = os.path.join(self.staging, sub)
             if not self.fs.is_dir(src):
                 continue
-            if replace:
+            if replace or sub in replace_subs:
                 if self.fs.exists(dst):
                     self.fs.rmtree(dst)
                 self.fs.rename(src, dst)

@@ -112,12 +112,17 @@ from ..functions.minhash import (
 )
 from ..session import release_cache, rotate_cache
 from .store_common import (
+    batch_keyed_wide,
+    bucket_census,
+    bucket_id_col,
     compact_hot_buckets,
     single_writer,
     data_files,
     has_files,
+    ingest_pruned,
     live_bucket_sizes,
     probe_pruned,
+    rewrite_tombstoned_buckets,
 )
 
 #: legacy (pre-round-10) per-store swap marker — kept so ``recover``
@@ -277,15 +282,43 @@ class MinHashIndex:
         Contract note: mining is monotone — pairs emitted before a
         bucket crossed the cap stand; a bucket hot from its first
         appearance (the realistic mass-duplicate shape) emits exactly
-        what the one-shot with the same cap emits, which is nothing."""
+        what the one-shot with the same cap emits, which is nothing.
+
+        r12: BOTH store reads of this pass — the occupancy count and
+        the candidate join — go through ONE batch-key-pruned frame
+        (``store_common.ingest_pruned``: broadcast semi join on the
+        composite bucket key, no driver collect, no cap), so each is
+        O(batch ∩ store) rows instead of O(store). Superset-safe by
+        construction: the key set is taken from the PRE-quarantine
+        batch bands, so occupancy stays exact for every bucket the
+        quarantine judges, and the equi-join discards nothing it would
+        have kept (the semi prunes only rows in buckets the batch never
+        touches — rows that contribute neither candidates nor judged
+        occupancy)."""
+        from . import store_common as _sc
+
+        old_bands = None
+        if self._bands.has_files():
+            old_bands = self._bands.read()
+            # same measured size gate as every other pruned store read:
+            # below it the store side broadcasts whole anyway and the
+            # semi's extra broadcast builds are pure added latency
+            # (profiled +1 s per bench ingest for nothing)
+            if (
+                self.fs.du(self.bands_path)
+                >= _sc.PROBE_PUSHDOWN_MIN_STORE_BYTES
+            ):
+                old_bands = ingest_pruned(
+                    old_bands, ("band_idx", "band_hash"), new_bands
+                )
         if self.max_bucket_size is not None:
             base_sizes = None
-            if self._bands.has_files():
+            if old_bands is not None:
                 # LIVE occupancy: tombstoned docs' rows excluded, so a
                 # deleted-out bucket stops quarantining fresh arrivals
                 # (shared arm — see store_common.live_bucket_sizes)
                 base_sizes = live_bucket_sizes(
-                    self._bands.read(), self._tombstones(),
+                    old_bands, self._tombstones(),
                     ["band_idx", "band_hash"], self.id_col,
                 )
             new_bands = _quarantine_hot_buckets(
@@ -296,8 +329,7 @@ class MinHashIndex:
                 base_sizes=base_sizes,
             )
         pairs_sets = []
-        if self._bands.has_files():
-            old_bands = self._bands.read()
+        if old_bands is not None:
             cross = (
                 new_bands.alias("n")
                 .join(
@@ -434,7 +466,13 @@ class MinHashIndex:
         under ONE journal marker, no crash can leave the store with
         band rows whose ids the ledger has not seen."""
         self.recover()  # converge any interrupted commit / migration
-        batch = batch.dropDuplicates([self.id_col])
+        # r12: ONE user-numbered keyed exchange feeds the dedup, the
+        # ledger anti-join AND the CPU-heavy signing pass at a width
+        # AQE cannot coalesce away (see store_common.batch_keyed_wide;
+        # callers no longer pre-spread)
+        batch = batch_keyed_wide(batch, self.id_col).dropDuplicates(
+            [self.id_col]
+        )
         if self._has_files(self.ids_path):
             stored_ids = self.spark.read.parquet(self.ids_path)
             batch = batch.join(stored_ids, self.id_col, "left_anti")
@@ -476,7 +514,32 @@ class MinHashIndex:
                 "left_anti",
             )
 
-        pairs = self._verified_pairs(cands, new)
+        # r12: the verify joins resolve stored signatures through a
+        # candidate-id-pruned sigs read — candidates are batch-bounded,
+        # so the needed store ids (both pair sides) broadcast-semi-prune
+        # the sigs scan (store_common.ingest_pruned: no driver collect,
+        # no cap; superset-safe — a sig row pruned matches no candidate
+        # id, so the left joins lose nothing). Same size gate as the
+        # probe's verify prune: below it the candidate checkpoint job
+        # costs more than the whole unpruned sigs join (measured — see
+        # PROBE_PUSHDOWN_MIN_STORE_BYTES).
+        from . import store_common as _sc
+
+        store_rows = None
+        if (
+            self._sigs.has_files()
+            and self.fs.du(self.sigs_path)
+            >= _sc.PROBE_PUSHDOWN_MIN_STORE_BYTES
+        ):
+            cands = cands.localCheckpoint(eager=True)
+            store_rows = ingest_pruned(
+                self._sigs.read(),
+                (self.id_col,),
+                cands.select(F.col("id_a").alias(self.id_col)).union(
+                    cands.select(F.col("id_b").alias(self.id_col))
+                ),
+            )
+        pairs = self._verified_pairs(cands, new, store_rows=store_rows)
         # materialize pairs BEFORE the store commit (severs the report
         # from the store paths the promotion is about to mutate)
         out = pairs.localCheckpoint(eager=True)
@@ -484,9 +547,11 @@ class MinHashIndex:
         staging = self.staging_path  # recover() left no staging behind
         self._sigs.stage_bucketed(new, os.path.join(staging, "sigs"))
         self._bands.stage_bucketed(new_bands, os.path.join(staging, "bands"))
-        new.select(self.id_col).write.mode("overwrite").parquet(
-            os.path.join(staging, "ids")
-        )
+        # ledger append sized by rows, not by the (now wide) batch
+        # partitioning — one slim file per ~2M ids, not one per task
+        new.select(self.id_col).coalesce(
+            max(1, -(-n_new // 2_000_000))
+        ).write.mode("overwrite").parquet(os.path.join(staging, "ids"))
         # COMMIT POINT: everything staged before this call is
         # reconstructible debris; everything after is pure idempotent
         # promotion (see journal.StagedCommit)
@@ -736,6 +801,107 @@ class MinHashIndex:
             (("sigs", self._sigs), ("bands", self._bands)),
             max_files_per_bucket,
         )
+
+    @single_writer
+    def compact_tombstones(self) -> dict:
+        """Apply pending tombstones PHYSICALLY while touching ONLY the
+        buckets that hold a tombstoned row — the r12 O(dirty buckets)
+        delete unit (r11 verdict task 8; whole-store ``compact`` was
+        the only tombstone-applying rewrite, O(store) per delete wave).
+
+        Dirty-bucket discovery needs NO store scan: a tombstoned doc's
+        sigs row lives in bucket ``pmod(hash(doc_id), n)`` (the exact
+        bucket function of the table — ``store_common.bucket_id_col``),
+        and its band rows' buckets re-derive from its STORED signature,
+        read from only those dirty sigs files. Each table then rewrites
+        just its dirty buckets through the journal's delete-list mode,
+        while the ledger forget and the cleared tombstone set promote
+        in whole-dir replace mode — all under ONE commit marker, so no
+        crash can leave a stale tombstone hiding a re-ingestable id
+        (the same invariant ``compact`` holds). Honest scope note: the
+        ledger rewrite is O(ledger rows) — but single slim column; the
+        byte-heavy tables (sigs arrays, band rows) are the O(dirty
+        buckets) part. After this, a deleted id may re-ingest as new.
+        Untouched buckets' files keep their BYTE identity (pinned in
+        test_bucket_compaction)."""
+        import math
+
+        self.recover()
+        tombs = self._tombstones()
+        if tombs is None or not self._sigs.has_files():
+            return {}
+        # sever from tombstones/ before the commit clears it
+        tombs = tombs.select(self.id_col).localCheckpoint()
+        n_tombs = tombs.count()
+        if n_tombs == 0:
+            return {}
+        staging = self.staging_path
+        dirty_sigs = {
+            r[0]
+            for r in tombs.select(
+                bucket_id_col([self.id_col], self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        del_sigs = rewrite_tombstoned_buckets(
+            self.spark, self.fs, self._sigs, tombs, self.id_col,
+            dirty_sigs, os.path.join(staging, "sigs"),
+        )
+        del_bands: list[str] = []
+        if self._has_files(self.bands_path):
+            census = bucket_census(self.fs, self.sigs_path)
+            sig_files = [
+                os.path.join(self.sigs_path, n)
+                for b in sorted(dirty_sigs)
+                for n in census.get(b, ())
+            ]
+            if sig_files:
+                dead = (
+                    self.spark.read.parquet(*sig_files)
+                    .join(F.broadcast(tombs), self.id_col, "left_semi")
+                    .filter(F.col("minhash").isNotNull())
+                    .select(self.id_col, "minhash")
+                )
+                dirty_bands = {
+                    r[0]
+                    for r in self._band_rows(dead)
+                    .select(
+                        bucket_id_col(
+                            ["band_idx", "band_hash"], self.n_buckets
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                del_bands = rewrite_tombstoned_buckets(
+                    self.spark, self.fs, self._bands, tombs, self.id_col,
+                    dirty_bands, os.path.join(staging, "bands"),
+                )
+        replace_subs = ["tombstones"]
+        if self._has_files(self.ids_path):
+            ledger = self.spark.read.parquet(self.ids_path).join(
+                F.broadcast(tombs), self.id_col, "left_anti"
+            )
+            nfiles = max(1, math.ceil(ledger.count() / 2_000_000))
+            ledger.repartition(nfiles).write.mode("overwrite").parquet(
+                os.path.join(staging, "ids")
+            )
+            replace_subs.append("ids")
+        # an EMPTY staged tombstones dir = the cleared set
+        self.fs.makedirs(os.path.join(staging, "tombstones"))
+        self._journal().commit(
+            delete={"sigs": del_sigs, "bands": del_bands},
+            replace_subs=tuple(replace_subs),
+        )
+        return {
+            "n_tombstones_applied": n_tombs,
+            "sigs": {
+                "buckets_rewritten": len(dirty_sigs),
+                "files_rewritten": len(del_sigs),
+            },
+            "bands": {"files_rewritten": len(del_bands)},
+        }
 
     @single_writer
     def compact(self) -> dict:

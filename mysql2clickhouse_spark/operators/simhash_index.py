@@ -66,12 +66,17 @@ from ..session import release_cache, rotate_cache
 from .bucketed import BucketedStore
 from .journal import StagedCommit
 from .store_common import (
+    batch_keyed_wide,
+    bucket_census,
+    bucket_id_col,
     compact_hot_buckets,
     single_writer,
     data_files,
     has_files,
+    ingest_pruned,
     live_bucket_sizes,
     probe_pruned,
+    rewrite_tombstoned_buckets,
 )
 
 _META = "_STORE_META"
@@ -227,13 +232,30 @@ class SimHashIndex:
         bucket columns) plus the in-batch self-join. Hot buckets are
         quarantined on store+batch occupancy, the incremental form of
         the one-shot's guard (see ``MinHashIndex._candidates`` for the
-        monotone-emission contract)."""
+        monotone-emission contract).
+
+        r12: both store reads — occupancy and candidate join — go
+        through one batch-key-pruned frame (broadcast semi join on the
+        composite bucket key; superset-safe, keys taken pre-quarantine
+        — see ``MinHashIndex._candidates`` and
+        ``store_common.ingest_pruned``)."""
+        from . import store_common as _sc
+
+        old = None
+        if self._blocks.has_files():
+            old = self._blocks.read()
+            # size-gated like the MinHash sibling (see its comment)
+            if (
+                self.fs.du(self.blocks_path)
+                >= _sc.PROBE_PUSHDOWN_MIN_STORE_BYTES
+            ):
+                old = ingest_pruned(old, ("b_idx", "b_val"), new_blocks)
         if self.max_bucket_size is not None:
             base_sizes = None
-            if self._blocks.has_files():
+            if old is not None:
                 # LIVE occupancy — tombstoned rows excluded (shared arm)
                 base_sizes = live_bucket_sizes(
-                    self._blocks.read(), self._tombstones(),
+                    old, self._tombstones(),
                     ["b_idx", "b_val"], self.id_col,
                 )
             new_blocks = _quarantine_hot_buckets(
@@ -244,8 +266,7 @@ class SimHashIndex:
                 base_sizes=base_sizes,
             )
         pairs_sets = []
-        if self._blocks.has_files():
-            old = self._blocks.read()
+        if old is not None:
             cross = (
                 new_blocks.alias("n")
                 .join(
@@ -355,7 +376,13 @@ class SimHashIndex:
         redelivery (ledger anti-join up front; a fully-replayed batch
         answers empty without touching the store)."""
         self.recover()
-        batch = batch.dropDuplicates([self.id_col])
+        # r12: one user-numbered keyed exchange feeds dedup, the ledger
+        # anti-join and the vote aggregate at a width AQE cannot
+        # coalesce away — same fix and measurement as the MinHash
+        # sibling (store_common.batch_keyed_wide)
+        batch = batch_keyed_wide(batch, self.id_col).dropDuplicates(
+            [self.id_col]
+        )
         if self._has_files(self.ids_path):
             stored_ids = self.spark.read.parquet(self.ids_path)
             batch = batch.join(stored_ids, self.id_col, "left_anti")
@@ -388,14 +415,36 @@ class SimHashIndex:
                 "id_b",
                 "left_anti",
             )
-        out = self._verified_pairs(cands, new).localCheckpoint(eager=True)
+        # r12: verify joins resolve stored fingerprints through a
+        # candidate-id-pruned sigs read, same mechanism and size gate as
+        # the MinHash sibling's ingest (see MinHashIndex.add_batch)
+        from . import store_common as _sc
+
+        store_rows = None
+        if (
+            self._sigs.has_files()
+            and self.fs.du(self.sigs_path)
+            >= _sc.PROBE_PUSHDOWN_MIN_STORE_BYTES
+        ):
+            cands = cands.localCheckpoint(eager=True)
+            store_rows = ingest_pruned(
+                self._sigs.read(),
+                (self.id_col,),
+                cands.select(F.col("id_a").alias(self.id_col)).union(
+                    cands.select(F.col("id_b").alias(self.id_col))
+                ),
+            )
+        out = self._verified_pairs(
+            cands, new, store_rows=store_rows
+        ).localCheckpoint(eager=True)
 
         staging = self.staging_path
         self._sigs.stage_bucketed(new, os.path.join(staging, "sigs"))
         self._blocks.stage_bucketed(new_blocks, os.path.join(staging, "blocks"))
-        new.select(self.id_col).write.mode("overwrite").parquet(
-            os.path.join(staging, "ids")
-        )
+        # ledger append sized by rows, not by the wide batch partitioning
+        new.select(self.id_col).coalesce(
+            max(1, -(-n_new // 2_000_000))
+        ).write.mode("overwrite").parquet(os.path.join(staging, "ids"))
         self._journal().commit()
         return out
 
@@ -531,6 +580,87 @@ class SimHashIndex:
             (("sigs", self._sigs), ("blocks", self._blocks)),
             max_files_per_bucket,
         )
+
+    @single_writer
+    def compact_tombstones(self) -> dict:
+        """Apply pending tombstones physically, touching only the dirty
+        buckets — the r12 O(dirty buckets) delete unit; mechanism,
+        commit atomicity and scope notes as in
+        ``MinHashIndex.compact_tombstones`` (dirty block buckets
+        re-derive from the dead docs' stored fingerprints)."""
+        import math
+
+        self.recover()
+        tombs = self._tombstones()
+        if tombs is None or not self._sigs.has_files():
+            return {}
+        tombs = tombs.select(self.id_col).localCheckpoint()
+        n_tombs = tombs.count()
+        if n_tombs == 0:
+            return {}
+        staging = self.staging_path
+        dirty_sigs = {
+            r[0]
+            for r in tombs.select(
+                bucket_id_col([self.id_col], self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        del_sigs = rewrite_tombstoned_buckets(
+            self.spark, self.fs, self._sigs, tombs, self.id_col,
+            dirty_sigs, os.path.join(staging, "sigs"),
+        )
+        del_blocks: list[str] = []
+        if self._has_files(self.blocks_path):
+            census = bucket_census(self.fs, self.sigs_path)
+            sig_files = [
+                os.path.join(self.sigs_path, n)
+                for b in sorted(dirty_sigs)
+                for n in census.get(b, ())
+            ]
+            if sig_files:
+                dead = self.spark.read.parquet(*sig_files).join(
+                    F.broadcast(tombs), self.id_col, "left_semi"
+                )
+                dirty_blocks = {
+                    r[0]
+                    for r in self._block_rows(dead)
+                    .select(
+                        bucket_id_col(
+                            ["b_idx", "b_val"], self.n_buckets
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                del_blocks = rewrite_tombstoned_buckets(
+                    self.spark, self.fs, self._blocks, tombs, self.id_col,
+                    dirty_blocks, os.path.join(staging, "blocks"),
+                )
+        replace_subs = ["tombstones"]
+        if self._has_files(self.ids_path):
+            ledger = self.spark.read.parquet(self.ids_path).join(
+                F.broadcast(tombs), self.id_col, "left_anti"
+            )
+            nfiles = max(1, math.ceil(ledger.count() / 2_000_000))
+            ledger.repartition(nfiles).write.mode("overwrite").parquet(
+                os.path.join(staging, "ids")
+            )
+            replace_subs.append("ids")
+        self.fs.makedirs(os.path.join(staging, "tombstones"))
+        self._journal().commit(
+            delete={"sigs": del_sigs, "blocks": del_blocks},
+            replace_subs=tuple(replace_subs),
+        )
+        return {
+            "n_tombstones_applied": n_tombs,
+            "sigs": {
+                "buckets_rewritten": len(dirty_sigs),
+                "files_rewritten": len(del_sigs),
+            },
+            "blocks": {"files_rewritten": len(del_blocks)},
+        }
 
     @single_writer
     def compact(self) -> dict:

@@ -317,6 +317,114 @@ def probe_pruned(
     return store_rows.filter(F.col(hash_col).isin(vals))
 
 
+def bucket_id_col(key_cols, n_buckets: int):
+    """The bucket id Spark assigns a row of a bucketed table:
+    ``pmod(murmur3(keys…), n)`` — ``HashPartitioning.partitionIdExpression``
+    with the default seed, which is exactly ``F.hash``. This is how
+    ``stage_bucketed``'s repartition routes rows AND how the bucket id
+    baked into each file name is chosen, so tombstoned rows can be
+    located WITHOUT scanning the store (pinned against physical file
+    content in test_bucket_compaction)."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+def rewrite_tombstoned_buckets(
+    spark,
+    fs,
+    store,
+    tombs: DataFrame,
+    id_col: str,
+    dirty_buckets: set[int],
+    staging_sub: str,
+) -> list[str]:
+    """Stage the tombstone-applying rewrite of ONLY the dirty buckets
+    of one bucketed store table: read those buckets' files, drop rows
+    owned by tombstoned docs, re-stage through the store's own
+    ``stage_bucketed`` (rows re-hash into exactly the buckets they came
+    from). Returns the file names the commit must delete — O(dirty
+    buckets) I/O, untouched buckets keep their byte identity (the r12
+    tombstone-aware unit the r11 whole-store ``compact`` lacked)."""
+    census = bucket_census(fs, store.location)
+    files = [n for b in sorted(dirty_buckets) for n in census.get(b, ())]
+    if not files:
+        return []
+    rows = spark.read.parquet(
+        *[os.path.join(store.location, n) for n in files]
+    )
+    live = rows.join(F.broadcast(tombs.select(id_col)), id_col, "left_anti")
+    store.stage_bucketed(live, staging_sub)
+    return files
+
+
+def batch_keyed_wide(df: DataFrame, id_col: str) -> DataFrame:
+    """Key-partition an ingest batch at a width AQE cannot shrink —
+    the r12 fix for single-threaded batch signing (guide §2.5).
+
+    ``add_batch`` dedups the batch on its id before the CPU-heavy
+    signing pass; ``dropDuplicates`` introduces a hash exchange whose
+    width AQE coalesces by BYTES — and a few thousand documents are
+    only a few MB, so the dedup, the ledger anti-join probe and the
+    whole shingle/sign projection downstream of it ran as ONE task
+    (measured: 3.3-3.8 s of the 9.5 s bench ingest was the signing
+    barrier). An explicit ``repartition(n, id)`` is exempt from AQE
+    coalescing, satisfies ``dropDuplicates``' required distribution
+    (no second exchange — §2.4 two operations keyed the same way share
+    one exchange) and the left side of the ledger anti-join likewise.
+    ``n`` is never below what a non-AQE dedup would have used
+    (``spark.sql.shuffle.partitions``), so a large batch keeps its
+    full shuffle width; the knob stays scale-adaptive through
+    SPARK_GRAFT_SHUFFLE_PARTITIONS (session.py)."""
+    spark = df.sparkSession
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_shuffle = 200
+    width = max(n_shuffle, spark.sparkContext.defaultParallelism * 2)
+    return df.repartition(width, F.col(id_col))
+
+
+def ingest_pruned(
+    store_rows: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    batch_rows: DataFrame,
+) -> DataFrame:
+    """Prune an INGEST-side store read to the batch's own key set with
+    a broadcast LEFT SEMI join above the bucketed scan — the r12 fix
+    for the last O(store)-rows-per-batch reads (r11 verdict task 1:
+    the probe path prunes, ingest did not, and ingest is the biggest
+    measured cost surface).
+
+    Why a semi join and not the probe's ``In`` pushdown: ingest key
+    sets are bands×batch (~10k-100k keys), past both the driver-collect
+    cap and the parquet record filter's stack-safe bound
+    (PARQUET_IN_PUSHDOWN_SAFE) — above ~512 values the pushed ``In``
+    degrades to a useless min/max range over uniform hashes anyway. The
+    semi join needs NO driver collect and NO cap: the batch's distinct
+    keys broadcast through the ordinary exchange machinery (bounded by
+    batch size by contract), and pruning is EXACT — no false positives,
+    and trivially a superset of every store row the candidate equi-join
+    or the occupancy count on the batch's own buckets can use, so
+    results are identical by construction.
+
+    The streamed (store) side keeps its bucketed HashPartitioning
+    through the semi join, so the candidate join above still exchanges
+    only the batch side and the occupancy groupBy still runs without an
+    Exchange (plan-pinned in test_plan_shapes). Honest scope note: this
+    prunes ROWS entering the join/aggregate machinery, not scan BYTES —
+    row-group skipping needs the ``In`` form the stack bound forbids at
+    ingest cardinality; at 100 TB the store scan still streams its
+    column bytes once, but joins, occupancy counts and downstream
+    shuffles are O(batch ∩ store), not O(store).
+
+    No ``distinct()`` on the key side: a LEFT SEMI probe is
+    set-semantic by construction (the broadcast hash relation folds
+    duplicate keys), and the distinct would add an exchange + aggregate
+    to every broadcast build — measured +1.4 s per bench ingest for
+    zero row difference."""
+    dk = batch_rows.select(*keys)
+    return store_rows.join(F.broadcast(dk), list(keys), "left_semi")
+
+
 def live_bucket_sizes(
     store_rows: DataFrame,
     tombs: DataFrame | None,

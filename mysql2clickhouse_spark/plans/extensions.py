@@ -194,8 +194,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
     idx = MinHashIndex(spark, scratch_dir("m2c_ndidx_") + "/index", threshold=0.7)
-    p0 = idx.add_batch(spread(d))
-    p1 = idx.add_batch(spread(mut))
+    p0 = idx.add_batch(d)
+    p1 = idx.add_batch(mut)
     inc = p0.unionByName(p1)
 
     full = verified_near_dups(_docs_with_mutants(spark, sf_dir), "doc_id", threshold=0.7)
@@ -242,7 +242,7 @@ def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     idx = MinHashIndex(spark, scratch_dir("m2c_nddel_") + "/index", threshold=0.7)
-    idx.add_batch(spread(d))
+    idx.add_batch(d)
 
     doomed = d.filter(F.pmod("doc_id", F.lit(5)) == 2)
     n_deleted = idx.remove_batch(doomed.select("doc_id"))
@@ -251,7 +251,7 @@ def dedup_minhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
-    p1 = idx.add_batch(spread(mut))
+    p1 = idx.add_batch(mut)
     survivors = d.filter(F.pmod("doc_id", F.lit(5)) != 2)
     full = verified_near_dups(
         survivors.unionByName(mut), "doc_id", threshold=0.7
@@ -313,8 +313,8 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
     idx = SimHashIndex(spark, scratch_dir("m2c_shidx_") + "/index")
-    p0 = idx.add_batch(spread(d))
-    p1 = idx.add_batch(spread(mut))
+    p0 = idx.add_batch(d)
+    p1 = idx.add_batch(mut)
     inc = p0.unionByName(p1)
 
     full = simhash_near_dups(
@@ -322,7 +322,7 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     equal = idx.pairs_equal(full, inc)
-    replay_noop = idx.add_batch(spread(d)).isEmpty()
+    replay_noop = idx.add_batch(d).isEmpty()
     return spark.createDataFrame(
         [(d.count(), bool(equal), bool(replay_noop))],
         "n_docs bigint, incremental_equals_full boolean, replay_noop boolean",
@@ -350,7 +350,7 @@ def dedup_simhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     idx = SimHashIndex(spark, scratch_dir("m2c_shdel_") + "/index")
-    idx.add_batch(spread(d))
+    idx.add_batch(d)
 
     doomed = d.filter(F.pmod("doc_id", F.lit(5)) == 3)
     n_deleted = idx.remove_batch(doomed.select("doc_id"))
@@ -359,7 +359,7 @@ def dedup_simhash_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
-    p1 = idx.add_batch(spread(mut))
+    p1 = idx.add_batch(mut)
     survivors = d.filter(F.pmod("doc_id", F.lit(5)) != 3)
     full = simhash_near_dups(
         with_simhash(survivors.unionByName(mut), "text", attach=False), "doc_id"
@@ -440,7 +440,7 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
 
     mh = MinHashIndex(spark, scratch_dir("m2c_ndprobe_") + "/index", threshold=0.7)
-    mh.add_batch(spread(d))
+    mh.add_batch(d)
     census0 = sorted(mh._data_files(mh.sigs_path)) + sorted(
         mh._data_files(mh.bands_path)
     )
@@ -459,7 +459,7 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("minhash", n_probed, bool(mh_equal), bool(mh_untouched)))
 
     sh = SimHashIndex(spark, scratch_dir("m2c_shprobe_") + "/index")
-    sh.add_batch(spread(d))
+    sh.add_batch(d)
     census0 = sorted(sh._data_files(sh.sigs_path)) + sorted(
         sh._data_files(sh.blocks_path)
     )

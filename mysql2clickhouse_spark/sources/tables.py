@@ -74,20 +74,57 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     listing, ~1 ms) — NOT ``rdd.getNumPartitions()``, which converts
     the analyzed plan to an RDD lineage and costs ~0.9 s of driver time
     on every fresh query plan (measured; it was the dominant constant
-    in the near-dup queries' wall time). File count undercounts splits
-    for multi-rowgroup files, but the decision only needs the order of
-    magnitude: ≥ target files means the scan already feeds every core.
-    A non-file-backed frame (in-memory test fixture) lists no files and
-    simply takes the repartition — correct for its size."""
+    in the near-dup queries' wall time). File COUNT undercounts splits
+    for multi-rowgroup files — a multi-TB table delivered as a few
+    huge files would be fully repartitioned through a round-robin
+    exchange (r11 verdict finding #3) — so when the count alone is
+    below target, splits are re-estimated from the files' BYTES against
+    ``spark.sql.files.maxPartitionBytes`` (the scan planner's own split
+    rule, guide §6): Σ size / maxPartitionBytes never undercounts the
+    scan's split count by more than the per-file remainder, so a
+    few-large-files table is correctly left alone. Sizes come from one
+    listing of the same cached file index (only taken on the ≤ target
+    branch, so at most ~2×cores stat calls). A non-file-backed frame
+    (in-memory test fixture) lists no files and simply takes the
+    repartition — correct for its size."""
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism * 2
     try:
-        width = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        width = 0
+        files = []
+    width = len(files)
+    if 0 < width < target:
+        width = max(width, _estimated_splits(sess, files))
     if width < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_splits(spark: SparkSession, files: list[str]) -> int:
+    """Scan-split estimate for a file list: Σ bytes / maxPartitionBytes
+    (FileSourceScan packs splits of at most ``maxPartitionBytes``, so
+    the byte total is a floor on split count — openCostInBytes padding
+    only ever ADDS splits). Sizes go through the Hadoop FileSystem of
+    the first path so hdfs://s3a:// tables are estimated truthfully;
+    any listing error degrades to 0 (the caller keeps its file-count
+    answer and, at worst, pays the old behavior's repartition)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        max_pb = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        if max_pb <= 0:
+            return 0
+        first = jvm.org.apache.hadoop.fs.Path(files[0])
+        fs = first.getFileSystem(hconf)
+        total = 0
+        for f in files:
+            total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+        return int(total // max_pb)
+    except Exception:
+        return 0
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

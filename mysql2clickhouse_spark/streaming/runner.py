@@ -976,12 +976,15 @@ class ReplicationRunner:
         PER-BUCKET defrag (``compact_buckets`` / IVF ``compact_lists``
         — O(hot buckets), untouched buckets' files kept by identity),
         triggered by measured small-files decay, not every session.
-        Scheduled upkeep never applies tombstones physically: that
-        rewrite is O(store) by necessity and stays the explicit
-        whole-store ``compact`` operation. Single-writer discipline
-        applies: the caller must not schedule this concurrently with
-        the store's ingest job (the reference's single-instance rule,
-        B5)."""
+        Tombstones: a spec may OPT IN with ``max_tombstones`` — when
+        the pending set exceeds it and the store has the r12
+        ``compact_tombstones`` unit (O(dirty buckets), not O(store)),
+        upkeep applies deletes physically too; without the key the old
+        contract holds (tombstone application stays the explicit
+        ``compact``/``compact_tombstones`` call). Single-writer
+        discipline applies: the caller must not schedule this
+        concurrently with the store's ingest job (the reference's
+        single-instance rule, B5)."""
         out: list[dict] = []
         for spec in specs:
             kind, path = spec["kind"], spec["path"]
@@ -1015,6 +1018,13 @@ class ReplicationRunner:
                     defrag()
                     rep["compacted"] = True
                     rep["census_after"] = idx.stats()[census_key]
+                max_tombs = spec.get("max_tombstones")
+                if (
+                    max_tombs is not None
+                    and hasattr(idx, "compact_tombstones")
+                    and st.get("n_tombstoned", 0) > int(max_tombs)
+                ):
+                    rep["tombstones_applied"] = idx.compact_tombstones()
             except Exception as e:  # noqa: BLE001 — per-store isolation
                 rep["error"] = str(e)
             out.append(rep)

@@ -47,8 +47,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: r10 code commit 5b1383d; rounds 6-8 used r5 79d3d22, round 9 the
 #: r8 a228d70, round 10 the r9 f31be1b with the r9 worktree dropped
 #: once re-pinned)
-REF_COMMIT = "b7491e0"  # round-11 OPTIMIZATION floor: the round-start tree
-REF_TAG = "r11s"
+REF_COMMIT = "39e31ef"  # round-12 OPTIMIZATION floor: the round-start tree
+REF_TAG = "r12s"
 REF_PKG = f"m2c_{REF_TAG}ref"
 
 

@@ -264,3 +264,166 @@ def test_ivf_compact_lists_rewrites_only_hot_lists(spark, tmp_path):
     # noop when nothing hot
     rep2 = idx.compact_lists(max_files_per_list=1)
     assert rep2["lists_compacted"] == 0
+
+
+# --- r12: tombstone-aware per-bucket compaction ---------------------------
+
+
+def test_bucket_id_col_matches_physical_file_placement(spark, tmp_path):
+    """The dirty-bucket discovery rests on ``bucket_id_col`` being the
+    EXACT bucket function of the store's files — pin it against
+    physical placement: for every sigs row, ``pmod(hash(doc_id), n)``
+    equals the bucket id baked into the file name the row lives in."""
+    from pyspark.sql.functions import input_file_name
+
+    from mysql2clickhouse_spark.operators.store_common import (
+        _BUCKET_ID_RE,
+        bucket_id_col,
+    )
+
+    idx = _mk_minhash(spark, tmp_path)
+    rows = (
+        spark.read.parquet(idx.sigs_path)
+        .select(
+            bucket_id_col(["doc_id"], idx.n_buckets).alias("expect"),
+            input_file_name().alias("f"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert int(_BUCKET_ID_RE.search(r["f"]).group(1)) == r["expect"]
+
+
+def test_compact_tombstones_touches_only_dirty_buckets(spark, tmp_path):
+    """The r12 delete unit: tombstoned rows leave sigs AND bands, every
+    other row survives, untouched buckets keep their files by NAME
+    identity, the ledger forgets the ids (re-ingest as new works), and
+    the tombstone set clears — all in one call."""
+    idx = _mk_minhash(spark, tmp_path)
+    doomed = [3, 17]
+    idx.remove_batch(
+        spark.createDataFrame([(d,) for d in doomed], "doc_id bigint")
+    )
+    sigs_files_before = _files(idx.sigs_path)
+    bands_files_before = _files(idx.bands_path)
+    sigs_live = [
+        t for t in _rows(spark, idx.sigs_path, ["doc_id"]) if t[0] not in doomed
+    ]
+    bands_live = [
+        t
+        for t in _rows(spark, idx.bands_path, ["band_idx", "band_hash", "doc_id"])
+        if t[2] not in doomed
+    ]
+
+    rep = idx.compact_tombstones()
+    assert rep["n_tombstones_applied"] == 2
+    assert 0 < rep["sigs"]["files_rewritten"] < len(sigs_files_before)
+    # physical: tombstoned rows gone, everything else intact
+    assert _rows(spark, idx.sigs_path, ["doc_id"]) == sorted(sigs_live)
+    assert (
+        _rows(spark, idx.bands_path, ["band_idx", "band_hash", "doc_id"])
+        == sorted(bands_live)
+    )
+    # untouched buckets' files survive by name identity
+    kept = set(sigs_files_before) & set(_files(idx.sigs_path))
+    assert len(kept) == len(sigs_files_before) - rep["sigs"]["files_rewritten"]
+    kept_bands = set(bands_files_before) & set(_files(idx.bands_path))
+    assert (
+        len(kept_bands)
+        == len(bands_files_before) - rep["bands"]["files_rewritten"]
+    )
+    # lifecycle: tombstones cleared, ledger forgot, re-ingest as new
+    assert not idx._has_files(idx.tombstones_path)
+    assert (
+        spark.read.parquet(idx.ids_path).filter(F.col("doc_id") == 3).count()
+        == 0
+    )
+    p = idx.add_batch(
+        spark.createDataFrame(
+            [(3, f"{BASE} 3 variant")], "doc_id bigint, text string"
+        )
+    )
+    assert p.count() > 0  # pairs with its old near-dups again
+    assert (
+        spark.read.parquet(idx.sigs_path).filter(F.col("doc_id") == 3).count()
+        == 1
+    )
+    # idempotent noop with no tombstones pending
+    assert idx.compact_tombstones() == {}
+
+
+def test_compact_tombstones_crash_mid_promotion_converges(spark, tmp_path):
+    """Post-commit crash between the dirty buckets' old-file deletes
+    and the staged renames (the worst window — delete-list + per-route
+    replace in ONE marker): recover() at the next entry converges to
+    the fully-compacted state, tombstones cleared, no row lost or
+    doubled, no stale tombstone hiding a re-ingestable id."""
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+
+    idx = _mk_minhash(spark, tmp_path)
+    idx.remove_batch(spark.createDataFrame([(7,)], "doc_id bigint"))
+    sigs_live = [
+        t for t in _rows(spark, idx.sigs_path, ["doc_id"]) if t[0] != 7
+    ]
+
+    class _FailBandsRename(LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            if f"{os.sep}bands{os.sep}" in dst and "__maint_staging" in src:
+                raise OSError("injected crash mid tombstone compaction")
+            super().rename(src, dst)
+
+    idx.fs = _FailBandsRename()
+    with pytest.raises(OSError, match="injected crash"):
+        idx.compact_tombstones()
+    assert os.path.isfile(os.path.join(idx.staging_path, "_INGEST_COMMIT"))
+
+    idx2 = MinHashIndex(spark, str(tmp_path / "nd"))
+    idx2.recover()
+    assert not os.path.isdir(idx2.staging_path)
+    assert _rows(spark, idx2.sigs_path, ["doc_id"]) == sorted(sigs_live)
+    assert (
+        spark.read.parquet(idx2.bands_path)
+        .filter(F.col("doc_id") == 7)
+        .count()
+        == 0
+    )
+    assert not idx2._has_files(idx2.tombstones_path)
+    assert (
+        spark.read.parquet(idx2.ids_path).filter(F.col("doc_id") == 7).count()
+        == 0
+    )
+
+
+def test_simhash_compact_tombstones(spark, tmp_path):
+    """The SimHash twin of the r12 delete unit: same contract, blocks
+    table instead of bands."""
+    from mysql2clickhouse_spark.operators.simhash_index import SimHashIndex
+
+    idx = SimHashIndex(spark, str(tmp_path / "sh"), n_buckets=8)
+    idx.add_batch(
+        spark.createDataFrame(
+            [(i, f"{BASE} {i} variant") for i in range(40)],
+            "doc_id bigint, text string",
+        )
+    )
+    idx.remove_batch(spark.createDataFrame([(11,)], "doc_id bigint"))
+    blocks_files_before = _files(idx.blocks_path)
+    rep = idx.compact_tombstones()
+    assert rep["n_tombstones_applied"] == 1
+    assert (
+        spark.read.parquet(idx.sigs_path).filter(F.col("doc_id") == 11).count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(idx.blocks_path)
+        .filter(F.col("doc_id") == 11)
+        .count()
+        == 0
+    )
+    kept = set(blocks_files_before) & set(_files(idx.blocks_path))
+    assert (
+        len(kept)
+        == len(blocks_files_before) - rep["blocks"]["files_rewritten"]
+    )
+    assert not idx._has_files(idx.tombstones_path)

@@ -42,6 +42,30 @@ def test_three_batch_accumulation_equals_one_shot(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_accumulation_equals_one_shot_with_verify_prune_forced(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ingest prune: with the sigs verify-side prune's size gate
+    forced OPEN (test stores are far below the production gate), the
+    accumulated pair sets must still equal the one-shot — the
+    candidate-id semi prune may drop only sig rows no candidate pair
+    references. The bands-side semi prune is ungated and therefore
+    exercised by every other test in this file."""
+    from mysql2clickhouse_spark.operators import store_common
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+    corpus = _corpus(spark).cache()
+    batches = [corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx = MinHashIndex(spark, str(tmp_path / "idx_vp"), threshold=0.7)
+    acc = None
+    for b in batches:
+        p = idx.add_batch(b)
+        acc = p if acc is None else acc.unionByName(p)
+    full = verified_near_dups(corpus, "doc_id", threshold=0.7)
+    assert idx.pairs_equal(full, acc)
+    corpus.unpersist()
+
+
 def test_store_is_append_only(spark, tmp_path):
     corpus = _corpus(spark)
     idx = MinHashIndex(spark, str(tmp_path / "idx"), threshold=0.7)

@@ -472,6 +472,37 @@ def test_consistency_check_folds_are_jvm_side_partial_aggregates(spark, sf_dir, 
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_spread_is_split_aware_not_file_count(spark, tmp_path):
+    """r11 verdict finding #3: ``spread()`` must not round-robin-exchange
+    a table delivered as FEW HUGE files — at scale a multi-TB table can
+    arrive as ≤ 2×cores files, each of which the scan planner cuts into
+    many splits. The probe now estimates splits from file bytes vs
+    ``spark.sql.files.maxPartitionBytes`` when the file count alone is
+    under target; only a table that is small in BYTES takes the widening
+    repartition."""
+    from mysql2clickhouse_spark.sources.tables import spread
+
+    p = str(tmp_path / "one_big_file")
+    spark.range(50_000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny split size ⇒ the one file is estimated as many splits ⇒
+        # the scan already feeds every core ⇒ NOT repartitioned
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        assert spread(df, min_partitions=64) is df
+        # huge split size ⇒ the file is one split ⇒ widening applies
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        assert spread(df, min_partitions=64) is not df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    # a non-file-backed frame still takes the repartition (its width is
+    # unknowable from files; correct for in-memory fixtures)
+    mem = spark.createDataFrame([(1,)], "id int")
+    assert spread(mem, min_partitions=4) is not mem
+
+
 def test_substring_store_membership_join_never_exchanges_the_store(spark, tmp_path):
     """The SubstringIndex 100 TB contract (r8 verdict finding #1): the
     per-batch membership join must exchange only the BATCH's grams —
@@ -696,6 +727,88 @@ def test_simhash_blocks_join_never_exchanges_the_store(spark, tmp_path):
     assert "SelectedBucketsCount: 8 out of 8" in plan
     assert plan.count("Exchange") == 2
     assert "hashpartitioning(b_idx" in plan
+
+
+def test_minhash_ingest_store_reads_are_batch_semi_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """r11 verdict task 1: ingest's store reads — the occupancy count
+    AND the candidate join — must be pruned to the batch's bucket keys.
+    The mechanism is a broadcast LEFT SEMI join (no driver collect, no
+    key cap — ingest key sets exceed both the probe's collect cap and
+    the parquet In stack bound), and the store side must KEEP its
+    bucketed distribution through the semi so the candidate join still
+    exchanges only the batch side. Size-gated in production (tiny
+    stores broadcast whole — measured break-even); forced open here."""
+    from mysql2clickhouse_spark.operators import store_common
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+    idx = _nd_index(spark, tmp_path)
+    new_bands = spark.createDataFrame(
+        [(0, 123, 1000), (1, 456, 1001)],
+        "band_idx int, band_hash int, doc_id bigint",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, idx._candidates(new_bands))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # the batch-key semi prune sits above the bucketed store scan (the
+    # F.broadcast hint forces it even with auto-broadcast off)
+    assert "LeftSemi" in plan
+    assert "Bucketed: true" in plan
+    # the store side is never shuffle-exchanged: every hashpartitioning
+    # exchange in the fragment is on the batch/candidate side, and the
+    # pruned store still enters the candidate join bucket-distributed
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_ingest_pruned_fragment_is_broadcast_semi_no_shuffle(spark, tmp_path):
+    """The shared prune helper in isolation: broadcast semi above the
+    bucketed scan, ZERO shuffle exchanges — the store side's bucketed
+    partitioning survives for the join/groupBy above."""
+    from mysql2clickhouse_spark.operators.store_common import ingest_pruned
+
+    idx = _nd_index(spark, tmp_path)
+    keys = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    plan = plan_of(spark, ingest_pruned(idx._sigs.read(), ("doc_id",), keys))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    # no "Bucketed: true" pin HERE: planned in isolation nothing above
+    # needs the distribution, so the planner rightly disables bucketed
+    # reading — the composed _candidates tests pin it in context
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_simhash_ingest_store_reads_are_batch_semi_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """SimHashIndex under the same r12 ingest-prune contract as its
+    MinHash sibling (gate forced open as above)."""
+    from mysql2clickhouse_spark.operators import store_common
+    from mysql2clickhouse_spark.operators.simhash_index import SimHashIndex
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+    idx = SimHashIndex(spark, str(tmp_path / "shidx_ip"), n_buckets=8)
+    base = "the quick brown fox jumps over the lazy dog wearing suit"
+    idx.add_batch(
+        spark.createDataFrame(
+            [(i, f"{base} {i} variant") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+    )
+    new_blocks = spark.createDataFrame(
+        [(0, 123, 1000), (1, 456, 1001)],
+        "b_idx int, b_val bigint, doc_id bigint",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, idx._candidates(new_blocks))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    assert "LeftSemi" in plan
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
 
 
 def test_probe_pushes_batch_keys_into_minhash_store_scan(spark, tmp_path, monkeypatch):

@@ -48,6 +48,25 @@ def test_batch_accumulation_equals_one_shot(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_batch_accumulation_equals_one_shot_with_verify_prune_forced(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ingest prune under a forced-open size gate — same contract
+    as the MinHash sibling's test: candidate-id pruning of the sigs
+    read must not change any emitted pair."""
+    from mysql2clickhouse_spark.operators import store_common
+
+    monkeypatch.setattr(store_common, "PROBE_PUSHDOWN_MIN_STORE_BYTES", 0)
+    corpus = _corpus(spark).cache()
+    idx = SimHashIndex(spark, str(tmp_path / "idx_vp"))
+    acc = None
+    for i in range(3):
+        p = idx.add_batch(corpus.filter(F.col("doc_id") % 3 == i))
+        acc = p if acc is None else acc.unionByName(p)
+    assert idx.pairs_equal(_one_shot(spark, corpus), acc)
+    corpus.unpersist()
+
+
 def test_replayed_batch_is_store_noop(spark, tmp_path):
     corpus = _corpus(spark).cache()
     b0 = corpus.filter(F.col("doc_id") % 2 == 0)
