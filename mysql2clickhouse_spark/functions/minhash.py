@@ -670,14 +670,25 @@ def with_simhash_arrow(
       split on space runs, empties dropped, first 32767 tokens — the
       exact aggregate-form pipeline;
     - ``lower``: Python ``str.lower()`` — agrees with Spark's
-      Locale.ROOT lowercase on every tested string (ASCII + the
-      unicode adversarial set); both corpora are pinned;
+      ``lower()`` on every tested string (ASCII + the unicode
+      adversarial set); both corpora are pinned. Caveat (ADVICE r11):
+      for non-ASCII strings Spark's UTF8String falls back to Java
+      ``String.toLowerCase()`` under the JVM DEFAULT locale — on e.g.
+      a Turkish-locale JVM, ``I`` lowercases to U+0131 while Python
+      yields ``i``. Deployments that rely on the bit-identity contract
+      between this signer and the aggregate form must pin the JVM to a
+      root/English locale (``-Duser.language=en``) or route non-ASCII
+      corpora through the aggregate form;
     - empty/whitespace-only docs emit NO row (the no-collapse policy).
 
-    Memory is bounded per Arrow batch: the token byte matrix is
-    (batch tokens × longest short token) uint8 with tokens over 64
-    bytes hashed in a separate narrow pass, so a single pathological
-    megabyte-token cannot inflate the matrix.
+    Memory is bounded per Arrow batch on BOTH big temporaries: the
+    token byte matrix is (batch tokens × longest short token) uint8
+    with tokens over 64 bytes hashed in a separate narrow pass, so a
+    single pathological megabyte-token cannot inflate it; and the
+    per-bit vote matrix is (batch tokens × 64) uint8 — 64 B/token,
+    ~20 GB/batch worst-case at the 32767-token cap × 10k default rows,
+    so lower ``spark.sql.execution.arrow.maxRecordsPerBatch`` for
+    long-document corpora (the int64 unpack this replaces was 8× that).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -727,16 +738,20 @@ def with_simhash_arrow(
             if (~short).any():
                 li = np.nonzero(~short)[0]
                 h[li] = xxh64_strings([flat[i] for i in li]).view(np.uint64)
-            # per-bit votes: unpack the 64 bits, segment-sum per doc
+            # per-bit votes: unpack the 64 bits as uint8 (64 B/token —
+            # the int64 unpack was 512 B/token, tens of GB per Arrow
+            # batch on a long-doc corpus; ADVICE r11) and segment-sum
+            # per doc with an int64 ACCUMULATOR (values identical: 0/1
+            # votes, ≤ 32767 per doc, far inside int64)
             bits_mat = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)
-            ).astype(np.int64)
+            ).astype(np.uint8)
             nonempty = counts > 0
             starts_d = np.zeros(n_docs, dtype=np.int64)
             starts_d[1:] = np.cumsum(counts)[:-1]
             idx = starts_d[nonempty]
-            votes = np.add.reduceat(bits_mat, idx, axis=0)[
+            votes = np.add.reduceat(bits_mat, idx, axis=0, dtype=np.int64)[
                 : int(nonempty.sum())
             ]
             maj = (votes * 2) > counts[nonempty, None]  # bit k set?

@@ -1,8 +1,9 @@
 """Vectorized XXH64 over a batch of byte strings — numpy only.
 
 Bit-identical to Spark's ``xxhash64`` expression (XXH64, seed 42, over
-the UTF-8 bytes): pinned by ``tests/test_expr_kernels.py`` against the
-JVM implementation on random ASCII, unicode, and boundary lengths
+the UTF-8 bytes): pinned by
+``tests/test_dedup_similarity.py::test_xxh64_numpy_bit_identical_to_spark``
+against the JVM implementation on random ASCII, unicode, and boundary lengths
 (0, 1, 3, 4, 7, 8, 31, 32, 33, 63, 64, 65 bytes — every branch of the
 spec). Exists so the Arrow simhash signer can hash a whole batch's
 token stream as C-speed array ops instead of per-row JVM codegen
