@@ -137,3 +137,44 @@ def test_cli_reports_locked_store_as_json_error(spark, tmp_path, capsys):
     rc = main(["neardup", "--index-dir", store, "--compact"])
     assert rc == 3
     assert "locked by writer" in capsys.readouterr().out
+
+
+def test_maintain_stores_applies_tombstones_opt_in(spark, tmp_path):
+    """r12: a spec that sets ``max_tombstones`` routes pending deletes
+    through the O(dirty buckets) ``compact_tombstones`` unit; without
+    the key upkeep never applies tombstones (the old contract)."""
+    from mysql2clickhouse_spark.operators.neardup_index import MinHashIndex
+    from mysql2clickhouse_spark.streaming.runner import (
+        ReplicationRunner,
+        RunConfig,
+    )
+
+    store = str(tmp_path / "nd")
+    idx = MinHashIndex(spark, store, n_buckets=4)
+    idx.add_batch(_batch(spark, off=0, n=20))
+    idx.remove_batch(spark.createDataFrame([(3,), (7,)], "doc_id bigint"))
+    runner = ReplicationRunner(
+        spark, RunConfig(target_dir=str(tmp_path / "wh"))
+    )
+    # no key -> tombstones untouched
+    runner.maintain_stores(
+        [{"kind": "minhash", "path": store, "max_files": 10_000}]
+    )
+    assert idx._has_files(idx.tombstones_path)
+    # opt-in, threshold crossed -> applied physically and cleared
+    rep = runner.maintain_stores(
+        [
+            {
+                "kind": "minhash",
+                "path": store,
+                "max_files": 10_000,
+                "max_tombstones": 1,
+            }
+        ]
+    )
+    assert rep[0]["tombstones_applied"]["n_tombstones_applied"] == 2
+    assert not idx._has_files(idx.tombstones_path)
+    assert (
+        spark.read.parquet(idx.sigs_path).filter("doc_id in (3, 7)").count()
+        == 0
+    )
