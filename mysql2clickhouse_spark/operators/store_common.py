@@ -379,7 +379,7 @@ def batch_keyed_wide(df: DataFrame, id_col: str) -> DataFrame:
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         n_shuffle = 200
-    width = max(n_shuffle, spark.sparkContext.defaultParallelism * 2)
+    width = max(n_shuffle, spark.sparkContext.defaultParallelism)
     return df.repartition(width, F.col(id_col))
 
 
